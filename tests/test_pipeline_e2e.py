@@ -1,0 +1,127 @@
+"""End-to-end Ray pipeline tests: engine vs single-process oracle, the
+per-row span-sequence invariant, KG stages, and checkpoint/resume."""
+
+import os
+
+import pytest
+
+from unsupervised_ner_ray.config import PipelineConfig
+from unsupervised_ner_ray.corpus import make_documents
+
+CFG = PipelineConfig(tagger_concurrency=2, tagger_batch_size=32, canon_salt_buckets=4)
+
+
+@pytest.fixture(scope="module")
+def flagship_out(ray_session):
+    from unsupervised_ner_ray.pipelines.flagship import (
+        docs_dataset_synthetic,
+        run_flagship,
+    )
+
+    docs = docs_dataset_synthetic(60, seed=42, parallelism=4)
+    return run_flagship(docs, CFG)
+
+
+@pytest.fixture(scope="module")
+def golden():
+    from unsupervised_ner_ray.oracle import oracle_tag_corpus
+
+    return oracle_tag_corpus(make_documents(60, seed=42))
+
+
+def test_span_sequence_invariant(flagship_out):
+    eng = flagship_out["tagged"].sort("doc_id").to_pandas()
+    orig = make_documents(60, seed=42).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(eng) == len(orig)
+    for i in range(len(eng)):
+        a, b = list(orig["spans"][i]), list(eng["spans"][i])
+        assert [
+            (s["kind"], s["text"], s["media_ref"], s["offset"]) for s in a
+        ] == [(s["kind"], s["text"], s["media_ref"], s["offset"]) for s in b]
+
+
+def test_tags_match_oracle(flagship_out, golden):
+    eng = flagship_out["tagged"].sort("doc_id").to_pandas()
+    gold_tags = {
+        (r.doc_id, r.span_idx): (list(r.tokens), list(r.tags))
+        for r in golden["tags"].itertuples()
+    }
+    n_checked = 0
+    for _, row in eng.iterrows():
+        for sent in row["ner"]:
+            key = (row["doc_id"], sent["span_idx"])
+            assert key in gold_tags
+            gt_tokens, gt_tags = gold_tags[key]
+            assert list(sent["tokens"]) == gt_tokens
+            assert list(sent["tags"]) == gt_tags
+            n_checked += 1
+    assert n_checked == len(gold_tags)
+
+
+def test_triples_match_oracle(flagship_out, golden):
+    from unsupervised_ner_ray.oracle import triple_prf
+
+    trip = flagship_out["triples"].to_pandas()
+    prf = triple_prf(trip, golden["triples"])
+    assert prf["precision"] >= 0.95 and prf["recall"] >= 0.95, prf
+
+
+def test_entities_canonicalization(flagship_out, golden):
+    ents = flagship_out["entities"].to_pandas()
+    assert len(ents) > 0
+    # counts: n_mentions across entities equals total mention count
+    mentions = flagship_out["mentions"].to_pandas()
+    assert ents["n_mentions"].sum() == len(mentions)
+    # eids are unique and content-addressed
+    assert ents["eid"].is_unique
+    from unsupervised_ner_ray.functions.kg import entity_id
+
+    for _, r in ents.head(10).iterrows():
+        assert entity_id(r["surface_norm"]) == r["eid"]
+
+
+def test_entity_linking(flagship_out):
+    m = flagship_out["mentions"].to_pandas()
+    assert "linked" in m.columns
+    # the synthetic corpus is built from vocabulary terms: most mentions link
+    assert m["linked"].mean() > 0.5
+
+
+def test_adjacency(flagship_out):
+    adj = flagship_out["adjacency"].to_pandas()
+    trip = flagship_out["triples"].to_pandas()
+    assert adj["degree"].sum() == len(trip)
+    assert adj["subj_id"].is_unique
+
+
+def test_checkpoint_resume(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    from unsupervised_ner_ray.corpus import write_corpus
+    from unsupervised_ner_ray.pipelines.checkpoint import load_manifest
+    from unsupervised_ner_ray.pipelines.flagship import run_flagship_checkpointed
+
+    inp = str(tmp_path / "docs.parquet")
+    write_corpus(inp, 40, seed=1)
+    out_dir = str(tmp_path / "out")
+    r1 = run_flagship_checkpointed(inp, out_dir, CFG, num_shards=3)
+    assert r1["completed"] == [0, 1, 2]
+    man = load_manifest(out_dir)
+    assert set(man.keys()) == {0, 1, 2}
+    assert all("rows" in m and "seconds" in m for m in man.values())
+    # total tagged rows across shards == docs
+    total = sum(m["rows"]["tagged"] for m in man.values())
+    assert total == 40
+    # resume: nothing to do
+    r2 = run_flagship_checkpointed(inp, out_dir, CFG, num_shards=3)
+    assert r2["completed"] == [] and r2["skipped"] == [0, 1, 2]
+    # simulate partial failure: drop shard 1 from manifest -> only it reruns
+    man_path = os.path.join(out_dir, "_manifest.jsonl")
+    lines = [l for l in open(man_path) if '"shard": 1' not in l]
+    with open(man_path, "w") as fp:
+        fp.writelines(lines)
+    r3 = run_flagship_checkpointed(inp, out_dir, CFG, num_shards=3)
+    assert r3["completed"] == [1] and sorted(r3["skipped"]) == [0, 2]
+    # output readable as one dataset
+    t = pq.read_table(os.path.join(out_dir, "triples"))
+    assert t.num_rows > 0

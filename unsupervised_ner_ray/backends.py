@@ -1,0 +1,160 @@
+"""Descriptor-scorer backends.
+
+The reference treats the masked-LM descriptor model as an opaque service
+(dispatched per sentence, /root/reference/batched_main_NER.py:264-269,
+564-577); the engine's contract is therefore the *descriptor interface*:
+
+    predict(masked_sentence, phrase, mode) -> ordered top-k list of
+        {"desc": str, "v": float, "e": "SUB1/SUB2/...", "e_count": "10/4/..."}
+
+mirroring the batched service response consumed at batched_main_NER.py:380-386
+and 426-432.  Two backends:
+
+* ``MockDescriptorBackend`` — deterministic (md5-seeded) selection from the
+  synthetic vocabulary; the tested path in this sandbox (no torch/network).
+  Known phrases surface their own vocabulary types (so BC5CDR-style labeled
+  terms are recovered); unknown phrases get hash-picked descriptors biased to
+  the backend's affinity groups, which makes the bio/phi pair genuinely
+  disagree and exercises every ensemble-resolution branch.
+* ``HFDescriptorBackend`` — optional HuggingFace masked-LM path, import-gated
+  (absent in this sandbox).
+
+Both are loaded once per actor (stage ``__init__``), never per batch.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Protocol
+
+from .assets import (
+    BIO_PRECEDENCE,
+    PHI_PRECEDENCE,
+    build_entity_map,
+    build_vocab,
+    vocab_types_by_subtype,
+)
+
+# reference main_NER.py:20 — numeric short-circuit emits 10 dummy descriptors
+DUMMY_DESCS = 10
+DUMMY_DESC_TERM = "two"
+
+
+class ScorerBackend(Protocol):
+    name: str
+
+    def predict(self, masked_sentence: str, phrase: str, mode: str) -> list[dict]:
+        ...
+
+
+def _stable_int(*parts: str) -> int:
+    h = hashlib.md5("|".join(parts).encode("utf-8", "surrogatepass")).hexdigest()
+    return int(h[:12], 16)
+
+
+class MockDescriptorBackend:
+    """Deterministic mock of the frozen-BERT descriptor service."""
+
+    def __init__(
+        self,
+        name: str,
+        vocab: dict[str, tuple[list[str], list[int]]] | None = None,
+        top_k: int = DUMMY_DESCS,
+    ):
+        self.name = name
+        self.vocab = vocab if vocab is not None else build_vocab()
+        self.by_subtype = vocab_types_by_subtype(self.vocab)
+        self.terms = list(self.vocab.keys())
+        self.top_k = top_k
+        # affinity: which consolidated groups this model "knows" — drives
+        # filler-descriptor choice for unknown phrases
+        affinity = set(BIO_PRECEDENCE if name == "bio" else PHI_PRECEDENCE)
+        emap = build_entity_map()
+        self.affinity_terms = [
+            t for t in self.terms
+            if any(emap.get(st, st) in affinity for st in self.vocab[t][0])
+        ] or self.terms
+
+    def _desc_entry(self, term: str, v: float) -> dict:
+        subtypes, counts = self.vocab.get(term, (["UNTAGGED_ENTITY"], [1]))
+        return {
+            "desc": term,
+            "v": round(v, 4),
+            "e": "/".join(subtypes),
+            "e_count": "/".join(str(c) for c in counts),
+        }
+
+    def predict(self, masked_sentence: str, phrase: str, mode: str) -> list[dict]:
+        # numeric short-circuit (reference main_NER.py:486-496, DUMMY_DESCS):
+        # a bare-number CI phrase gets 10 dummy descriptors at weight 0.
+        if mode == "ci" and phrase.replace(",", "").replace(".", "").isdigit():
+            return [self._desc_entry(DUMMY_DESC_TERM, 0.0) for _ in range(DUMMY_DESCS)]
+        h = _stable_int(self.name, mode, masked_sentence)
+        picked: list[str] = []
+        # the model "recognizes" the phrase (or one of its words): its own
+        # vocabulary types anchor the prediction
+        known = None
+        for cand in [phrase.lower()] + [w.lower() for w in phrase.split()]:
+            if cand in self.vocab:
+                known = cand
+                break
+        pool: list[str]
+        if known is not None:
+            primary = self.vocab[known][0][0]
+            neighbors = self.by_subtype.get(primary, [])
+            picked.append(known)
+            pool = neighbors + self.affinity_terms
+        else:
+            pool = self.affinity_terms
+        seen = set(picked)
+        idx = h % max(1, len(pool))
+        step = 1 + h % 7
+        while len(picked) < self.top_k and len(seen) < len(pool):
+            t = pool[idx % len(pool)]
+            idx += step
+            if t in seen:
+                idx += 1
+                continue
+            seen.add(t)
+            picked.append(t)
+        while len(picked) < self.top_k and self.terms:
+            picked.append(self.terms[(h + len(picked)) % len(self.terms)])
+        descs = [
+            self._desc_entry(t, 0.6 * (0.8 ** i)) for i, t in enumerate(picked)
+        ]
+        # occasionally surface an untagged descriptor to exercise suppression
+        if h % 5 == 0 and len(descs) > 3:
+            descs[3] = {
+                "desc": "oov_" + str(h % 97),
+                "v": descs[3]["v"],
+                "e": "UNTAGGED_ENTITY",
+                "e_count": "7",
+            }
+        return descs
+
+
+class HFDescriptorBackend:
+    """Optional real masked-LM backend (requires transformers+torch, absent in
+    this sandbox).  Same interface; model + tokenizer + entity-vector table
+    loaded once in __init__ — designed to live inside a map_batches actor."""
+
+    def __init__(self, name: str, model_name: str, vocab=None, top_k: int = DUMMY_DESCS):
+        try:
+            import torch  # noqa: F401
+            from transformers import AutoModelForMaskedLM, AutoTokenizer  # noqa: F401
+        except ImportError as exc:  # pragma: no cover
+            raise NotImplementedError(
+                "HFDescriptorBackend needs torch+transformers; use "
+                "MockDescriptorBackend in this environment"
+            ) from exc
+        raise NotImplementedError("HF backend wiring is deferred (no torch here)")
+
+
+def default_backends(top_k: int = DUMMY_DESCS) -> list[MockDescriptorBackend]:
+    """The two-model ensemble (bio + phi), mirroring the reference's paired
+    NER servers (ensemble/config.json actions_arr)."""
+    vocab = build_vocab()
+    return [
+        MockDescriptorBackend("bio", vocab, top_k),
+        MockDescriptorBackend("phi", vocab, top_k),
+    ]

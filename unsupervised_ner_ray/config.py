@@ -1,0 +1,28 @@
+"""Pipeline configuration (engine counterpart of the reference config.json +
+ensemble/config.json; loader semantics /root/reference/config_utils.py:11-19).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    # reference config.json:6 SUPPRESS_UNTAGGED="1"
+    suppress_untagged: bool = True
+    # top-k descriptors per masked position (reference DUMMY_DESCS,
+    # main_NER.py:20, and the descriptor service's typical k)
+    top_k_descs: int = 10
+    # stoplist (reference COMMON_DESCS_FILE untagged_terms.txt — empty)
+    common_descs: frozenset[str] = frozenset()
+    # KG construction
+    max_predicate_tokens: int = 5
+    canon_salt_buckets: int = 16
+    # Ray execution knobs
+    tagger_batch_size: int = 256
+    tagger_concurrency: int = 8
+    num_output_shards: int = 16
+
+
+DEFAULT_CONFIG = PipelineConfig()

@@ -1,0 +1,113 @@
+"""Flagship pipeline: interleaved documents -> tagged docs -> knowledge graph.
+
+Engine lifecycle (SURVEY.md §3):
+
+    read_documents -> NerTagger actor pool (tag + triples + mentions, all
+    row-local) -> [tagged-docs sink]
+                -> explode_mentions -> EntityLinker (broadcast join)
+                -> canonicalize (combiner + salted 2-phase groupby)
+                -> explode_triples -> adjacency (groupby subj_id)
+                -> [entities / triples / adjacency sinks]
+
+The checkpointed variant shards by doc_id hash and commits per shard with
+lineage + metrics (pipelines/checkpoint.py).
+"""
+
+from __future__ import annotations
+
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..corpus import make_documents
+from ..sources.io import read_documents
+from ..stages.kg import build_adjacency, canonicalize_mentions, link_mentions
+from ..stages.ner import explode_mentions, explode_triples, tag_documents
+
+
+def docs_dataset_from_parquet(path: str):
+    return read_documents(path)
+
+
+def docs_dataset_synthetic(n_docs: int, seed: int = 42, parallelism: int = 0):
+    table = make_documents(n_docs, seed)
+    ds = rd.from_arrow(table)
+    if parallelism:
+        ds = ds.repartition(parallelism)
+    return ds
+
+
+def run_tagging(docs, config: PipelineConfig = DEFAULT_CONFIG, concurrency=None):
+    """documents -> tagged documents Dataset (lazy)."""
+    return tag_documents(docs, config, concurrency)
+
+
+def run_kg_from_tagged(tagged, config: PipelineConfig = DEFAULT_CONFIG) -> dict:
+    """tagged docs -> {mentions, entities, triples, adjacency} Datasets (lazy)."""
+    mentions = link_mentions(explode_mentions(tagged))
+    entities = canonicalize_mentions(mentions, config)
+    triples = explode_triples(tagged)
+    adjacency = build_adjacency(triples)
+    return {
+        "mentions": mentions,
+        "entities": entities,
+        "triples": triples,
+        "adjacency": adjacency,
+    }
+
+
+def run_flagship(docs, config: PipelineConfig = DEFAULT_CONFIG, concurrency=None) -> dict:
+    """Full pipeline over an in-memory/lazy documents Dataset.
+
+    The tagged dataset is materialized ONCE (it feeds four consumers: the
+    tagged sink, mentions, triples and adjacency — without pinning it each
+    consumer would re-run the expensive tagger).  At real scale the
+    checkpointed variant writes tagged docs to the output layout instead and
+    reads them back, so nothing large is pinned in the object store.
+    """
+    tagged = run_tagging(docs, config, concurrency).materialize()
+    out = {"tagged": tagged}
+    out.update(run_kg_from_tagged(tagged, config))
+    return out
+
+
+def _shard_filter(shard: int, num_shards: int):
+    """Batch predicate keeping only this shard's documents (stable crc32 of
+    doc_id, same function the manifest layout uses)."""
+    import zlib
+
+    def _f(batch):
+        ids = batch.column("doc_id").to_pylist()
+        mask = [zlib.crc32(str(d).encode()) % num_shards == shard for d in ids]
+        return batch.filter(mask)
+
+    return _f
+
+
+def run_flagship_checkpointed(
+    input_path: str,
+    out_dir: str,
+    config: PipelineConfig = DEFAULT_CONFIG,
+    num_shards: int | None = None,
+) -> dict:
+    """Resumable flagship run: shard -> tag+KG -> atomic write + manifest."""
+    from .checkpoint import run_checkpointed
+
+    num_shards = num_shards or config.num_output_shards
+
+    def _run_shard(path: str, shard: int, n: int) -> dict:
+        docs = read_documents(path).map_batches(
+            _shard_filter(shard, n), batch_format="pyarrow"
+        )
+        tagged = run_tagging(docs, config).materialize()
+        kg = run_kg_from_tagged(tagged, config)
+        return {
+            "tagged": tagged,
+            "entities": kg["entities"],
+            "triples": kg["triples"],
+            "adjacency": kg["adjacency"],
+        }
+
+    return run_checkpointed(
+        input_path, out_dir, _run_shard, num_shards=num_shards
+    )

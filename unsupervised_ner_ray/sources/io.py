@@ -1,0 +1,66 @@
+"""Sources and sinks.
+
+* ``read_documents``/``write_documents`` — Lance when pylance is available
+  (the north_rule's storage format), Parquet with the identical logical
+  schema otherwise (this sandbox has no pylance; the abstraction seam keeps
+  call sites format-agnostic).
+* ``write_conll`` — byte-exact reference CoNLL sink (``token TAG`` lines +
+  blank separator, /root/reference/batched_main_NER.py:543-550) for
+  conformance diffs.
+* ``sf_path`` — helper for the driver-generated /root/testdata tables.
+"""
+
+from __future__ import annotations
+
+import os
+
+import ray.data as rd
+
+
+def _have_lance() -> bool:
+    try:
+        import lance  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def read_documents(path: str, **kwargs):
+    """Read an interleaved-documents table (Lance dataset dir or Parquet)."""
+    if path.endswith(".lance") and _have_lance():
+        return rd.read_lance(path, **kwargs)
+    return rd.read_parquet(path, **kwargs)
+
+
+def write_documents(ds, path: str, **kwargs):
+    if path.endswith(".lance") and _have_lance():
+        return ds.write_lance(path, **kwargs)
+    return ds.write_parquet(path, **kwargs)
+
+
+def sf_path(sf_dir: str, table: str) -> str:
+    return os.path.join(sf_dir, f"{table}.parquet")
+
+
+def read_sf(sf_dir: str, table: str, columns: list[str] | None = None):
+    """Column-pruned read of one /root/testdata table."""
+    return rd.read_parquet(sf_path(sf_dir, table), columns=columns)
+
+
+def write_conll(tagged_ds, path: str) -> None:
+    """Render tagged docs to the reference's exact CoNLL byte format.
+
+    Driver-side streaming consumption (iter_batches) — the output is a single
+    ordered text file, which is inherently a serial sink; used only for
+    small conformance dumps, sorted by (doc_id, span_idx).
+    """
+    with open(path, "w") as fp:
+        for batch in tagged_ds.sort("doc_id").iter_batches(
+            batch_size=1024, batch_format="pyarrow"
+        ):
+            for ner in batch.column("ner").to_pylist():
+                for sent in ner or []:
+                    for tok, tag in zip(sent["tokens"], sent["tags"]):
+                        fp.write(f"{tok} {tag}\n")
+                    fp.write("\n")

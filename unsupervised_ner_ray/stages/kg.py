@@ -1,0 +1,172 @@
+"""Distributed KG stages: entity linking, canonicalization, adjacency.
+
+Shuffle discipline (SURVEY.md §7):
+* entity linking  — BROADCAST join: the descriptor vocabulary is ray.put once
+                    and read in each actor's __init__; no shuffle.
+* canonicalization— two-phase salted aggregate: a per-batch combiner reduces
+                    each batch to distinct (surface_norm, etype) partial
+                    counts, a salt column splits head surfaces across
+                    reducers, then a small groupby merges partials.  The raw
+                    mention stream is never shuffled.
+* adjacency       — one groupby on subj_id (the only unavoidable wide op),
+                    feeding map_groups that emits one adjacency row per
+                    entity, neighbors sorted deterministically.
+"""
+
+from __future__ import annotations
+
+import zlib
+
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from ..config import DEFAULT_CONFIG, PipelineConfig
+
+
+class EntityLinker:
+    """Broadcast-join mentions against the descriptor vocabulary (engine
+    analog of the reference's labeled-vocab lookup, D15 + main_NER.py:640-642;
+    unlinked mentions mirror the CI-harvest side channel,
+    batched_main_NER.py:147-153)."""
+
+    def __init__(self, vocab_ref=None):
+        from ..assets import build_vocab
+
+        self.vocab = ray.get(vocab_ref) if vocab_ref is not None else build_vocab()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        surfaces = batch.column("surface_norm").to_pylist()
+        linked_types, linked = [], []
+        for s in surfaces:
+            hit = self.vocab.get(s)
+            if hit is None and " " in s:
+                for w in s.split():
+                    hit = self.vocab.get(w)
+                    if hit is not None:
+                        break
+            if hit is None:
+                linked_types.append([])
+                linked.append(False)
+            else:
+                linked_types.append(hit[0])
+                linked.append(True)
+        return batch.append_column(
+            "linked_types", pa.array(linked_types, pa.list_(pa.string()))
+        ).append_column("linked", pa.array(linked, pa.bool_()))
+
+
+def link_mentions(mentions, vocab_ref=None, concurrency: int = 4):
+    """mentions Dataset -> + linked_types/linked columns (broadcast join)."""
+    return mentions.map_batches(
+        EntityLinker,
+        fn_constructor_kwargs={"vocab_ref": vocab_ref},
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+
+
+def canonicalize_mentions(
+    mentions, config: PipelineConfig = DEFAULT_CONFIG
+):
+    """Mentions -> canonical entity table.
+
+    Phase 1 (combiner, inside map_batches — no shuffle): per-batch counts per
+    (surface_norm, etype); a ``salt`` column hash-splits head keys so no
+    single reducer sees all partials of a hot surface.
+    Phase 2: groupby(surface_norm, salt) merges within salt buckets, then
+    groupby(surface_norm) merges the <= S bucket rows per key — both
+    small shuffles over pre-aggregated data.
+
+    Output: eid, surface_norm, surface (most frequent raw form), etype
+    (majority vote), n_mentions.
+    """
+    salt_buckets = config.canon_salt_buckets
+
+    def _combine(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "surface_norm": batch.column("surface_norm").to_pylist(),
+                "surface": batch.column("surface").to_pylist(),
+                "etype": batch.column("etype").to_pylist(),
+            }
+        )
+        g = (
+            df.groupby(["surface_norm", "etype", "surface"], sort=True)
+            .size()
+            .reset_index(name="n")
+        )
+        # stable across worker processes (builtin hash is PYTHONHASHSEED-salted)
+        g["salt"] = g["surface_norm"].map(
+            lambda s: zlib.crc32(s.encode()) % salt_buckets
+        ).astype("int32")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    partials = mentions.map_batches(_combine, batch_format="pyarrow")
+
+    def _merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        out = (
+            g.groupby(["surface_norm", "etype", "surface"], sort=True)["n"]
+            .sum()
+            .reset_index()
+        )
+        return out
+
+    bucketed = partials.groupby(["surface_norm", "salt"]).map_groups(
+        _merge_bucket, batch_format="pandas"
+    )
+
+    def _finalize(g: pd.DataFrame) -> pd.DataFrame:
+        from ..functions.kg import entity_id
+
+        norm = g["surface_norm"].iloc[0]
+        n_total = int(g["n"].sum())
+        # deterministic majority votes: count desc, then lexicographic
+        et = (
+            g.groupby("etype")["n"].sum().reset_index()
+            .sort_values(["n", "etype"], ascending=[False, True])
+        )
+        sf = (
+            g.groupby("surface")["n"].sum().reset_index()
+            .sort_values(["n", "surface"], ascending=[False, True])
+        )
+        return pd.DataFrame(
+            {
+                "eid": [entity_id(norm)],
+                "surface_norm": [norm],
+                "surface": [sf["surface"].iloc[0]],
+                "etype": [et["etype"].iloc[0]],
+                "n_mentions": [n_total],
+            }
+        )
+
+    return bucketed.groupby("surface_norm").map_groups(
+        _finalize, batch_format="pandas"
+    )
+
+
+def build_adjacency(triples):
+    """Triples -> adjacency-list graph partitions.
+
+    groupby(subj_id) is the one real all-to-all here; neighbor lists are
+    sorted (pred, obj_id) for determinism.  Output one row per subject
+    entity: subj_id, subj_norm, degree, neighbors list<struct>.
+    """
+
+    def _adj(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["pred", "obj_id", "doc_id"], kind="mergesort")
+        neighbors = [
+            {"pred": p, "obj_id": oi, "obj_norm": on}
+            for p, oi, on in zip(g["pred"], g["obj_id"], g["obj_norm"])
+        ]
+        return pd.DataFrame(
+            {
+                "subj_id": [g["subj_id"].iloc[0]],
+                "subj_norm": [g["subj_norm"].iloc[0]],
+                "degree": [len(neighbors)],
+                "neighbors": [neighbors],
+            }
+        )
+
+    return triples.groupby("subj_id").map_groups(_adj, batch_format="pandas")
