@@ -1,16 +1,14 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship NER->KG pipeline over an interleaved corpus
+derived from /root/testdata/sf0.001 (pipelines/entry_corpus.py).
+``queries()`` exposes one callable per implemented operator (SURVEY.md §2 +
+the large-scale training-data operators); SQL-expressible ones have exact
+DuckDB oracles in ``oracle_sql()`` — aggregate money/value sums are computed
+in the integer domain on both sides so value hashes match bit-for-bit.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before importing this module; nothing here
+calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +16,304 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+SF0001 = "/root/testdata/sf0.001"
+
+# SQL-side stopword list must mirror stages/textstats.STOPWORDS
+_STOP_SQL = "['the','a','of','and','to','in','is','on','for','with']"
+_TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001; returns the tagged docs
+    Dataset (doc_id, spans passthrough, ner, triples, mentions, harvest)."""
+    from unsupervised_ner_ray.config import PipelineConfig
+    from unsupervised_ner_ray.pipelines.entry_corpus import corpus_from_sf
+    from unsupervised_ner_ray.pipelines.flagship import run_tagging
+
+    docs = corpus_from_sf(SF0001, limit=200)
+    cfg = PipelineConfig(tagger_concurrency=4, tagger_batch_size=64)
+    return run_tagging(docs, cfg)
+
+
+def _docs(sf_dir: str):
+    from unsupervised_ner_ray.sources.io import read_sf
+
+    return read_sf(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+
+
+def _ner_corpus(sf_dir: str, limit: int = 500):
+    from unsupervised_ner_ray.pipelines.entry_corpus import corpus_from_sf
+
+    return corpus_from_sf(sf_dir, limit=limit)
+
+
+def _tagged(sf_dir: str):
+    from unsupervised_ner_ray.config import PipelineConfig
+    from unsupervised_ner_ray.pipelines.flagship import run_tagging
+
+    cfg = PipelineConfig(tagger_concurrency=4, tagger_batch_size=64)
+    return run_tagging(_ner_corpus(sf_dir), cfg).materialize()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from unsupervised_ner_ray.stages import dedup, relational, similarity, textstats
+    from unsupervised_ner_ray.stages.kg import canonicalize_mentions, build_adjacency, link_mentions
+    from unsupervised_ner_ray.stages.multimodal import extract_media_refs, featurize_media
+    from unsupervised_ner_ray.stages.ner import explode_mentions, explode_triples
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def q_embedding_topk(sf_dir: str):
+        import numpy as np
+
+        from unsupervised_ner_ray.sources.io import read_sf
+
+        emb = read_sf(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        qdf = emb.filter(lambda r: r["vec_id"] < 3).to_pandas().sort_values("vec_id")
+        queries_m = np.array([np.array(v) for v in qdf["embedding"]], dtype=np.float64)
+        out = similarity.brute_force_topk(emb, queries_m, k=10)
+
+        def _round(df):
+            df = df.copy()
+            df["cosine"] = df["cosine"].round(6)
+            return df
+
+        return out.map_batches(_round, batch_format="pandas")
+
+    def q_ivf_topk(sf_dir: str):
+        import numpy as np
+
+        from unsupervised_ner_ray.sources.io import read_sf
+
+        emb = read_sf(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        qdf = emb.filter(lambda r: r["vec_id"] < 3).to_pandas().sort_values("vec_id")
+        queries_m = np.array([np.array(v) for v in qdf["embedding"]], dtype=np.float64)
+        codebook = similarity.train_ivf_codebook(emb, n_clusters=8)
+        return similarity.ivf_topk(emb, queries_m, codebook, k=10, nprobe=3)
+
+    def q_ner_tags(sf_dir: str):
+        tagged = _tagged(sf_dir)
+
+        def _flat(batch):
+            import pyarrow as pa
+
+            out = {"doc_id": [], "span_idx": [], "n_tokens": [], "n_entities": []}
+            for doc_id, ner in zip(
+                batch.column("doc_id").to_pylist(), batch.column("ner").to_pylist()
+            ):
+                for s in ner or []:
+                    out["doc_id"].append(doc_id)
+                    out["span_idx"].append(s["span_idx"])
+                    out["n_tokens"].append(len(s["tokens"]))
+                    out["n_entities"].append(
+                        sum(1 for t in s["tags"] if t.startswith("B_"))
+                    )
+            return pa.table(
+                {
+                    "doc_id": pa.array(out["doc_id"], pa.string()),
+                    "span_idx": pa.array(out["span_idx"], pa.int32()),
+                    "n_tokens": pa.array(out["n_tokens"], pa.int64()),
+                    "n_entities": pa.array(out["n_entities"], pa.int64()),
+                }
+            )
+
+        return tagged.map_batches(_flat, batch_format="pyarrow")
+
+    def q_ner_triples(sf_dir: str):
+        return explode_triples(_tagged(sf_dir))
+
+    def q_kg_entities(sf_dir: str):
+        return canonicalize_mentions(link_mentions(explode_mentions(_tagged(sf_dir))))
+
+    def q_kg_adjacency(sf_dir: str):
+        adj = build_adjacency(explode_triples(_tagged(sf_dir)))
+        return adj.select_columns(["subj_id", "subj_norm", "degree"])
+
+    def q_media_features(sf_dir: str):
+        return featurize_media(extract_media_refs(_ner_corpus(sf_dir)))
+
+    def q_minhash_neardup(sf_dir: str):
+        return dedup.minhash_lsh_pairs(_docs(sf_dir), threshold=0.5)
+
+    def q_simhash_neardup(sf_dir: str):
+        return dedup.simhash_pairs(_docs(sf_dir), max_hamming=6)
+
+    def q_ngram_jaccard(sf_dir: str):
+        cands = dedup.minhash_lsh_pairs(_docs(sf_dir), threshold=0.3)
+        return dedup.ngram_jaccard_verify(_docs(sf_dir), cands)
+
+    def q_embedding_neardup(sf_dir: str):
+        from unsupervised_ner_ray.sources.io import read_sf
+
+        emb = read_sf(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        # testdata embeddings top out near cosine 0.5; 0.35 keeps the
+        # candidate/verify machinery non-trivially exercised
+        return dedup.embedding_neardup_pairs(emb, threshold=0.35, planes=6)
+
+    return {
+        # relational / windowed (SQL-checked)
+        "q1_lineitem_agg": relational.q1_lineitem_agg,
+        "q_filter_project": relational.q_filter_project,
+        "q_revenue_by_nation": relational.q_revenue_by_nation,
+        "q_topk_customers": relational.q_topk_customers,
+        "q_anti_join_customers": relational.q_anti_join_customers,
+        "q_union_distinct_names": relational.q_union_distinct_names,
+        "q_events_window": relational.q_events_tumbling_window,
+        "q_sessionize": relational.q_sessionize,
+        "q_part_revenue_by_brand": relational.q_part_revenue_by_brand,
+        # text analysis (SQL-checked unless noted)
+        "q_token_stats": lambda sf: textstats.token_stats(_docs(sf)),
+        "q_token_histogram": lambda sf: textstats.token_histogram(_docs(sf)),
+        "q_quality": lambda sf: textstats.quality_scores(_docs(sf)),
+        "q_fingerprint": lambda sf: textstats.fingerprints(_docs(sf)).select_columns(
+            ["doc_id", "md5"]
+        ),
+        "q_vocab_merge": lambda sf: textstats.vocab_merge(_docs(sf)),
+        "q_langid": lambda sf: textstats.langid(_docs(sf)),  # heuristic: rows-only
+        # dedup family
+        "q_exact_dedup": lambda sf: dedup.exact_dedup(_docs(sf)),
+        "q_minhash_neardup": q_minhash_neardup,  # rows-only
+        "q_simhash_neardup": q_simhash_neardup,  # rows-only
+        "q_ngram_jaccard": q_ngram_jaccard,  # rows-only
+        "q_embedding_neardup": q_embedding_neardup,  # rows-only
+        # similarity search
+        "q_embedding_topk": q_embedding_topk,
+        "q_ivf_topk": q_ivf_topk,  # rows-only (approximate)
+        # NER / KG (non-SQL: rows-only)
+        "q_ner_tags": q_ner_tags,
+        "q_ner_triples": q_ner_triples,
+        "q_kg_entities": q_kg_entities,
+        "q_kg_adjacency": q_kg_adjacency,
+        "q_media_features": q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_lineitem_agg": f"""
+            SELECT l_returnflag, l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice*100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+                   CAST(SUM(CAST(FLOOR(l_discount*1000000) AS BIGINT)) AS BIGINT) AS sum_disc_micro,
+                   COUNT(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "q_filter_project": """
+            SELECT l_returnflag,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   COUNT(*) AS n_rows
+            FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'
+            GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "q_revenue_by_nation": """
+            SELECT n_name,
+                   CAST(SUM(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   COUNT(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
+        """,
+        "q_topk_customers": """
+            SELECT o_custkey,
+                   CAST(SUM(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS BIGINT) AS total_cents
+            FROM orders GROUP BY o_custkey
+            ORDER BY total_cents DESC, o_custkey LIMIT 10
+        """,
+        "q_anti_join_customers": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN (
+                SELECT o_custkey FROM orders
+                WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+            )
+            ORDER BY c_custkey
+        """,
+        "q_union_distinct_names": """
+            SELECT DISTINCT name FROM (
+                SELECT r_name AS name FROM region
+                UNION ALL SELECT n_name AS name FROM nation
+            ) ORDER BY name
+        """,
+        "q_events_window": """
+            SELECT CAST(FLOOR(epoch_us(ts) / 3600000000.0) AS BIGINT) AS window_id,
+                   event_type, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value*1000000) AS BIGINT)) AS BIGINT) AS sum_value_micro
+            FROM events GROUP BY window_id, event_type
+            ORDER BY window_id, event_type
+        """,
+        "q_sessionize": """
+            WITH g AS (
+                SELECT user_id,
+                       epoch_us(ts) - lag(epoch_us(ts), 1, epoch_us(ts))
+                           OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+                FROM events
+            )
+            SELECT user_id, COUNT(*) AS n_events,
+                   CAST(1 + SUM(CASE WHEN gap_us > 1800000000 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+            FROM g GROUP BY user_id ORDER BY user_id
+        """,
+        "q_part_revenue_by_brand": """
+            SELECT p_brand,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   COUNT(*) AS n_items
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            GROUP BY p_brand ORDER BY p_brand
+        """,
+        "q_token_stats": f"""
+            SELECT doc_id,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(list_distinct({_TOKS})) AS BIGINT) AS n_distinct_tokens
+            FROM documents
+        """,
+        "q_token_histogram": f"""
+            SELECT token, COUNT(*) AS n FROM (
+                SELECT unnest({_TOKS}) AS token FROM documents
+            ) GROUP BY token ORDER BY n DESC, token LIMIT 100
+        """,
+        "q_quality": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS BIGINT) AS n_stopwords,
+                   CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS BIGINT) AS sum_token_len,
+                   CASE WHEN len(toks) > 0
+                        THEN CAST(len(list_filter(toks, x -> list_contains({_STOP_SQL}, x))) AS DOUBLE)
+                             / CAST(len(toks) AS DOUBLE)
+                        ELSE 0.0 END AS stopword_ratio
+            FROM t
+        """,
+        "q_fingerprint": "SELECT doc_id, md5(text) AS md5 FROM documents",
+        "q_vocab_merge": f"""
+            WITH pairs AS (
+                SELECT DISTINCT token, lang FROM (
+                    SELECT unnest({_TOKS}) AS token, lang FROM documents
+                )
+            )
+            SELECT token, string_agg(lang, '/' ORDER BY lang) AS langs,
+                   COUNT(*) AS n_langs
+            FROM pairs GROUP BY token ORDER BY token
+        """,
+        "q_exact_dedup": """
+            SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
+                   COUNT(*) AS n_dups
+            FROM documents GROUP BY md5(text)
+        """,
+        "q_embedding_topk": """
+            WITH q AS (
+                SELECT vec_id AS query_idx,
+                       list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qe
+                FROM embeddings WHERE vec_id < 3
+            ), sims AS (
+                SELECT CAST(q.query_idx AS INTEGER) AS query_idx, e.vec_id,
+                       list_cosine_similarity(q.qe,
+                           list_transform(e.embedding, x -> CAST(x AS DOUBLE))) AS cosine
+                FROM q CROSS JOIN embeddings e
+            ), ranked AS (
+                SELECT query_idx, vec_id, ROUND(cosine, 6) AS cosine,
+                       row_number() OVER (PARTITION BY query_idx
+                                          ORDER BY cosine DESC, vec_id) AS rank
+                FROM sims
+            )
+            SELECT query_idx, vec_id, cosine, CAST(rank AS BIGINT) AS rank
+            FROM ranked WHERE rank <= 10
+        """,
+    }

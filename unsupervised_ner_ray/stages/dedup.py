@@ -1,0 +1,339 @@
+"""Deduplication operators (exact + near-dup families).
+
+All stages follow the shuffle discipline: vectorized signature computation in
+``map_batches``, then groupbys only over signatures/candidate keys (never the
+raw text).  Reference analogs: exact line dedup
+(/root/reference/ensemble/pick_unique_lines.py:17-31), `sort -u` vocab merges
+(c.sh:5-10).  Near-dup families are engine-new (driver mandate).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _stable_hash64(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+
+
+def _shingles(text: str, k: int = 3) -> list[str]:
+    toks = [t for t in text.split(" ") if t]
+    if len(toks) < k:
+        return [" ".join(toks)] if toks else []
+    return [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+
+
+def exact_dedup(docs, key_col: str = "text", id_col: str = "doc_id"):
+    """Exact dedup: hash-partitioned groupby on a content hash, keep the row
+    with the minimum id per group (deterministic 'first').
+
+    Output: content_hash, keep_id (min id), n_dups.
+    SQL oracle: GROUP BY md5(text) -> min(doc_id), count(*).
+    """
+
+    def _hash(batch: pa.Table) -> pa.Table:
+        texts = batch.column(key_col).to_pylist()
+        return pa.table(
+            {
+                "content_hash": pa.array(
+                    [hashlib.md5(t.encode()).hexdigest() for t in texts], pa.string()
+                ),
+                id_col: batch.column(id_col),
+            }
+        )
+
+    from ray.data.aggregate import Count, Min
+
+    hashed = docs.map_batches(_hash, batch_format="pyarrow")
+    return hashed.groupby("content_hash").aggregate(
+        Min(id_col, alias_name="keep_id"), Count(alias_name="n_dups")
+    )
+
+
+class MinHasher:
+    """MinHash signatures (actor: permutation constants built once)."""
+
+    def __init__(self, num_hashes: int = 64, shingle_k: int = 3, seed: int = 7):
+        rng = np.random.RandomState(seed)
+        self.a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64)
+        self.b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+        self.num_hashes = num_hashes
+        self.k = shingle_k
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingles(text, self.k)
+        if not sh:
+            return np.full(self.num_hashes, _MERSENNE, dtype=np.int64)
+        base = np.array([_stable_hash64(s) % _MERSENNE for s in sh], dtype=np.int64)
+        # (H, S) permuted hashes -> min over shingles, vectorized
+        perm = (
+            (self.a[:, None].astype(object) * base[None, :] + self.b[:, None])
+            % _MERSENNE
+        )
+        return np.min(perm, axis=1).astype(np.int64)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sigs = [self.signature(t) for t in batch.column("text").to_pylist()]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "minhash": pa.array([s.tolist() for s in sigs], pa.list_(pa.int64())),
+            }
+        )
+
+
+def minhash_signatures(docs, num_hashes: int = 64, shingle_k: int = 3, concurrency: int = 4):
+    return docs.map_batches(
+        MinHasher,
+        fn_constructor_kwargs={"num_hashes": num_hashes, "shingle_k": shingle_k},
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+    )
+
+
+def minhash_lsh_pairs(
+    docs,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+):
+    """MinHash+LSH near-dup pairs.
+
+    signatures (map_batches) -> explode (band_id, band_hash, doc_id) ->
+    groupby band bucket -> candidate pairs -> estimated Jaccard from
+    signature agreement -> keep >= threshold.  Only band keys and candidate
+    pairs shuffle; signatures travel with the pair rows for verification.
+    Output: (a, b, est_jaccard), a < b, deduplicated.
+    """
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(docs, num_hashes, shingle_k)
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        out_band, out_hash, out_doc, out_sig = [], [], [], []
+        for doc_id, sig in zip(
+            batch.column("doc_id").to_pylist(), batch.column("minhash").to_pylist()
+        ):
+            for b in range(bands):
+                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                h = hashlib.blake2b(
+                    np.array(chunk, dtype=np.int64).tobytes(), digest_size=8
+                ).hexdigest()
+                out_band.append(b)
+                out_hash.append(h)
+                out_doc.append(doc_id)
+                out_sig.append(sig)
+        return pa.table(
+            {
+                "band_id": pa.array(out_band, pa.int32()),
+                "band_hash": pa.array(out_hash, pa.string()),
+                "doc_id": pa.array(out_doc),
+                "minhash": pa.array(out_sig, pa.list_(pa.int64())),
+            }
+        )
+
+    buckets = sigs.map_batches(_explode, batch_format="pyarrow")
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
+        g = g.sort_values("doc_id")
+        ids = list(g["doc_id"])
+        sigs_l = [np.array(s) for s in g["minhash"]]
+        rows = []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] == ids[j]:
+                    continue
+                est = float(np.mean(sigs_l[i] == sigs_l[j]))
+                if est >= threshold:
+                    rows.append({"a": ids[i], "b": ids[j], "est_jaccard": est})
+        return pd.DataFrame(rows, columns=["a", "b", "est_jaccard"])
+
+    pairs = buckets.groupby(["band_id", "band_hash"]).map_groups(
+        _pairs, batch_format="pandas"
+    )
+    # a pair can surface from several bands: dedupe
+    def _dedupe(g: pd.DataFrame) -> pd.DataFrame:
+        return g.head(1)
+
+    return pairs.groupby(["a", "b"]).map_groups(_dedupe, batch_format="pandas")
+
+
+class SimHasher:
+    """64-bit SimHash over token hashes (actor)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        prints = []
+        for t in batch.column("text").to_pylist():
+            toks = [w for w in t.split(" ") if w]
+            acc = np.zeros(64, dtype=np.int64)
+            for w in toks:
+                h = _stable_hash64(w)
+                # unpack the 64-bit hash without numpy/python-int overflow
+                bits = np.unpackbits(
+                    np.frombuffer(h.to_bytes(8, "little"), dtype=np.uint8)
+                ).astype(np.int64)
+                acc += np.where(bits == 1, 1, -1)
+            sim = 0
+            for i in range(64):
+                if acc[i] > 0:
+                    sim |= 1 << i
+            prints.append(sim - (1 << 63))  # store as int64
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "simhash": pa.array(prints, pa.int64()),
+            }
+        )
+
+
+def simhash_pairs(docs, max_hamming: int = 3, concurrency: int = 4):
+    """SimHash near-dup pairs via 4x16-bit band blocking + exact hamming
+    verification inside each block."""
+    sigs = docs.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, concurrency))
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        out_band, out_key, out_doc, out_sim = [], [], [], []
+        for doc_id, sim in zip(
+            batch.column("doc_id").to_pylist(), batch.column("simhash").to_pylist()
+        ):
+            u = sim + (1 << 63)
+            for b in range(4):
+                out_band.append(b)
+                out_key.append((u >> (16 * b)) & 0xFFFF)
+                out_doc.append(doc_id)
+                out_sim.append(sim)
+        return pa.table(
+            {
+                "band_id": pa.array(out_band, pa.int32()),
+                "band_key": pa.array(out_key, pa.int64()),
+                "doc_id": pa.array(out_doc),
+                "simhash": pa.array(out_sim, pa.int64()),
+            }
+        )
+
+    buckets = sigs.map_batches(_explode, batch_format="pyarrow")
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        g = g.sort_values("doc_id")
+        ids, sims = list(g["doc_id"]), list(g["simhash"])
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                if ids[i] == ids[j]:
+                    continue
+                ham = bin((sims[i] ^ sims[j]) & ((1 << 64) - 1)).count("1")
+                if ham <= max_hamming:
+                    rows.append({"a": ids[i], "b": ids[j], "hamming": ham})
+        return pd.DataFrame(rows, columns=["a", "b", "hamming"])
+
+    pairs = buckets.groupby(["band_id", "band_key"]).map_groups(
+        _pairs, batch_format="pandas"
+    )
+    return pairs.groupby(["a", "b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+def ngram_jaccard_verify(docs, candidate_pairs, shingle_k: int = 3):
+    """Exact n-gram Jaccard for candidate pairs.
+
+    The candidate set (from LSH) is small relative to the corpus; shingle
+    sets for exactly the candidate doc ids are joined to the pairs via two
+    hash joins keyed on doc id — never a full cross product.
+    Output: (a, b, jaccard).
+    """
+    import ray.data  # noqa: F401
+
+    cand_pd = candidate_pairs.to_pandas()
+    if len(cand_pd) == 0:
+        return candidate_pairs
+
+    need = set(cand_pd["a"]) | set(cand_pd["b"])
+
+    def _sets(batch: pa.Table) -> pa.Table:
+        out_id, out_set = [], []
+        for doc_id, text in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            if doc_id in need:
+                out_id.append(doc_id)
+                out_set.append(sorted(set(_shingles(text, shingle_k))))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id),
+                "shingles": pa.array(out_set, pa.list_(pa.string())),
+            }
+        )
+
+    sets_pd = docs.map_batches(_sets, batch_format="pyarrow").to_pandas()
+    smap = dict(zip(sets_pd["doc_id"], sets_pd["shingles"]))
+    rows = []
+    for _, r in cand_pd.iterrows():
+        sa, sb = set(smap.get(r["a"], [])), set(smap.get(r["b"], []))
+        union = len(sa | sb)
+        rows.append(
+            {
+                "a": r["a"],
+                "b": r["b"],
+                "jaccard": (len(sa & sb) / union) if union else 0.0,
+            }
+        )
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+def embedding_neardup_pairs(embeds, threshold: float = 0.95, planes: int = 16, seed: int = 3):
+    """Embedding-cosine near-dup via random-hyperplane LSH blocking + exact
+    cosine verification per bucket.
+
+    embeds: Dataset(vec_id, embedding list<float>).  Output (a, b, cosine).
+    """
+
+    class Planer:
+        def __init__(self):
+            self.rng_planes = None
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+            if self.rng_planes is None:
+                rng = np.random.RandomState(seed)
+                self.rng_planes = rng.randn(emb.shape[1], planes)
+            bits = (emb @ self.rng_planes) > 0
+            keys = (bits * (1 << np.arange(planes))).sum(axis=1).astype(np.int64)
+            norm = np.linalg.norm(emb, axis=1)
+            normed = emb / np.maximum(norm[:, None], 1e-12)
+            return pa.table(
+                {
+                    "vec_id": batch.column("vec_id"),
+                    "bucket": pa.array(keys),
+                    "normed": pa.array(normed.tolist(), pa.list_(pa.float64())),
+                }
+            )
+
+    bucketed = embeds.map_batches(Planer, batch_format="pyarrow", concurrency=(1, 4))
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        g = g.sort_values("vec_id")
+        ids = list(g["vec_id"])
+        mat = np.array([np.array(v) for v in g["normed"]])
+        if len(ids) >= 2:
+            sims = mat @ mat.T
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    if sims[i, j] >= threshold:
+                        rows.append(
+                            {"a": ids[i], "b": ids[j], "cosine": float(sims[i, j])}
+                        )
+        return pd.DataFrame(rows, columns=["a", "b", "cosine"])
+
+    return bucketed.groupby("bucket").map_groups(_pairs, batch_format="pandas")

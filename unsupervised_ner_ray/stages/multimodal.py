@@ -1,0 +1,116 @@
+"""Multimodal column stages (image/audio/video as opaque binary + metadata).
+
+The decode kernels themselves are STUBBED (no PIL/ffmpeg/torchaudio in this
+container — ``decode=`` raises ``NotImplementedError`` unless the deterministic
+fake is selected), but the Ray-side plumbing is real and tested: schema,
+actor-pool signature, batch sizing for large binary payloads, and output
+layout match what a real decoder drops into.
+
+Media spans ride the interleaved documents table (BASELINE.json input_hint);
+``extract_media_refs`` explodes them to a media table without touching the
+text pipeline.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+
+def extract_media_refs(docs):
+    """Interleaved docs -> media table (doc_id, span_idx, kind, media_ref)."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "span_idx": [], "kind": [], "media_ref": []}
+        for doc_id, spans in zip(
+            batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
+        ):
+            for i, s in enumerate(spans or []):
+                if s["kind"] != "text":
+                    out["doc_id"].append(doc_id)
+                    out["span_idx"].append(i)
+                    out["kind"].append(s["kind"])
+                    out["media_ref"].append(s["media_ref"])
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.string()),
+                "span_idx": pa.array(out["span_idx"], pa.int32()),
+                "kind": pa.array(out["kind"], pa.string()),
+                "media_ref": pa.array(out["media_ref"], pa.string()),
+            }
+        )
+
+    return docs.map_batches(_f, batch_format="pyarrow")
+
+
+class MediaFeaturizer:
+    """Actor-pool stage: media_ref -> fixed-dim feature vector.
+
+    ``backend="fake"`` (default here) derives a deterministic feature vector
+    from the ref hash — the tested path.  ``backend="real"`` is the seam for
+    an actual image/audio model: weights would load once in __init__ and
+    batches decode on __call__ (small batch_size for large payloads).
+    """
+
+    def __init__(self, dim: int = 8, backend: str = "fake"):
+        self.dim = dim
+        if backend == "real":  # pragma: no cover
+            raise NotImplementedError(
+                "real media decode requires PIL/ffmpeg/torch (absent here); "
+                "use backend='fake'"
+            )
+        self.backend = backend
+
+    def _fake_features(self, ref: str) -> np.ndarray:
+        h = hashlib.blake2b(ref.encode(), digest_size=self.dim * 4).digest()
+        arr = np.frombuffer(h, dtype=np.uint32).astype(np.float64)
+        return arr / np.float64(2**32)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        feats = [
+            self._fake_features(r).tolist()
+            for r in batch.column("media_ref").to_pylist()
+        ]
+        return batch.append_column(
+            "features", pa.array(feats, pa.list_(pa.float64()))
+        )
+
+
+def featurize_media(media, dim: int = 8, concurrency: int = 2, batch_size: int = 64):
+    """Small batch_size on purpose: with real payloads each row is large
+    binary; batch x concurrency must fit worker heaps."""
+    return media.map_batches(
+        MediaFeaturizer,
+        fn_constructor_kwargs={"dim": dim},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+
+
+class FrameSampler:
+    """Video frame-sampling stub: emits deterministic frame indices (the
+    real path would decode with ffmpeg in __init__-held context)."""
+
+    def __init__(self, fps: int = 1, max_frames: int = 8):
+        self.fps = fps
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        frames = []
+        for ref in batch.column("media_ref").to_pylist():
+            n = 1 + int(hashlib.md5(ref.encode()).hexdigest()[:2], 16) % self.max_frames
+            frames.append(list(range(0, n * self.fps, self.fps)))
+        return batch.append_column(
+            "frame_indices", pa.array(frames, pa.list_(pa.int32()))
+        )
+
+
+def sample_frames(media, concurrency: int = 2):
+    return media.map_batches(
+        FrameSampler, batch_format="pyarrow", batch_size=64,
+        concurrency=(1, concurrency),
+    )

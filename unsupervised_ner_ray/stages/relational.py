@@ -1,0 +1,261 @@
+"""Relational / windowed operators over the TPC-H-ish testdata tables.
+
+These exercise the engine's general query surface (scan+filter+project,
+partial-aggregate groupbys, broadcast joins, anti-join, top-k, union/distinct,
+tumbling windows, sessionization) with DuckDB-oracle-exact results.
+
+Float determinism contract with the oracles: money/value sums are computed in
+the integer domain (``floor(x * scale)`` summed as int64) on BOTH sides, so
+summation order cannot perturb the hash; quantities in this dataset are
+integral doubles (exact under summation) and are summed directly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data.aggregate import Count, Sum
+
+from ..sources.io import read_sf
+
+CENTS = 100
+MICRO = 1_000_000
+
+
+def _to_cents(col: pa.ChunkedArray | pa.Array, scale: int = CENTS) -> pa.Array:
+    return pc.cast(pc.floor(pc.multiply(col, pa.scalar(float(scale)))), pa.int64())
+
+
+def q1_lineitem_agg(sf_dir: str):
+    """TPC-H Q1-shaped aggregate: pruned read -> per-batch cents conversion ->
+    groupby(returnflag, linestatus)."""
+    ds = read_sf(
+        sf_dir, "lineitem",
+        columns=["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+
+    def _prep(t: pa.Table) -> pa.Table:
+        price_c = _to_cents(t.column("l_extendedprice"))
+        disc_micro = _to_cents(t.column("l_discount"), MICRO)
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "qty": pc.cast(t.column("l_quantity"), pa.int64()),
+                "price_cents": price_c,
+                "disc_micro": disc_micro,
+            }
+        )
+
+    out = (
+        ds.map_batches(_prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("qty", alias_name="sum_qty"),
+            Sum("price_cents", alias_name="sum_price_cents"),
+            Sum("disc_micro", alias_name="sum_disc_micro"),
+            Count(alias_name="n_rows"),
+        )
+    )
+    return out.sort(["l_returnflag", "l_linestatus"])
+
+
+def q_filter_project(sf_dir: str, cutoff: str = "1998-01-01"):
+    """Filtered scan with row-group pushdown + small aggregate."""
+    import pyarrow.dataset as pds
+
+    ds = read_sf(
+        sf_dir, "lineitem", columns=["l_returnflag", "l_quantity", "l_shipdate"]
+    )
+    cutoff_ts = pa.scalar(np.datetime64(cutoff + "T00:00:00", "us"))
+
+    def _f(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t.column("l_shipdate"), cutoff_ts))
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "qty": pc.cast(t.column("l_quantity"), pa.int64()),
+            }
+        )
+
+    return (
+        ds.map_batches(_f, batch_format="pyarrow")
+        .groupby("l_returnflag")
+        .aggregate(Sum("qty", alias_name="sum_qty"), Count(alias_name="n_rows"))
+        .sort("l_returnflag")
+    )
+
+
+def q_revenue_by_nation(sf_dir: str):
+    """orders |x| customer |x| nation via BROADCAST join (both dim tables are
+    ray.put once; orders stream through map_batches), then a partial-agg
+    groupby on nation name."""
+    cust = read_sf(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = read_sf(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    c2n = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    n2name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    lookup_ref = ray.put((c2n, n2name))
+
+    class Joiner:
+        def __init__(self):
+            self.c2n, self.n2name = ray.get(lookup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t.column("o_custkey").to_pylist()
+            names = [self.n2name[self.c2n[k]] for k in keys]
+            return pa.table(
+                {
+                    "n_name": pa.array(names, pa.string()),
+                    "price_cents": _to_cents(t.column("o_totalprice")),
+                }
+            )
+
+    orders = read_sf(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+    return (
+        orders.map_batches(Joiner, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("n_name")
+        .aggregate(Sum("price_cents", alias_name="revenue_cents"), Count(alias_name="n_orders"))
+        .sort("n_name")
+    )
+
+
+def q_topk_customers(sf_dir: str, k: int = 10):
+    """Top-k customers by total order value: groupby-sum then global sort +
+    limit (ties broken by custkey for a deterministic boundary)."""
+    orders = read_sf(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "price_cents": _to_cents(t.column("o_totalprice")),
+            }
+        )
+
+    agg = (
+        orders.map_batches(_prep, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("price_cents", alias_name="total_cents"))
+    )
+    return agg.sort(["total_cents", "o_custkey"], descending=[True, False]).limit(k)
+
+
+def q_anti_join_customers(sf_dir: str, since: str = "2000-01-01"):
+    """Customers with no orders since ``since``: broadcast the qualifying
+    order custkey set, filter inside map_batches (semi/anti joins never
+    shuffle the big side)."""
+    odf = read_sf(sf_dir, "orders", columns=["o_custkey", "o_orderdate"]).to_pandas()
+    keys = set(odf.loc[odf["o_orderdate"] >= np.datetime64(since), "o_custkey"])
+    keys_ref = ray.put(keys)
+
+    class AntiFilter:
+        def __init__(self):
+            self.keys = ray.get(keys_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            mask = [k not in self.keys for k in t.column("c_custkey").to_pylist()]
+            return t.filter(pa.array(mask, pa.bool_()))
+
+    cust = read_sf(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return cust.map_batches(AntiFilter, batch_format="pyarrow", concurrency=(1, 2)).sort("c_custkey")
+
+
+def q_union_distinct_names(sf_dir: str):
+    """region names UNION nation names, distinct, sorted."""
+    r = read_sf(sf_dir, "region", columns=["r_name"]).map_batches(
+        lambda t: pa.table({"name": t.column("r_name")}), batch_format="pyarrow"
+    )
+    n = read_sf(sf_dir, "nation", columns=["n_name"]).map_batches(
+        lambda t: pa.table({"name": t.column("n_name")}), batch_format="pyarrow"
+    )
+    u = r.union(n)
+    return u.groupby("name").map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    ).sort("name")
+
+
+def q_events_tumbling_window(sf_dir: str, window_s: int = 3600):
+    """Tumbling-window aggregate on the events stream table: the window index
+    is computed per batch (epoch_us // window), partial sums in the integer
+    domain, then groupby(window, event_type)."""
+    ev = read_sf(sf_dir, "events", columns=["ts", "event_type", "value"])
+    win_us = window_s * 1_000_000
+
+    def _prep(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64())
+        return pa.table(
+            {
+                "window_id": pc.cast(pc.floor(pc.divide(us, pa.scalar(float(win_us)))), pa.int64()),
+                "event_type": t.column("event_type"),
+                "value_micro": _to_cents(t.column("value"), MICRO),
+            }
+        )
+
+    return (
+        ev.map_batches(_prep, batch_format="pyarrow")
+        .groupby(["window_id", "event_type"])
+        .aggregate(Count(alias_name="n_events"), Sum("value_micro", alias_name="sum_value_micro"))
+        .sort(["window_id", "event_type"])
+    )
+
+
+def q_sessionize(sf_dir: str, gap_s: int = 1800):
+    """Per-user sessionization: groupby(user) -> sort by ts within the group
+    -> count gaps > gap_s.  Output per user: n_events, n_sessions.
+
+    Ordering assumption: all events of one user fit one group (holds at any
+    scale where per-user event counts are bounded; hot users would be chunked
+    by time range first)."""
+    ev = read_sf(sf_dir, "events", columns=["user_id", "ts"])
+
+    def _sess(g: pd.DataFrame) -> pd.DataFrame:
+        # microsecond domain end-to-end (the SQL oracle uses epoch_us) so a
+        # sub-second component can never flip a gap comparison
+        ts = g["ts"].sort_values().astype("int64")
+        gaps = ts.diff().fillna(0)
+        n_sessions = int(1 + (gaps > gap_s * 1_000_000).sum()) if len(ts) else 0
+        return pd.DataFrame(
+            {
+                "user_id": [g["user_id"].iloc[0]],
+                "n_events": [len(g)],
+                "n_sessions": [n_sessions],
+            }
+        )
+
+    return ev.groupby("user_id").map_groups(_sess, batch_format="pandas").sort("user_id")
+
+
+def q_part_revenue_by_brand(sf_dir: str):
+    """lineitem |x| part broadcast join -> revenue by brand (revenue =
+    floor(price*(1-disc)) in cents, computed identically in the oracle)."""
+    part = read_sf(sf_dir, "part", columns=["p_partkey", "p_brand"]).to_pandas()
+    p2b = dict(zip(part["p_partkey"], part["p_brand"]))
+    ref = ray.put(p2b)
+
+    class Joiner:
+        def __init__(self):
+            self.p2b = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            brands = [self.p2b[k] for k in t.column("l_partkey").to_pylist()]
+            rev = pc.multiply(
+                t.column("l_extendedprice"),
+                pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+            )
+            return pa.table(
+                {
+                    "p_brand": pa.array(brands, pa.string()),
+                    "rev_cents": _to_cents(rev),
+                }
+            )
+
+    li = read_sf(sf_dir, "lineitem", columns=["l_partkey", "l_extendedprice", "l_discount"])
+    return (
+        li.map_batches(Joiner, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("p_brand")
+        .aggregate(Sum("rev_cents", alias_name="revenue_cents"), Count(alias_name="n_items"))
+        .sort("p_brand")
+    )

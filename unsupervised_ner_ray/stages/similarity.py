@@ -1,0 +1,108 @@
+"""Similarity search over an embedding column (vec_id, embedding list<float>).
+
+* ``brute_force_topk`` — the exactness baseline: the query matrix is
+  broadcast (ray.put once, fetched in each actor's __init__), each batch
+  computes a numpy matmul + per-batch top-k partial result, and a tiny
+  groupby(query) merge picks the global top-k.  The full corpus streams;
+  only (n_queries x k) partials shuffle.
+* ``ivf_topk`` — the scale path: a k-means codebook trained on a sample
+  (driver-side, numpy), assignment in map_batches, and probing only the
+  ``nprobe`` closest clusters per query.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+class _TopKScorer:
+    def __init__(self, queries_ref, k: int):
+        q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
+        self.q = q / np.maximum(np.linalg.norm(q, axis=1)[:, None], 1e-12)
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        ids = np.array(batch.column("vec_id").to_pylist())
+        normed = emb / np.maximum(np.linalg.norm(emb, axis=1)[:, None], 1e-12)
+        sims = self.q @ normed.T  # (Q, B)
+        k = min(self.k, sims.shape[1])
+        out_q, out_id, out_sim = [], [], []
+        # per-batch partial top-k per query
+        idx = np.argpartition(-sims, kth=k - 1, axis=1)[:, :k]
+        for qi in range(sims.shape[0]):
+            for j in idx[qi]:
+                out_q.append(qi)
+                out_id.append(ids[j])
+                out_sim.append(float(sims[qi, j]))
+        return pa.table(
+            {
+                "query_idx": pa.array(out_q, pa.int32()),
+                "vec_id": pa.array(out_id),
+                "cosine": pa.array(out_sim, pa.float64()),
+            }
+        )
+
+
+def brute_force_topk(embeds, queries: np.ndarray, k: int = 10, concurrency: int = 4):
+    """Exact cosine top-k for each query row of ``queries`` (Q, D)."""
+    qref = ray.put(np.asarray(queries, dtype=np.float64))
+    partials = embeds.map_batches(
+        _TopKScorer,
+        fn_constructor_kwargs={"queries_ref": qref, "k": k},
+        batch_format="pyarrow",
+        concurrency=(1, concurrency),
+    )
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return partials.groupby("query_idx").map_groups(_merge, batch_format="pandas")
+
+
+def train_ivf_codebook(
+    embeds, n_clusters: int = 16, sample_frac: float = 0.2, iters: int = 10, seed: int = 5
+) -> np.ndarray:
+    """Mini k-means on a sample (driver-side; the sample is small by design)."""
+    sample = embeds.random_sample(sample_frac, seed=seed).to_pandas()
+    x = np.array([np.array(v) for v in sample["embedding"]], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    centers = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - centers[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        for c in range(len(centers)):
+            m = assign == c
+            if m.any():
+                centers[c] = x[m].mean(0)
+    return centers
+
+
+def ivf_topk(embeds, queries: np.ndarray, codebook: np.ndarray, k: int = 10, nprobe: int = 4):
+    """IVF-style ANN: probe only the ``nprobe`` nearest clusters per query.
+
+    Assignment happens in map_batches (codebook captured in the closure —
+    it is tiny); non-probed rows are filtered before any scoring.
+    """
+    q = np.asarray(queries, dtype=np.float64)
+    qd = ((q[:, None, :] - codebook[None, :, :]) ** 2).sum(-1)
+    probe_sets = [set(np.argsort(qd[i])[:nprobe].tolist()) for i in range(len(q))]
+    probed_clusters = set().union(*probe_sets) if probe_sets else set()
+
+    def _assign_filter(batch: pa.Table) -> pa.Table:
+        emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        d = ((emb[:, None, :] - codebook[None, :, :]) ** 2).sum(-1)
+        assign = d.argmin(1)
+        mask = np.isin(assign, list(probed_clusters))
+        return batch.filter(pa.array(mask)).append_column(
+            "cluster", pa.array(assign[mask], pa.int32())
+        )
+
+    pruned = embeds.map_batches(_assign_filter, batch_format="pyarrow")
+    return brute_force_topk(pruned, q, k)

@@ -1,0 +1,220 @@
+"""Text-analysis operators over a documents table (doc_id, text, ...).
+
+Large-scale training-data pipeline operators (driver mandate) expressed
+Ray-Data-first; each has a DuckDB-oracle-compatible formulation where the
+math is SQL-expressible (see __ray_entry__.oracle_sql):
+
+* token_stats       — per-doc token/char counts (map_batches, vectorized)
+* token_histogram   — the canonicalization-shaped shuffle: per-batch combiner
+                      -> small groupby over partials (never shuffles raw
+                      token rows)
+* quality           — length/punct/stopword counts + ratio
+* langid            — n-gram/stopword-hit heuristic language ID (rows-only
+                      check: the heuristic isn't SQL)
+* fingerprint       — md5 document fingerprint + rolling-hash shingle print
+
+Tokenization contract (shared with the SQL oracles): split on the single
+space character, keep empty tokens out — matches DuckDB
+``string_split(text, ' ')``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# tiny per-language stopword profiles for the heuristic language ID; the
+# quality stopword set mirrors the SQL oracle's inline list
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+_LANG_PROFILES = {
+    "en": {"the", "and", "of", "to", "is"},
+    "es": {"el", "la", "de", "y", "es"},
+    "de": {"der", "die", "das", "und", "ist"},
+    "fr": {"le", "la", "de", "et", "est"},
+    "zh": {"的", "是", "了", "在", "我"},
+}
+
+
+def _tokens(text: str) -> list[str]:
+    return [t for t in text.split(" ") if t]
+
+
+def token_stats(docs):
+    """Per-doc: n_tokens, n_chars (computed), distinct token count."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        toks = [_tokens(t) for t in texts]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array([len(t) for t in toks], pa.int64()),
+                "n_chars": pc.cast(pc.utf8_length(batch.column("text")), pa.int64()),
+                "n_distinct_tokens": pa.array(
+                    [len(set(t)) for t in toks], pa.int64()
+                ),
+            }
+        )
+
+    return docs.map_batches(_f, batch_format="pyarrow")
+
+
+def token_histogram(docs, limit: int = 100):
+    """Token frequency via combiner + groupby over partials.
+
+    Phase 1 inside map_batches: each batch reduces to its distinct tokens
+    with local counts (head tokens appear once per batch, not once per row).
+    Phase 2: groupby(token).sum — a small shuffle over pre-aggregated rows.
+    Top-``limit`` by (count desc, token asc) for a deterministic boundary.
+    """
+    from ray.data.aggregate import Sum
+
+    def _combine(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for t in batch.column("text").to_pylist():
+            for tok in _tokens(t):
+                counts[tok] = counts.get(tok, 0) + 1
+        items = sorted(counts.items())
+        return pa.table(
+            {
+                "token": pa.array([k for k, _ in items], pa.string()),
+                "n": pa.array([v for _, v in items], pa.int64()),
+            }
+        )
+
+    partials = docs.map_batches(_combine, batch_format="pyarrow")
+    agg = partials.groupby("token").aggregate(Sum("n", alias_name="n"))
+    top = agg.sort(["n", "token"], descending=[True, False]).limit(limit)
+    return top
+
+
+def quality_scores(docs):
+    """Per-doc quality features: token count, stopword count, mean token
+    length; ratio = n_stopwords / n_tokens (exact IEEE division, no
+    rounding, so the DuckDB oracle hashes identically)."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n_tok, n_stop, sum_len = [], [], []
+        for t in texts:
+            toks = _tokens(t)
+            n_tok.append(len(toks))
+            n_stop.append(sum(1 for w in toks if w in STOPWORDS))
+            sum_len.append(sum(len(w) for w in toks))
+        n_tok_a = np.array(n_tok, dtype=np.int64)
+        n_stop_a = np.array(n_stop, dtype=np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(n_tok_a),
+                "n_stopwords": pa.array(n_stop_a),
+                "sum_token_len": pa.array(sum_len, pa.int64()),
+                "stopword_ratio": pa.array(
+                    np.where(n_tok_a > 0, n_stop_a / np.maximum(n_tok_a, 1), 0.0)
+                ),
+            }
+        )
+
+    return docs.map_batches(_f, batch_format="pyarrow")
+
+
+class LangId:
+    """Heuristic language ID (stopword-profile hits; actor so the profiles
+    and token splitter are built once per worker)."""
+
+    def __init__(self):
+        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        preds = []
+        for t in batch.column("text").to_pylist():
+            toks = set(w.lower() for w in _tokens(t))
+            best, best_hits = "unknown", 0
+            for lang in sorted(self.profiles):
+                hits = len(toks & self.profiles[lang])
+                if hits > best_hits:
+                    best, best_hits = lang, hits
+            preds.append(best)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "lang_pred": pa.array(preds, pa.string()),
+            }
+        )
+
+
+def langid(docs, concurrency: int = 4):
+    return docs.map_batches(LangId, batch_format="pyarrow", concurrency=(1, concurrency))
+
+
+def fingerprints(docs):
+    """md5 fingerprint (matches DuckDB ``md5(text)``) + 64-bit rolling-hash
+    of 5-gram shingles (document-similarity print; not SQL-checkable)."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        md5s = [hashlib.md5(t.encode()).hexdigest() for t in texts]
+        rolls = []
+        for t in texts:
+            toks = _tokens(t)
+            acc = np.uint64(0)
+            for i in range(max(0, len(toks) - 4)):
+                h = np.uint64(
+                    int.from_bytes(
+                        hashlib.blake2b(
+                            " ".join(toks[i : i + 5]).encode(), digest_size=8
+                        ).digest(),
+                        "big",
+                    )
+                )
+                acc ^= h
+            rolls.append(int(acc))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "md5": pa.array(md5s, pa.string()),
+                "shingle_print": pa.array(rolls, pa.uint64()),
+            }
+        )
+
+    return docs.map_batches(_f, batch_format="pyarrow")
+
+
+def vocab_merge(docs):
+    """Bootstrap-merge analog (reference ner_labeling/construct_bs.py:16-59:
+    union of labels per lowercased term across files): per token, the sorted
+    distinct set of langs it appears under, '/'-joined.
+
+    Combiner emits distinct (token, lang) pairs per batch; groupby(token)
+    merges — same shuffle discipline as token_histogram."""
+
+    def _combine(batch: pa.Table) -> pa.Table:
+        pairs: set[tuple[str, str]] = set()
+        for t, lang in zip(
+            batch.column("text").to_pylist(), batch.column("lang").to_pylist()
+        ):
+            for tok in _tokens(t):
+                pairs.add((tok, lang))
+        items = sorted(pairs)
+        return pa.table(
+            {
+                "token": pa.array([k for k, _ in items], pa.string()),
+                "lang": pa.array([v for _, v in items], pa.string()),
+            }
+        )
+
+    partials = docs.map_batches(_combine, batch_format="pyarrow")
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        langs = sorted(set(g["lang"]))
+        return pd.DataFrame(
+            {"token": [g["token"].iloc[0]], "langs": ["/".join(langs)],
+             "n_langs": [len(langs)]}
+        )
+
+    return partials.groupby("token").map_groups(_merge, batch_format="pandas")
