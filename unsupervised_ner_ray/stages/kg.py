@@ -103,7 +103,13 @@ def canonicalize_mentions(
         ).astype("int32")
         return pa.Table.from_pandas(g, preserve_index=False)
 
-    partials = mentions.map_batches(_combine, batch_format="pyarrow")
+    # partials are pre-aggregated (distinct keys per batch) and therefore
+    # small; coalesce before the shuffle so the reduce stage doesn't fan out
+    # into per-key micro-tasks (at 100 TB the combiner output is still ~the
+    # distinct-key count per batch, orders of magnitude below the input)
+    partials = mentions.map_batches(_combine, batch_format="pyarrow").repartition(
+        max(2, salt_buckets // 2)
+    )
 
     def _merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
         out = (
@@ -146,13 +152,16 @@ def canonicalize_mentions(
     )
 
 
-def build_adjacency(triples):
+def build_adjacency(triples, reduce_partitions: int = 8):
     """Triples -> adjacency-list graph partitions.
 
     groupby(subj_id) is the one real all-to-all here; neighbor lists are
     sorted (pred, obj_id) for determinism.  Output one row per subject
     entity: subj_id, subj_norm, degree, neighbors list<struct>.
+    ``reduce_partitions`` bounds the shuffle fan-out (scale it with the
+    cluster, not with the tiny per-run block count).
     """
+    triples = triples.repartition(reduce_partitions)
 
     def _adj(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["pred", "obj_id", "doc_id"], kind="mergesort")
