@@ -66,6 +66,7 @@ class MockDescriptorBackend:
         self.by_subtype = vocab_types_by_subtype(self.vocab)
         self.terms = list(self.vocab.keys())
         self.top_k = top_k
+        self._entry_cache: dict = {}
         # affinity: which consolidated groups this model "knows" — drives
         # filler-descriptor choice for unknown phrases
         affinity = set(BIO_PRECEDENCE if name == "bio" else PHI_PRECEDENCE)
@@ -76,13 +77,21 @@ class MockDescriptorBackend:
         ] or self.terms
 
     def _desc_entry(self, term: str, v: float) -> dict:
+        # per-(term, v) entries are immutable downstream; cache them (the
+        # v schedule has ~top_k distinct values, so the cache is small)
+        key = (term, v)
+        hit = self._entry_cache.get(key)
+        if hit is not None:
+            return hit
         subtypes, counts = self.vocab.get(term, (["UNTAGGED_ENTITY"], [1]))
-        return {
+        entry = {
             "desc": term,
             "v": round(v, 4),
             "e": "/".join(subtypes),
             "e_count": "/".join(str(c) for c in counts),
         }
+        self._entry_cache[key] = entry
+        return entry
 
     def predict(self, masked_sentence: str, phrase: str, mode: str) -> list[dict]:
         # numeric short-circuit (reference main_NER.py:486-496, DUMMY_DESCS):

@@ -16,6 +16,9 @@ class PipelineConfig:
     top_k_descs: int = 10
     # stoplist (reference COMMON_DESCS_FILE untagged_terms.txt — empty)
     common_descs: frozenset[str] = frozenset()
+    # "softmax" = batched reference math (batched_main_NER.py:602-657);
+    # "v1" = fraction-of-sum weighting (main_NER.py:541-590)
+    aggregation_variant: str = "softmax"
     # KG construction
     max_predicate_tokens: int = 5
     canon_salt_buckets: int = 16

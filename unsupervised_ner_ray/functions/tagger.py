@@ -24,6 +24,7 @@ def tag_sentence(
     emap: dict[str, str],
     suppress_untagged: bool = True,
     common_descs: frozenset[str] = frozenset(),
+    aggregation_variant: str = "softmax",
 ) -> dict:
     """Tag one sentence with one model.
 
@@ -48,13 +49,20 @@ def tag_sentence(
     ci_descs_per_span: list[list[dict]] = []
     cs_descs_per_span: list[list[dict]] = []
 
+    # aggregation variant: "softmax" = batched reference math
+    # (batched_main_NER.py:602-657), "v1" = fraction-of-sum weighting
+    # (main_NER.py:541-590)
+    agg_fn = (
+        agg.aggregate_entities_v1 if aggregation_variant == "v1"
+        else agg.aggregate_entities
+    )
     for i, masked in enumerate(masked_sent_arr):
         cs_sentence = " ".join(masked)
         ci_descs = backend.predict(ci_sents[i], phrases[i], "ci")
         cs_descs = backend.predict(cs_sentence, phrases[i], "cs")
-        ci_agg = agg.aggregate_entities(ci_descs, emap, suppress_untagged)
+        ci_agg = agg_fn(ci_descs, emap, suppress_untagged)
         if len(cs_descs) > 0:
-            cs_agg = agg.aggregate_entities(cs_descs, emap, suppress_untagged)
+            cs_agg = agg_fn(cs_descs, emap, suppress_untagged)
         else:
             cs_agg = ([], [], {})
         pooled = agg.pool_confidences(ci_agg, cs_agg, is_blank)
@@ -87,6 +95,7 @@ def ensemble_tag_sentence(
     suppress_untagged: bool = True,
     common_descs: frozenset[str] = frozenset(),
     servers_config: list[dict] = SERVERS_CONFIG,
+    aggregation_variant: str = "softmax",
 ) -> dict:
     """Tag one sentence with both models and resolve conflicts.
 
@@ -96,7 +105,7 @@ def ensemble_tag_sentence(
     by position), and the inferred-entity harvest pairs.
     """
     per_model = [
-        tag_sentence(text, b, emap, suppress_untagged, common_descs)
+        tag_sentence(text, b, emap, suppress_untagged, common_descs, aggregation_variant)
         for b in backends
     ]
     results = [m["result"] for m in per_model]

@@ -44,6 +44,7 @@ def oracle_tag_corpus(
             res = ensemble_tag_sentence(
                 span["text"], backends, emap,
                 config.suppress_untagged, config.common_descs,
+                aggregation_variant=config.aggregation_variant,
             )
             tag_rows.append(
                 {

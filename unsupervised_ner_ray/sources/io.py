@@ -48,6 +48,75 @@ def read_sf(sf_dir: str, table: str, columns: list[str] | None = None):
     return rd.read_parquet(sf_path(sf_dir, table), columns=columns)
 
 
+def unique_lines(path: str, out_path: str) -> int:
+    """Exact line dedup preserving first-seen order (reference
+    ensemble/pick_unique_lines.py:17-31).
+
+    A build-time vocabulary utility: order sensitivity forces ordered,
+    driver-side streaming consumption (iter_batches with preserve_order);
+    the distributed order-insensitive variant is stages/dedup.exact_dedup.
+    """
+    import ray
+    from ray.data import DataContext
+
+    ds = rd.read_text(path)
+    ctx = DataContext.get_current()
+    prev = ctx.execution_options.preserve_order
+    ctx.execution_options.preserve_order = True
+    seen: dict[str, int] = {}
+    try:
+        for batch in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+            for line in batch.column("text").to_pylist():
+                if line not in seen:
+                    seen[line] = 1
+    finally:
+        ctx.execution_options.preserve_order = prev
+    with open(out_path, "w") as fp:
+        for line in seen:
+            fp.write(line + "\n")
+    return len(seen)
+
+
+def write_ner_output(tagged_ds, path: str) -> None:
+    """``term e`` lines + blank separator per sentence (the reference's
+    ensemble NER-output sink, aggregate_server_json.py:548-556)."""
+    with open(path, "w") as fp:
+        for batch in tagged_ds.sort("doc_id").iter_batches(
+            batch_size=1024, batch_format="pyarrow"
+        ):
+            for ner in batch.column("ner").to_pylist():
+                for sent in ner or []:
+                    for tok, tag in zip(sent["tokens"], sent["tags"]):
+                        fp.write(f"{tok} {tag}\n")
+                    fp.write("\n")
+
+
+def explode_harvest(tagged_ds):
+    """CI-label harvest side output as its own Dataset (term, label) —
+    engine analog of algorthimic_ci_tags.txt
+    (reference batched_main_NER.py:147-153)."""
+    import pyarrow as pa
+
+    def _f(batch: pa.Table) -> pa.Table:
+        terms, labels, docs = [], [], []
+        for doc_id, harvest in zip(
+            batch.column("doc_id").to_pylist(), batch.column("harvest").to_pylist()
+        ):
+            for h in harvest or []:
+                docs.append(doc_id)
+                terms.append(h["term"])
+                labels.append(h["label"])
+        return pa.table(
+            {
+                "doc_id": pa.array(docs, pa.string()),
+                "term": pa.array(terms, pa.string()),
+                "label": pa.array(labels, pa.string()),
+            }
+        )
+
+    return tagged_ds.map_batches(_f, batch_format="pyarrow")
+
+
 def write_conll(tagged_ds, path: str) -> None:
     """Render tagged docs to the reference's exact CoNLL byte format.
 

@@ -82,7 +82,7 @@ class NerTagger:
         return ensemble_tag_sentence(
             text, self.backends, self.emap,
             self.config.suppress_untagged, self.config.common_descs,
-            self.servers_config,
+            self.servers_config, self.config.aggregation_variant,
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
