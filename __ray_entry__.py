@@ -47,12 +47,21 @@ def _ner_corpus(sf_dir: str, limit: int = 500):
     return corpus_from_sf(sf_dir, limit=limit)
 
 
-def _tagged(sf_dir: str):
-    from unsupervised_ner_ray.config import PipelineConfig
-    from unsupervised_ner_ray.pipelines.flagship import run_tagging
+_TAGGED_CACHE: dict[str, Any] = {}
 
-    cfg = PipelineConfig(tagger_concurrency=4, tagger_batch_size=64)
-    return run_tagging(_ner_corpus(sf_dir), cfg).materialize()
+
+def _tagged(sf_dir: str):
+    """Tagged docs for the NER/KG queries; memoized per sf_dir so the four
+    downstream queries share one tagging pass (they all consume the same
+    materialized dataset, mirroring the checkpointed pipeline's
+    write-once/read-many layout)."""
+    if sf_dir not in _TAGGED_CACHE:
+        from unsupervised_ner_ray.config import PipelineConfig
+        from unsupervised_ner_ray.pipelines.flagship import run_tagging
+
+        cfg = PipelineConfig(tagger_concurrency=4, tagger_batch_size=64)
+        _TAGGED_CACHE[sf_dir] = run_tagging(_ner_corpus(sf_dir), cfg).materialize()
+    return _TAGGED_CACHE[sf_dir]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

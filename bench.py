@@ -117,7 +117,7 @@ def run_subprocess(ncpu: int, sf_dir: str) -> dict:
         os.environ,
         RAY_GRAFT_CPUS=str(ncpu),
         GRAFT_SF_DIR=sf_dir,
-        RAY_GRAFT_REPS="2",
+        RAY_GRAFT_REPS="3",
     )
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__)],
