@@ -157,9 +157,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # candidate/verify machinery non-trivially exercised
         return dedup.embedding_neardup_pairs(emb, threshold=0.35, planes=6)
 
+    def q_hll_users(sf_dir: str):
+        import pandas as pd
+
+        from unsupervised_ner_ray.sources.io import read_sf
+        from unsupervised_ner_ray.stages.joins import hll_distinct
+
+        ev = read_sf(sf_dir, "events", columns=["user_id"])
+        res = hll_distinct(ev, "user_id")
+        return pd.DataFrame([{"estimate": res["estimate"], "n_sketches": res["n_sketches"]}])
+
+    from unsupervised_ner_ray.stages import joins
+
     return {
         # relational / windowed (SQL-checked)
         "q1_lineitem_agg": relational.q1_lineitem_agg,
+        "q_order_lineitem_join": joins.q_order_lineitem_join,
+        "q_asof_last_order": joins.q_asof_last_order,
+        "q_window_rank": joins.q_window_rank,
+        "q_distinct_users": joins.q_distinct_users,
+        "q_quantiles": joins.q_quantiles,
+        "q_hll_users": q_hll_users,  # approximate: rows-only
         "q_filter_project": relational.q_filter_project,
         "q_revenue_by_nation": relational.q_revenue_by_nation,
         "q_topk_customers": relational.q_topk_customers,
@@ -205,6 +223,46 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_rows
             FROM lineitem GROUP BY l_returnflag, l_linestatus
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "q_order_lineitem_join": """
+            SELECT l.l_orderkey, l.rev_cents, l.n_items,
+                   CAST(FLOOR(o.o_totalprice*100) AS BIGINT) AS total_cents
+            FROM (
+                SELECT l_orderkey,
+                       CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS rev_cents,
+                       COUNT(*) AS n_items
+                FROM lineitem GROUP BY l_orderkey
+            ) l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            ORDER BY l.l_orderkey
+        """,
+        "q_asof_last_order": """
+            SELECT e.event_id, e.user_id, epoch_us(o.o_orderdate) AS last_order_us
+            FROM events e
+            ASOF LEFT JOIN orders o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+            ORDER BY e.event_id
+        """,
+        "q_window_rank": """
+            SELECT o_custkey, o_orderkey, total_cents, rank FROM (
+                SELECT o_custkey, o_orderkey,
+                       CAST(FLOOR(o_totalprice*100) AS BIGINT) AS total_cents,
+                       CAST(row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY FLOOR(o_totalprice*100) DESC, o_orderkey
+                       ) AS BIGINT) AS rank
+                FROM orders
+            ) WHERE rank <= 2 ORDER BY o_custkey, rank
+        """,
+        "q_distinct_users": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "q_quantiles": """
+            SELECT l_returnflag,
+                   quantile_cont(l_quantity, 0.5) AS p50,
+                   quantile_cont(l_quantity, 0.9) AS p90,
+                   COUNT(*) AS n_rows
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "q_filter_project": """
             SELECT l_returnflag,

@@ -1,0 +1,57 @@
+"""Row-level poison-pill capture: a failing sentence quarantines, the job
+and the rest of the document survive."""
+
+import pyarrow as pa
+import pytest
+
+
+class _BoomBackend:
+    name = "bio"
+
+    def predict(self, masked_sentence, phrase, mode):
+        if "boom" in masked_sentence.lower() or "boom" in phrase.lower():
+            raise RuntimeError("synthetic backend failure")
+        return [
+            {"desc": "imatinib", "v": 0.5, "e": "DRUG", "e_count": "3"}
+            for _ in range(3)
+        ]
+
+
+def test_quarantine_captures_bad_rows(ray_session):
+    import ray.data as rd
+
+    from unsupervised_ner_ray.config import PipelineConfig
+    from unsupervised_ner_ray.stages.ner import NerTagger
+
+    span_t = pa.struct(
+        [
+            ("kind", pa.string()),
+            ("text", pa.large_string()),
+            ("media_ref", pa.string()),
+            ("offset", pa.int32()),
+        ]
+    )
+    table = pa.table(
+        {
+            "doc_id": pa.array(["d0"], pa.string()),
+            "spans": pa.array(
+                [
+                    [
+                        {"kind": "text", "text": "good:__entity__ sentence", "media_ref": "", "offset": 0},
+                        {"kind": "text", "text": "boom:__entity__ here", "media_ref": "", "offset": 2},
+                    ]
+                ],
+                pa.list_(span_t),
+            ),
+        }
+    )
+    tagger = NerTagger(PipelineConfig())
+    tagger.backends = [_BoomBackend(), _BoomBackend()]
+    out = tagger(table)
+    row = out.to_pylist()[0]
+    # the good sentence tagged, the bad one quarantined, spans untouched
+    assert len(row["ner"]) == 1 and row["ner"][0]["span_idx"] == 0
+    assert len(row["quarantine"]) == 1
+    assert row["quarantine"][0]["span_idx"] == 1
+    assert "RuntimeError" in row["quarantine"][0]["error"]
+    assert len(row["spans"]) == 2

@@ -88,7 +88,7 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
     failed = 0
-    names = only or list(oracles)
+    names = [n for n in (only or list(oracles)) if n in oracles]
     for name in names:
         if name not in qs:
             print(f"[MISS] {name}: no queries() entry")

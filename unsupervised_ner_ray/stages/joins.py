@@ -1,0 +1,225 @@
+"""Join-family operators beyond the broadcast lookups in relational.py.
+
+* ``q_order_lineitem_join`` — LARGE-LARGE hash join: per-order lineitem
+  aggregate (combiner groupby) joined to orders with ``Dataset.join``
+  (hash-partitioned on the key; num_partitions bounds per-partition memory).
+* ``q_asof_last_order`` — AS-OF join: for each event, the latest order of
+  the same user at or before the event time.  The right side here is
+  dimension-sized, so it is broadcast as per-key sorted date arrays and
+  resolved with ``np.searchsorted`` per batch (no shuffle).  For a
+  large-large as-of, bucket both sides by key hash and ``pd.merge_asof``
+  per bucket inside ``map_groups`` — same semantics, documented seam.
+* ``q_window_rank`` — top-2 orders per customer (windowed rank via
+  groupby.map_groups).
+* ``q_distinct_users`` — exact COUNT DISTINCT via two-level groupby
+  (pairs first, then count — no full-row shuffle of duplicates).
+* ``q_quantiles`` — per-group quantiles (numpy linear interpolation ==
+  DuckDB percentile_cont).
+* ``hll_distinct`` — mergeable HyperLogLog sketch (approximate distinct;
+  rows-only check: approximation is not SQL-equal by construction).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+from ray.data.aggregate import Count, Sum
+
+from ..sources.io import read_sf
+from .relational import _to_cents
+
+
+def q_order_lineitem_join(sf_dir: str, num_partitions: int = 16):
+    """Per-order revenue vs order header: combiner groupby on lineitem,
+    then a hash-partitioned inner join to orders."""
+    li = read_sf(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+        return pa.table(
+            {"l_orderkey": t.column("l_orderkey"), "rev_cents": _to_cents(rev)}
+        )
+
+    per_order = (
+        li.map_batches(_prep, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_cents", alias_name="rev_cents"), Count(alias_name="n_items"))
+    )
+    orders = read_sf(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"]).map_batches(
+        lambda t: pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "total_cents": _to_cents(t.column("o_totalprice")),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+    joined = per_order.join(
+        orders,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("l_orderkey",),
+        right_on=("o_orderkey",),
+    )
+    return joined.select_columns(["l_orderkey", "rev_cents", "n_items", "total_cents"]).sort("l_orderkey")
+
+
+def q_asof_last_order(sf_dir: str):
+    """For each event: the latest o_orderdate of the same user at or before
+    the event ts (broadcast sorted-array as-of)."""
+    odf = read_sf(sf_dir, "orders", columns=["o_custkey", "o_orderdate"]).to_pandas()
+    by_key: dict[int, np.ndarray] = {
+        k: np.sort(g["o_orderdate"].astype("int64").to_numpy())
+        for k, g in odf.groupby("o_custkey")
+    }
+    ref = ray.put(by_key)
+
+    class AsOf:
+        def __init__(self):
+            self.by_key = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            users = t.column("user_id").to_pylist()
+            ts = pc.cast(t.column("ts"), pa.int64()).to_pylist()
+            out = []
+            for u, x in zip(users, ts):
+                arr = self.by_key.get(u)
+                if arr is None or len(arr) == 0:
+                    out.append(None)
+                    continue
+                i = int(np.searchsorted(arr, x, side="right"))
+                out.append(int(arr[i - 1]) if i > 0 else None)
+            return pa.table(
+                {
+                    "event_id": t.column("event_id"),
+                    "user_id": t.column("user_id"),
+                    "last_order_us": pa.array(out, pa.int64()),
+                }
+            )
+
+    ev = read_sf(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    return ev.map_batches(AsOf, batch_format="pyarrow", concurrency=(1, 4)).sort("event_id")
+
+
+def q_window_rank(sf_dir: str, k: int = 2):
+    """Top-k orders per customer by (totalprice desc, orderkey asc) with a
+    rank column — windowed rank via groupby.map_groups."""
+    orders = read_sf(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "o_orderkey": t.column("o_orderkey"),
+                "total_cents": _to_cents(t.column("o_totalprice")),
+            }
+        )
+
+    def _rank(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["total_cents", "o_orderkey"], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    return (
+        orders.map_batches(_prep, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .map_groups(_rank, batch_format="pandas")
+        .sort(["o_custkey", "rank"])
+    )
+
+
+def q_distinct_users(sf_dir: str):
+    """Exact distinct users per event_type: distinct pairs per batch
+    (combiner) -> groupby pair -> count per type.  Duplicates collapse
+    before the shuffle."""
+    ev = read_sf(sf_dir, "events", columns=["event_type", "user_id"])
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        seen = set(
+            zip(t.column("event_type").to_pylist(), t.column("user_id").to_pylist())
+        )
+        items = sorted(seen)
+        return pa.table(
+            {
+                "event_type": pa.array([a for a, _ in items], pa.string()),
+                "user_id": pa.array([b for _, b in items], pa.int64()),
+            }
+        )
+
+    pairs = (
+        ev.map_batches(_pairs, batch_format="pyarrow")
+        .groupby(["event_type", "user_id"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+    return (
+        pairs.groupby("event_type")
+        .aggregate(Count(alias_name="n_users"))
+        .sort("event_type")
+    )
+
+
+def q_quantiles(sf_dir: str):
+    """Per returnflag: median and p90 of l_quantity (numpy 'linear'
+    interpolation matches DuckDB percentile_cont)."""
+    li = read_sf(sf_dir, "lineitem", columns=["l_returnflag", "l_quantity"])
+
+    def _q(g: pd.DataFrame) -> pd.DataFrame:
+        vals = g["l_quantity"].to_numpy(dtype=np.float64)
+        return pd.DataFrame(
+            {
+                "l_returnflag": [g["l_returnflag"].iloc[0]],
+                "p50": [float(np.percentile(vals, 50))],
+                "p90": [float(np.percentile(vals, 90))],
+                "n_rows": [len(vals)],
+            }
+        )
+
+    return li.groupby("l_returnflag").map_groups(_q, batch_format="pandas").sort("l_returnflag")
+
+
+_HLL_P = 12  # 4096 registers
+
+
+def _hll_register_updates(values) -> np.ndarray:
+    regs = np.zeros(1 << _HLL_P, dtype=np.int8)
+    for v in values:
+        h = int.from_bytes(
+            hashlib.blake2b(str(v).encode(), digest_size=8).digest(), "big"
+        )
+        idx = h >> (64 - _HLL_P)
+        rest = h & ((1 << (64 - _HLL_P)) - 1)
+        rho = (64 - _HLL_P) - rest.bit_length() + 1
+        if rho > regs[idx]:
+            regs[idx] = rho
+    return regs
+
+
+def hll_distinct(ds, col: str):
+    """Approximate COUNT DISTINCT via mergeable HLL: one sketch row per
+    batch (map_batches), registers max-merged in a tiny driver-side reduce.
+    Returns {"estimate": float, "n_sketches": int}."""
+
+    def _sketch(t: pa.Table) -> pa.Table:
+        regs = _hll_register_updates(t.column(col).to_pylist())
+        return pa.table({"registers": pa.array([regs.tolist()], pa.list_(pa.int8()))})
+
+    sketches = ds.map_batches(_sketch, batch_format="pyarrow").to_pandas()
+    merged = np.zeros(1 << _HLL_P, dtype=np.int8)
+    for r in sketches["registers"]:
+        merged = np.maximum(merged, np.array(r, dtype=np.int8))
+    m = float(1 << _HLL_P)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / float(np.sum(np.exp2(-merged.astype(np.float64))))
+    zeros = int(np.sum(merged == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * float(np.log(m / zeros))
+    return {"estimate": est, "n_sketches": len(sketches)}

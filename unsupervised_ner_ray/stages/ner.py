@@ -67,6 +67,9 @@ MENTION_STRUCT = pa.struct(
     ]
 )
 HARVEST_STRUCT = pa.struct([("term", pa.string()), ("label", pa.string())])
+QUARANTINE_STRUCT = pa.struct(
+    [("span_idx", pa.int32()), ("error", pa.string())]
+)
 
 
 class NerTagger:
@@ -86,11 +89,11 @@ class NerTagger:
         )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        doc_ids = batch.column("doc_id").to_pylist()
         spans_col = batch.column("spans").to_pylist()
-        ner_rows, triple_rows, mention_rows, harvest_rows = [], [], [], []
+        ner_rows, triple_rows, mention_rows = [], [], []
+        harvest_rows, quarantine_rows = [], []
         for spans in spans_col:
-            ner_r, triple_r, mention_r, harvest_r = [], [], [], []
+            ner_r, triple_r, mention_r, harvest_r, quar_r = [], [], [], [], []
             for span_idx, span in enumerate(spans or []):
                 if span["kind"] != "text":
                     continue
@@ -98,7 +101,21 @@ class NerTagger:
                 # (run_test, batched_main_NER.py:806: `if len(line) > 1`)
                 if not span["text"] or not span["text"].strip():
                     continue
-                res = self.tag_text(span["text"])
+                try:
+                    res = self.tag_text(span["text"])
+                except Exception as exc:  # noqa: BLE001
+                    # row-level poison-pill capture: a pathological sentence
+                    # goes to the quarantine side-channel instead of failing
+                    # the whole block/job (the reference's analog is the
+                    # empty-result-after-10-retries path,
+                    # batched_main_NER.py:266-268)
+                    quar_r.append(
+                        {
+                            "span_idx": span_idx,
+                            "error": f"{type(exc).__name__}: {exc}"[:500],
+                        }
+                    )
+                    continue
                 tags = res["ensembled_tags"]
                 tokens = res["tokens"]
                 ner_r.append(
@@ -126,6 +143,7 @@ class NerTagger:
             triple_rows.append(triple_r)
             mention_rows.append(mention_r)
             harvest_rows.append(harvest_r)
+            quarantine_rows.append(quar_r)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -134,6 +152,7 @@ class NerTagger:
                 "triples": pa.array(triple_rows, pa.list_(TRIPLE_STRUCT)),
                 "mentions": pa.array(mention_rows, pa.list_(MENTION_STRUCT)),
                 "harvest": pa.array(harvest_rows, pa.list_(HARVEST_STRUCT)),
+                "quarantine": pa.array(quarantine_rows, pa.list_(QUARANTINE_STRUCT)),
             }
         )
 
