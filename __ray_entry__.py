@@ -184,6 +184,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_anti_join_customers": relational.q_anti_join_customers,
         "q_union_distinct_names": relational.q_union_distinct_names,
         "q_events_window": relational.q_events_tumbling_window,
+        "q_events_sliding_window": relational.q_events_sliding_window,
         "q_sessionize": relational.q_sessionize,
         "q_part_revenue_by_brand": relational.q_part_revenue_by_brand,
         # text analysis (SQL-checked unless noted)
@@ -304,6 +305,14 @@ def oracle_sql() -> dict[str, str]:
                    event_type, COUNT(*) AS n_events,
                    CAST(SUM(CAST(FLOOR(value*1000000) AS BIGINT)) AS BIGINT) AS sum_value_micro
             FROM events GROUP BY window_id, event_type
+            ORDER BY window_id, event_type
+        """,
+        "q_events_sliding_window": """
+            SELECT CAST(FLOOR(epoch_us(ts) / 1800000000.0) AS BIGINT) - s.j AS window_id,
+                   event_type, COUNT(*) AS n_events,
+                   CAST(SUM(CAST(FLOOR(value*1000000) AS BIGINT)) AS BIGINT) AS sum_value_micro
+            FROM events CROSS JOIN (VALUES (0), (1)) AS s(j)
+            GROUP BY window_id, event_type
             ORDER BY window_id, event_type
         """,
         "q_sessionize": """

@@ -125,3 +125,24 @@ def test_checkpoint_resume(ray_session, tmp_path):
     # output readable as one dataset
     t = pq.read_table(os.path.join(out_dir, "triples"))
     assert t.num_rows > 0
+
+
+def test_checkpoint_fragment_sharding(ray_session, tmp_path):
+    """Multi-file input: each shard reads only its fragment files (no
+    re-read amplification), union of shards covers every doc."""
+    from unsupervised_ner_ray.corpus import write_corpus
+    from unsupervised_ner_ray.pipelines.checkpoint import load_manifest
+    from unsupervised_ner_ray.pipelines.flagship import run_flagship_checkpointed
+
+    inp = str(tmp_path / "docs_dir")
+    write_corpus(inp, 60, seed=8, n_files=6)
+    out_dir = str(tmp_path / "out")
+    r = run_flagship_checkpointed(inp, out_dir, CFG, num_shards=3)
+    assert r["completed"] == [0, 1, 2]
+    man = load_manifest(out_dir)
+    assert sum(m["rows"].get("tagged", 0) for m in man.values()) == 60
+    import pyarrow.dataset as pds
+
+    t = pds.dataset(f"{out_dir}/tagged", partitioning="hive").to_table()
+    assert t.column("doc_id").to_pylist().__len__() == 60
+    assert len(set(t.column("doc_id").to_pylist())) == 60

@@ -127,10 +127,27 @@ def make_documents(n_docs: int, seed: int = 42, media_every: int = 3) -> pa.Tabl
     )
 
 
-def write_corpus(path: str, n_docs: int, seed: int = 42, row_group_docs: int = 4096) -> str:
-    """Write the corpus to one parquet file; returns the path."""
+def write_corpus(
+    path: str, n_docs: int, seed: int = 42, row_group_docs: int = 4096,
+    n_files: int = 1,
+) -> str:
+    """Write the corpus as one parquet file (``path`` = file) or, with
+    ``n_files>1``, a directory of part files — the multi-file layout the
+    checkpointed pipeline shards by fragment."""
+    import os
+
     import pyarrow.parquet as pq
 
     table = make_documents(n_docs, seed)
-    pq.write_table(table, path, row_group_size=row_group_docs)
+    if n_files <= 1:
+        pq.write_table(table, path, row_group_size=row_group_docs)
+        return path
+    os.makedirs(path, exist_ok=True)
+    per = (n_docs + n_files - 1) // n_files
+    for i in range(n_files):
+        part = table.slice(i * per, per)
+        pq.write_table(
+            part, os.path.join(path, f"part-{i:04d}.parquet"),
+            row_group_size=row_group_docs,
+        )
     return path

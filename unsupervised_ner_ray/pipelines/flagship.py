@@ -84,21 +84,52 @@ def _shard_filter(shard: int, num_shards: int):
     return _f
 
 
+def _shard_input_files(input_path: str, num_shards: int) -> list[list[str]] | None:
+    """Partition a multi-file input across shards so each shard READS ONLY
+    its own files (no re-read+filter amplification — at 100 TB a shard must
+    map to input fragments, not a predicate over the whole corpus).
+    Returns None for a single-file input (caller falls back to the
+    hash-filter path)."""
+    import os
+
+    if os.path.isdir(input_path):
+        files = sorted(
+            os.path.join(input_path, f)
+            for f in os.listdir(input_path)
+            if f.endswith(".parquet")
+        )
+        if len(files) > 1:
+            return [files[i::num_shards] for i in range(num_shards)]
+    return None
+
+
 def run_flagship_checkpointed(
     input_path: str,
     out_dir: str,
     config: PipelineConfig = DEFAULT_CONFIG,
     num_shards: int | None = None,
 ) -> dict:
-    """Resumable flagship run: shard -> tag+KG -> atomic write + manifest."""
+    """Resumable flagship run: shard -> tag+KG -> atomic write + manifest.
+
+    Sharding strategy: input directories with multiple parquet files are
+    split by FILE (each shard reads only its fragment set); a single-file
+    input falls back to a stable doc_id-hash predicate (read amplification
+    acceptable only at test scale — production layouts are multi-file)."""
     from .checkpoint import run_checkpointed
 
     num_shards = num_shards or config.num_output_shards
+    file_shards = _shard_input_files(input_path, num_shards)
 
     def _run_shard(path: str, shard: int, n: int) -> dict:
-        docs = read_documents(path).map_batches(
-            _shard_filter(shard, n), batch_format="pyarrow"
-        )
+        if file_shards is not None:
+            paths = file_shards[shard]
+            if not paths:
+                return {}  # empty shard: manifest records it, nothing written
+            docs = read_documents(paths)
+        else:
+            docs = read_documents(path).map_batches(
+                _shard_filter(shard, n), batch_format="pyarrow"
+            )
         tagged = run_tagging(docs, config).materialize()
         kg = run_kg_from_tagged(tagged, config)
         return {

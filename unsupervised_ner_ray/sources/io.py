@@ -26,9 +26,10 @@ def _have_lance() -> bool:
         return False
 
 
-def read_documents(path: str, **kwargs):
-    """Read an interleaved-documents table (Lance dataset dir or Parquet)."""
-    if path.endswith(".lance") and _have_lance():
+def read_documents(path: str | list[str], **kwargs):
+    """Read an interleaved-documents table (Lance dataset dir or Parquet);
+    accepts a single path or a fragment list (checkpoint shards)."""
+    if isinstance(path, str) and path.endswith(".lance") and _have_lance():
         return rd.read_lance(path, **kwargs)
     return rd.read_parquet(path, **kwargs)
 

@@ -202,6 +202,42 @@ def q_events_tumbling_window(sf_dir: str, window_s: int = 3600):
     )
 
 
+def q_events_sliding_window(sf_dir: str, window_s: int = 3600, slide_s: int = 1800):
+    """Sliding-window aggregate: each event is exploded into the
+    ``window_s/slide_s`` windows containing it (window id = start/slide),
+    then the same combiner groupby as the tumbling case.  Requires
+    window_s % slide_s == 0."""
+    assert window_s % slide_s == 0
+    k = window_s // slide_s
+    ev = read_sf(sf_dir, "events", columns=["ts", "event_type", "value"])
+    slide_us = slide_s * 1_000_000
+
+    def _explode(t: pa.Table) -> pa.Table:
+        us = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+        base = np.floor(us / float(slide_us)).astype(np.int64)
+        etypes = t.column("event_type").to_pylist()
+        micro = _to_cents(t.column("value"), MICRO).to_numpy()
+        win, typ, val = [], [], []
+        for j in range(k):
+            win.append(base - j)
+            typ.extend(etypes)
+            val.append(micro)
+        return pa.table(
+            {
+                "window_id": pa.array(np.concatenate(win)),
+                "event_type": pa.array(typ, pa.string()),
+                "value_micro": pa.array(np.concatenate(val)),
+            }
+        )
+
+    return (
+        ev.map_batches(_explode, batch_format="pyarrow")
+        .groupby(["window_id", "event_type"])
+        .aggregate(Count(alias_name="n_events"), Sum("value_micro", alias_name="sum_value_micro"))
+        .sort(["window_id", "event_type"])
+    )
+
+
 def q_sessionize(sf_dir: str, gap_s: int = 1800):
     """Per-user sessionization: groupby(user) -> sort by ts within the group
     -> count gaps > gap_s.  Output per user: n_events, n_sessions.
