@@ -57,12 +57,17 @@ def exact_dedup(docs, key_col: str = "text", id_col: str = "doc_id"):
 
 
 class MinHasher:
-    """MinHash signatures (actor: permutation constants built once)."""
+    """MinHash signatures (actor: permutation constants built once).
+
+    Overflow-safe vectorized permutations in uint64: coefficients ``a`` and
+    shingle bases are 31-bit, so ``a*base + b`` <= 2^62 + 2^61 stays inside
+    uint64 and the mod-Mersenne reduction is exact — no object-dtype bigint
+    fallback in the hot loop."""
 
     def __init__(self, num_hashes: int = 64, shingle_k: int = 3, seed: int = 7):
         rng = np.random.RandomState(seed)
-        self.a = rng.randint(1, _MERSENNE, size=num_hashes, dtype=np.int64)
-        self.b = rng.randint(0, _MERSENNE, size=num_hashes, dtype=np.int64)
+        self.a = rng.randint(1, 1 << 31, size=num_hashes).astype(np.uint64)
+        self.b = rng.randint(0, _MERSENNE, size=num_hashes).astype(np.uint64)
         self.num_hashes = num_hashes
         self.k = shingle_k
 
@@ -70,12 +75,10 @@ class MinHasher:
         sh = _shingles(text, self.k)
         if not sh:
             return np.full(self.num_hashes, _MERSENNE, dtype=np.int64)
-        base = np.array([_stable_hash64(s) % _MERSENNE for s in sh], dtype=np.int64)
-        # (H, S) permuted hashes -> min over shingles, vectorized
-        perm = (
-            (self.a[:, None].astype(object) * base[None, :] + self.b[:, None])
-            % _MERSENNE
+        base = np.array(
+            [_stable_hash64(s) & 0x7FFFFFFF for s in sh], dtype=np.uint64
         )
+        perm = (self.a[:, None] * base[None, :] + self.b[:, None]) % np.uint64(_MERSENNE)
         return np.min(perm, axis=1).astype(np.int64)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -113,28 +116,33 @@ def minhash_lsh_pairs(
     Output: (a, b, est_jaccard), a < b, deduplicated.
     """
     rows_per_band = num_hashes // bands
-    sigs = minhash_signatures(docs, num_hashes, shingle_k)
+    # signatures are computed once and re-consumed for verification; at this
+    # size pinning them is cheap (at 100 TB they'd be written to parquet and
+    # re-read, same as the tagged-docs checkpoint layout)
+    sigs = minhash_signatures(docs, num_hashes, shingle_k).materialize()
 
     def _explode(batch: pa.Table) -> pa.Table:
-        out_band, out_hash, out_doc, out_sig = [], [], [], []
+        # band rows carry only (band_id, band_hash, doc_id) — NOT the 64-int
+        # signature; that keeps the groupby shuffle 64x smaller.  Candidate
+        # verification fetches signatures in a second, filtered pass.
+        out_band, out_hash, out_doc = [], [], []
         for doc_id, sig in zip(
             batch.column("doc_id").to_pylist(), batch.column("minhash").to_pylist()
         ):
+            arr = np.asarray(sig, dtype=np.int64)
             for b in range(bands):
-                chunk = sig[b * rows_per_band : (b + 1) * rows_per_band]
                 h = hashlib.blake2b(
-                    np.array(chunk, dtype=np.int64).tobytes(), digest_size=8
+                    arr[b * rows_per_band : (b + 1) * rows_per_band].tobytes(),
+                    digest_size=8,
                 ).hexdigest()
                 out_band.append(b)
                 out_hash.append(h)
                 out_doc.append(doc_id)
-                out_sig.append(sig)
         return pa.table(
             {
                 "band_id": pa.array(out_band, pa.int32()),
                 "band_hash": pa.array(out_hash, pa.string()),
                 "doc_id": pa.array(out_doc),
-                "minhash": pa.array(out_sig, pa.list_(pa.int64())),
             }
         )
 
@@ -142,32 +150,68 @@ def minhash_lsh_pairs(
 
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
-        g = g.sort_values("doc_id")
-        ids = list(g["doc_id"])
-        sigs_l = [np.array(s) for s in g["minhash"]]
-        rows = []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] == ids[j]:
-                    continue
-                est = float(np.mean(sigs_l[i] == sigs_l[j]))
-                if est >= threshold:
-                    rows.append({"a": ids[i], "b": ids[j], "est_jaccard": est})
-        return pd.DataFrame(rows, columns=["a", "b", "est_jaccard"])
+            return pd.DataFrame({"a": [], "b": []})
+        ids = sorted(set(g["doc_id"]))
+        rows = [
+            {"a": ids[i], "b": ids[j]}
+            for i in range(len(ids))
+            for j in range(i + 1, len(ids))
+        ]
+        return pd.DataFrame(rows, columns=["a", "b"])
 
-    pairs = buckets.groupby(["band_id", "band_hash"]).map_groups(
-        _pairs, batch_format="pandas"
+    pairs = (
+        buckets.groupby(["band_id", "band_hash"])
+        .map_groups(_pairs, batch_format="pandas")
+        .groupby(["a", "b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
     )
-    # a pair can surface from several bands: dedupe
-    def _dedupe(g: pd.DataFrame) -> pd.DataFrame:
-        return g.head(1)
+    cand = pairs.to_pandas()
+    if len(cand) == 0:
+        import ray.data as rd
 
-    return pairs.groupby(["a", "b"]).map_groups(_dedupe, batch_format="pandas")
+        return rd.from_pandas(
+            pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
+        )
+    # verification: signatures of exactly the candidate ids (candidates are
+    # rare by construction; for adversarial corpora hash-join pairs to the
+    # signature table instead)
+    need = set(cand["a"]) | set(cand["b"])
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        mask = [d in need for d in batch.column("doc_id").to_pylist()]
+        return batch.filter(pa.array(mask, pa.bool_()))
+
+    sig_pd = sigs.map_batches(_filter, batch_format="pyarrow").to_pandas()
+    smap = {d: np.asarray(s) for d, s in zip(sig_pd["doc_id"], sig_pd["minhash"])}
+    est = [
+        float(np.mean(smap[a] == smap[b])) for a, b in zip(cand["a"], cand["b"])
+    ]
+    cand = cand.assign(est_jaccard=est)
+    cand = cand[cand["est_jaccard"] >= threshold].reset_index(drop=True)
+    import ray.data as rd
+
+    return rd.from_pandas(cand)
 
 
 class SimHasher:
-    """64-bit SimHash over token hashes (actor)."""
+    """64-bit SimHash over token hashes (actor; token->bit-vector cache is
+    per-actor state — natural-language token vocabularies are small relative
+    to the corpus, so the cache hit rate is high)."""
+
+    def __init__(self):
+        self._bits_cache: dict[str, np.ndarray] = {}
+
+    def _token_bits(self, w: str) -> np.ndarray:
+        bits = self._bits_cache.get(w)
+        if bits is None:
+            h = _stable_hash64(w)
+            raw = np.unpackbits(
+                np.frombuffer(h.to_bytes(8, "little"), dtype=np.uint8)
+            ).astype(np.int64)
+            bits = np.where(raw == 1, 1, -1)
+            if len(self._bits_cache) < 500_000:
+                self._bits_cache[w] = bits
+        return bits
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         prints = []
@@ -175,12 +219,7 @@ class SimHasher:
             toks = [w for w in t.split(" ") if w]
             acc = np.zeros(64, dtype=np.int64)
             for w in toks:
-                h = _stable_hash64(w)
-                # unpack the 64-bit hash without numpy/python-int overflow
-                bits = np.unpackbits(
-                    np.frombuffer(h.to_bytes(8, "little"), dtype=np.uint8)
-                ).astype(np.int64)
-                acc += np.where(bits == 1, 1, -1)
+                acc += self._token_bits(w)
             sim = 0
             for i in range(64):
                 if acc[i] > 0:
