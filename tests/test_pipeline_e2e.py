@@ -146,3 +146,24 @@ def test_checkpoint_fragment_sharding(ray_session, tmp_path):
     t = pds.dataset(f"{out_dir}/tagged", partitioning="hive").to_table()
     assert t.column("doc_id").to_pylist().__len__() == 60
     assert len(set(t.column("doc_id").to_pylist())) == 60
+
+
+def test_join_based_ensemble_matches_fused(ray_session):
+    """The join-based dual-pool variant must produce the same tags and
+    triples as the fused single-pass tagger."""
+    from unsupervised_ner_ray.pipelines.flagship import docs_dataset_synthetic
+    from unsupervised_ner_ray.stages.ner import tag_documents, tag_documents_split
+
+    docs = docs_dataset_synthetic(30, seed=13, parallelism=2)
+    fused = tag_documents(docs, CFG).sort("doc_id").to_pandas()
+    split = tag_documents_split(
+        docs_dataset_synthetic(30, seed=13, parallelism=2), CFG, num_partitions=2
+    ).sort("doc_id").to_pandas()
+    assert list(fused["doc_id"]) == list(split["doc_id"])
+    for i in range(len(fused)):
+        fner = {s["span_idx"]: (list(s["tokens"]), list(s["tags"])) for s in fused["ner"][i]}
+        sner = {s["span_idx"]: (list(s["tokens"]), list(s["tags"])) for s in split["ner"][i]}
+        assert fner == sner, fused["doc_id"][i]
+        ftr = [tuple(sorted(t.items())) for t in fused["triples"][i]]
+        strr = [tuple(sorted(t.items())) for t in split["triples"][i]]
+        assert ftr == strr

@@ -172,6 +172,167 @@ def tag_documents(docs, config: PipelineConfig = DEFAULT_CONFIG, concurrency: in
     )
 
 
+class SingleModelTagger:
+    """One-model tagging stage for the JOIN-BASED ensemble variant.
+
+    The default engine path scores BOTH backends inside one actor pass
+    (NerTagger) — cheaper than two passes + a join on a huge table (SURVEY.md
+    §7.4).  This variant exists for heterogeneous hardware (e.g. the bio
+    model on GPU actors, the base model on CPU actors): each model runs as
+    its own actor pool and the per-document results meet again in a
+    hash-partitioned join keyed on doc_id.
+
+    Output: doc_id, spans, <name>_results: list<struct<span_idx,
+    result_json>> — the per-sentence D13 dict serialized as JSON (ragged
+    position-keyed maps; consumed row-locally by the resolve stage).
+    """
+
+    def __init__(self, model_name: str, config: PipelineConfig = DEFAULT_CONFIG):
+        from ..backends import default_backends
+
+        self.config = config
+        self.emap = build_entity_map()
+        self.backend = [b for b in default_backends(config.top_k_descs) if b.name == model_name][0]
+        self.model_name = model_name
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import json
+
+        from ..functions.tagger import tag_sentence
+
+        results_col = []
+        spans_json = []
+        for spans in batch.column("spans").to_pylist():
+            row = {}
+            for span_idx, span in enumerate(spans or []):
+                if span["kind"] != "text" or not span["text"] or not span["text"].strip():
+                    continue
+                res = tag_sentence(
+                    span["text"], self.backend, self.emap,
+                    self.config.suppress_untagged, self.config.common_descs,
+                    self.config.aggregation_variant,
+                )
+                row[span_idx] = res["result"]
+            results_col.append(json.dumps(row))
+            if self.model_name == "bio":
+                spans_json.append(json.dumps(spans or []))
+        # nested payloads cross the join as JSON strings: Acero hash joins
+        # reject list<struct> non-key fields, and the payload is consumed
+        # row-locally right after the join anyway
+        cols = {
+            "doc_id": batch.column("doc_id"),
+            f"{self.model_name}_results": pa.array(results_col, pa.large_string()),
+        }
+        if self.model_name == "bio":
+            cols["spans_json"] = pa.array(spans_json, pa.large_string())
+        return pa.table(cols)
+
+
+def tag_documents_split(
+    docs, config: PipelineConfig = DEFAULT_CONFIG, num_partitions: int = 8
+):
+    """Join-based dual-model tagging: two single-model actor pools over the
+    same input, hash-joined on doc_id, then row-local ensemble resolution.
+    Produces the same schema as ``tag_documents`` (minus per-model tag
+    columns' provenance being recomputed from the joined results)."""
+    import json
+
+    from ..assets import SERVERS_CONFIG
+    from ..functions.ensemble import ensemble_processing
+
+    bio = docs.map_batches(
+        SingleModelTagger,
+        fn_constructor_kwargs={"model_name": "bio", "config": config},
+        batch_format="pyarrow",
+        batch_size=config.tagger_batch_size,
+        concurrency=(1, max(1, config.tagger_concurrency // 2)),
+    )
+    phi = docs.map_batches(
+        SingleModelTagger,
+        fn_constructor_kwargs={"model_name": "phi", "config": config},
+        batch_format="pyarrow",
+        batch_size=config.tagger_batch_size,
+        concurrency=(1, max(1, config.tagger_concurrency // 2)),
+    )
+    joined = bio.join(
+        phi,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("doc_id",),
+    )
+
+    def _resolve(batch: pa.Table) -> pa.Table:
+        from ..functions.kg import extract_entity_spans, extract_triples
+
+        ner_rows, triple_rows, mention_rows, harvest_rows = [], [], [], []
+        spans_col = []
+        for spans_j, bio_j, phi_j in zip(
+            batch.column("spans_json").to_pylist(),
+            batch.column("bio_results").to_pylist(),
+            batch.column("phi_results").to_pylist(),
+        ):
+            spans = json.loads(spans_j)
+            spans_col.append(spans)
+            bio_by_idx = {int(k): v for k, v in json.loads(bio_j).items()}
+            phi_by_idx = {int(k): v for k, v in json.loads(phi_j).items()}
+            ner_r, triple_r, mention_r, harvest_r = [], [], [], []
+            for span_idx in sorted(bio_by_idx):
+                rb, rp = bio_by_idx[span_idx], phi_by_idx[span_idx]
+                ens = ensemble_processing([rb, rp], SERVERS_CONFIG)
+                n = len(ens["ensembled_ner"])
+                tags = [ens["ensembled_ner"][str(i + 1)]["e"] for i in range(n)]
+                text = spans[span_idx]["text"]
+                tokens = [
+                    w.replace(":__entity__", "") for w in text.split()
+                ]
+                ner_r.append(
+                    {
+                        "span_idx": span_idx,
+                        "tokens": tokens,
+                        "tags": tags,
+                        "bio_tags": [v["e"] for v in rb["ner"].values()],
+                        "phi_tags": [v["e"] for v in rp["ner"].values()],
+                    }
+                )
+                for t in extract_triples(tokens, tags, DEFAULT_CONFIG.max_predicate_tokens):
+                    triple_r.append({"span_idx": span_idx, **t})
+                for m in extract_entity_spans(tokens, tags):
+                    mention_r.append(
+                        {"span_idx": span_idx, "surface": m["surface"], "etype": m["etype"]}
+                    )
+                for term, label in rb.get("harvest", []):
+                    harvest_r.append({"term": term, "label": label})
+            ner_rows.append(ner_r)
+            triple_rows.append(triple_r)
+            mention_rows.append(mention_r)
+            harvest_rows.append(harvest_r)
+        span_type = pa.list_(
+            pa.struct(
+                [
+                    ("kind", pa.string()),
+                    ("text", pa.large_string()),
+                    ("media_ref", pa.string()),
+                    ("offset", pa.int32()),
+                ]
+            )
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "spans": pa.array(spans_col, span_type),
+                "ner": pa.array(ner_rows, pa.list_(NER_STRUCT)),
+                "triples": pa.array(triple_rows, pa.list_(TRIPLE_STRUCT)),
+                "mentions": pa.array(mention_rows, pa.list_(MENTION_STRUCT)),
+                "harvest": pa.array(harvest_rows, pa.list_(HARVEST_STRUCT)),
+                "quarantine": pa.array(
+                    [[] for _ in range(batch.num_rows)], pa.list_(QUARANTINE_STRUCT)
+                ),
+            }
+        )
+
+    return joined.map_batches(_resolve, batch_format="pyarrow")
+
+
 def explode_triples(tagged):
     """Tagged docs -> flat triples table with canonical entity ids.
 
