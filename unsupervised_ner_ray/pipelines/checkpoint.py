@@ -101,6 +101,7 @@ def run_checkpointed(
             continue
         t0 = time.time()
         outputs = run_shard_fn(input_path, shard, num_shards)
+        metrics = outputs.pop("__metrics__", {})
         rows = {}
         for table, ds in outputs.items():
             final = os.path.join(out_dir, table, f"shard={shard:04d}")
@@ -112,6 +113,7 @@ def run_checkpointed(
                 "input": input_path,
                 "num_shards": num_shards,
                 "rows": rows,
+                "metrics": metrics,
                 "seconds": round(time.time() - t0, 3),
                 "engine_version": version,
             },

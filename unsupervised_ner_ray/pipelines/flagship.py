@@ -132,11 +132,39 @@ def run_flagship_checkpointed(
             )
         tagged = run_tagging(docs, config).materialize()
         kg = run_kg_from_tagged(tagged, config)
+
+        # operational metrics for the shard's manifest record (lineage +
+        # metrics per partition, north_rule)
+        import pyarrow.compute as _pc
+
+        def _counts(batch):
+            import pyarrow as _pa
+
+            return _pa.table(
+                {
+                    "sentences": [
+                        int(_pc.sum(_pc.list_value_length(batch.column("ner"))).as_py() or 0)
+                    ],
+                    "quarantined": [
+                        int(_pc.sum(_pc.list_value_length(batch.column("quarantine"))).as_py() or 0)
+                    ],
+                    "harvested": [
+                        int(_pc.sum(_pc.list_value_length(batch.column("harvest"))).as_py() or 0)
+                    ],
+                }
+            )
+
+        cnt = tagged.map_batches(_counts, batch_format="pyarrow").to_pandas().sum()
         return {
             "tagged": tagged,
             "entities": kg["entities"],
             "triples": kg["triples"],
             "adjacency": kg["adjacency"],
+            "__metrics__": {
+                "sentences": int(cnt["sentences"]),
+                "quarantined": int(cnt["quarantined"]),
+                "harvested": int(cnt["harvested"]),
+            },
         }
 
     return run_checkpointed(
