@@ -174,6 +174,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q1_lineitem_agg": relational.q1_lineitem_agg,
         "q_order_lineitem_join": joins.q_order_lineitem_join,
         "q_asof_last_order": joins.q_asof_last_order,
+        "q_range_join": joins.q_range_join,
+        "q_range_join_bucketed": joins.q_range_join_bucketed,
         "q_window_rank": joins.q_window_rank,
         "q_distinct_users": joins.q_distinct_users,
         "q_quantiles": joins.q_quantiles,
@@ -242,6 +244,22 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN orders o
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
             ORDER BY e.event_id
+        """,
+        "q_range_join": """
+            SELECT e.event_id, e.user_id, COUNT(o.o_orderkey) AS n_orders_30d
+            FROM events e LEFT JOIN orders o
+              ON o.o_custkey = e.user_id
+             AND o.o_orderdate >  e.ts - INTERVAL 30 DAY
+             AND o.o_orderdate <= e.ts
+            GROUP BY e.event_id, e.user_id ORDER BY e.event_id
+        """,
+        "q_range_join_bucketed": """
+            SELECT e.event_id, e.user_id, COUNT(o.o_orderkey) AS n_orders_30d
+            FROM events e LEFT JOIN orders o
+              ON o.o_custkey = e.user_id
+             AND o.o_orderdate >  e.ts - INTERVAL 30 DAY
+             AND o.o_orderdate <= e.ts
+            GROUP BY e.event_id, e.user_id ORDER BY e.event_id
         """,
         "q_window_rank": """
             SELECT o_custkey, o_orderkey, total_cents, rank FROM (

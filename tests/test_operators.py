@@ -189,3 +189,40 @@ def test_media_real_backend_is_gated():
 
     with pytest.raises(NotImplementedError):
         MediaFeaturizer(backend="real")
+
+
+def test_range_join_boundaries(ray_session, tmp_path):
+    """Window is (ts - W, ts]: lower bound strict, upper bound inclusive;
+    broadcast and bucketed variants agree exactly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from unsupervised_ner_ray.stages.joins import q_range_join, q_range_join_bucketed
+
+    us = pa.timestamp("us")
+    pq.write_table(
+        pa.table(
+            {
+                "o_custkey": pa.array([1, 1, 3], pa.int64()),
+                "o_orderdate": pa.array([100, 200, 500], us),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([10, 11, 12, 13, 14], pa.int64()),
+                "user_id": pa.array([1, 1, 1, 2, 1], pa.int64()),
+                "ts": pa.array([100, 200, 300, 150, 250], us),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    # W=100: ev@100 -> (0,100] = {100}; ev@200 -> (100,200] = {200};
+    # ev@300 -> (200,300] = {}; user2 -> 0; ev@250 -> (150,250] = {200}
+    expect = {10: 1, 11: 1, 12: 0, 13: 0, 14: 1}
+    for fn in (q_range_join, q_range_join_bucketed):
+        out = fn(str(tmp_path), window_us=100).to_pandas()
+        got = dict(zip(out["event_id"], out["n_orders_30d"]))
+        assert got == expect, (fn.__name__, got)

@@ -11,6 +11,14 @@
   per bucket inside ``map_groups`` — same semantics, documented seam.
 * ``q_window_rank`` — top-2 orders per customer (windowed rank via
   groupby.map_groups).
+* ``q_range_join`` / ``q_range_join_bucketed`` — RANGE (interval) join: per
+  event, count of the same user's orders in the trailing 30-day window.
+  Broadcast variant ships per-key sorted date arrays once (``ray.put``) and
+  answers each batch with two vectorized ``np.searchsorted`` calls; the
+  bucketed variant is the large-large scale path — bucket width == window
+  width, each right row replicated to exactly 2 buckets (bounded 2×, no
+  broadcast), then one co-partitioned ``groupby(key, bucket).map_groups``.
+  Both are hash-exact against the same DuckDB oracle.
 * ``q_distinct_users`` — exact COUNT DISTINCT via two-level groupby
   (pairs first, then count — no full-row shuffle of duplicates).
 * ``q_quantiles`` — per-group quantiles (numpy linear interpolation ==
@@ -107,6 +115,126 @@ def q_asof_last_order(sf_dir: str):
 
     ev = read_sf(sf_dir, "events", columns=["event_id", "user_id", "ts"])
     return ev.map_batches(AsOf, batch_format="pyarrow", concurrency=(1, 4)).sort("event_id")
+
+
+_RANGE_WINDOW_US = 30 * 86400 * 1_000_000  # trailing 30 days
+
+
+def q_range_join(sf_dir: str, window_us: int = _RANGE_WINDOW_US):
+    """Per event: COUNT of the same user's orders with
+    ``o_orderdate in (ts - window, ts]`` — a keyed interval/range join.
+
+    Orders is dimension-sized here, so the right side is broadcast as
+    per-key SORTED int64 arrays; each batch is answered with two
+    ``np.searchsorted`` calls per key run (no shuffle).  For the
+    large-large case use :func:`q_range_join_bucketed`.
+    """
+    odf = read_sf(sf_dir, "orders", columns=["o_custkey", "o_orderdate"]).to_pandas()
+    by_key: dict[int, np.ndarray] = {
+        k: np.sort(g["o_orderdate"].astype("int64").to_numpy())
+        for k, g in odf.groupby("o_custkey")
+    }
+    ref = ray.put(by_key)
+
+    class RangeCount:
+        def __init__(self):
+            self.by_key = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            users = t.column("user_id").to_numpy()
+            ts = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+            out = np.zeros(len(users), dtype=np.int64)
+            for i, (u, x) in enumerate(zip(users, ts)):
+                arr = self.by_key.get(u)
+                if arr is not None and len(arr):
+                    out[i] = np.searchsorted(arr, x, side="right") - np.searchsorted(
+                        arr, x - window_us, side="right"
+                    )
+            return pa.table(
+                {
+                    "event_id": t.column("event_id"),
+                    "user_id": t.column("user_id"),
+                    "n_orders_30d": pa.array(out, pa.int64()),
+                }
+            )
+
+    ev = read_sf(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    return ev.map_batches(RangeCount, batch_format="pyarrow", concurrency=(1, 4)).sort("event_id")
+
+
+def q_range_join_bucketed(sf_dir: str, window_us: int = _RANGE_WINDOW_US):
+    """Same range join semantics as :func:`q_range_join`, built for
+    LARGE-LARGE sides: no broadcast, no per-event right scan.
+
+    Bucket width == window width, so every order can only affect events in
+    its own time bucket or the next one — replicate each order to exactly
+    those 2 buckets (bounded 2× blow-up), tag rows with ``is_order``, then a
+    single co-partitioned ``groupby(user_id, bucket).map_groups`` answers
+    each event with two ``np.searchsorted`` calls against that group's
+    sorted order timestamps.  Every stage streams; the only exchange is the
+    one hash shuffle on (user_id, bucket).
+    """
+
+    def _orders_rep(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column("o_orderdate"), pa.int64()).to_numpy()
+        keys = t.column("o_custkey").to_numpy()
+        b0 = ts // window_us
+        return pa.table(
+            {
+                "user_id": pa.array(np.concatenate([keys, keys]), pa.int64()),
+                "bucket": pa.array(np.concatenate([b0, b0 + 1]), pa.int64()),
+                "ts_us": pa.array(np.concatenate([ts, ts]), pa.int64()),
+                "event_id": pa.nulls(2 * len(ts), pa.int64()),
+                "is_order": pa.array(np.ones(2 * len(ts), dtype=np.int8)),
+            }
+        )
+
+    def _events_tag(t: pa.Table) -> pa.Table:
+        ts = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "bucket": pa.array(ts // window_us, pa.int64()),
+                "ts_us": pa.array(ts, pa.int64()),
+                "event_id": t.column("event_id"),
+                "is_order": pa.array(np.zeros(len(ts), dtype=np.int8)),
+            }
+        )
+
+    orders = read_sf(sf_dir, "orders", columns=["o_custkey", "o_orderdate"]).map_batches(
+        _orders_rep, batch_format="pyarrow"
+    )
+    events = read_sf(sf_dir, "events", columns=["event_id", "user_id", "ts"]).map_batches(
+        _events_tag, batch_format="pyarrow"
+    )
+
+    def _count(g: pd.DataFrame) -> pd.DataFrame:
+        ev = g[g["is_order"] == 0]
+        if ev.empty:
+            return pd.DataFrame(
+                {"event_id": pd.Series([], dtype="int64"),
+                 "user_id": pd.Series([], dtype="int64"),
+                 "n_orders_30d": pd.Series([], dtype="int64")}
+            )
+        ots = np.sort(g.loc[g["is_order"] == 1, "ts_us"].to_numpy())
+        ets = ev["ts_us"].to_numpy()
+        n = np.searchsorted(ots, ets, side="right") - np.searchsorted(
+            ots, ets - window_us, side="right"
+        )
+        return pd.DataFrame(
+            {
+                "event_id": ev["event_id"].to_numpy(),
+                "user_id": ev["user_id"].to_numpy(),
+                "n_orders_30d": n.astype(np.int64),
+            }
+        )
+
+    return (
+        events.union(orders)
+        .groupby(["user_id", "bucket"])
+        .map_groups(_count, batch_format="pandas")
+        .sort("event_id")
+    )
 
 
 def q_window_rank(sf_dir: str, k: int = 2):
