@@ -182,6 +182,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hll_users": q_hll_users,  # approximate: rows-only
         "q_filter_project": relational.q_filter_project,
         "q_revenue_by_nation": relational.q_revenue_by_nation,
+        "q_rollup_revenue": relational.q_rollup_revenue,
+        "q_asof_shuffled": joins.q_asof_last_order_shuffled,
         "q_topk_customers": relational.q_topk_customers,
         "q_anti_join_customers": relational.q_anti_join_customers,
         "q_union_distinct_names": relational.q_union_distinct_names,
@@ -244,6 +246,22 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN orders o
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
             ORDER BY e.event_id
+        """,
+        "q_asof_shuffled": """
+            SELECT e.event_id, e.user_id, epoch_us(o.o_orderdate) AS last_order_us
+            FROM events e
+            ASOF LEFT JOIN orders o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+            ORDER BY e.event_id
+        """,
+        "q_rollup_revenue": """
+            SELECT n_name, o_orderpriority,
+                   CAST(SUM(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   COUNT(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY ROLLUP(n_name, o_orderpriority)
+            ORDER BY n_name NULLS LAST, o_orderpriority NULLS LAST
         """,
         "q_range_join": """
             SELECT e.event_id, e.user_id, COUNT(o.o_orderkey) AS n_orders_30d

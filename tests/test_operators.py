@@ -226,3 +226,46 @@ def test_range_join_boundaries(ray_session, tmp_path):
         out = fn(str(tmp_path), window_us=100).to_pandas()
         got = dict(zip(out["event_id"], out["n_orders_30d"]))
         assert got == expect, (fn.__name__, got)
+
+
+def test_asof_shuffled_matches_broadcast(ray_session, tmp_path):
+    """Large-large as-of (per-key shuffle) agrees with the broadcast as-of,
+    including null for a user with no orders."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from unsupervised_ner_ray.stages.joins import (
+        q_asof_last_order,
+        q_asof_last_order_shuffled,
+    )
+
+    us = pa.timestamp("us")
+    pq.write_table(
+        pa.table(
+            {
+                "o_custkey": pa.array([1, 1, 3], pa.int64()),
+                "o_orderdate": pa.array([100, 200, 500], us),
+            }
+        ),
+        str(tmp_path / "orders.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array([10, 11, 12, 13], pa.int64()),
+                "user_id": pa.array([1, 1, 2, 3], pa.int64()),
+                "ts": pa.array([150, 50, 400, 400], us),
+            }
+        ),
+        str(tmp_path / "events.parquet"),
+    )
+    a = q_asof_last_order(str(tmp_path)).to_pandas()
+    b = q_asof_last_order_shuffled(str(tmp_path)).to_pandas()
+    got_a = {int(r.event_id): r.last_order_us for r in a.itertuples()}
+    got_b = {int(r.event_id): r.last_order_us for r in b.itertuples()}
+    import math
+
+    def norm(d):
+        return {k: (None if v is None or (isinstance(v, float) and math.isnan(v)) else int(v)) for k, v in d.items()}
+
+    assert norm(got_a) == norm(got_b) == {10: 100, 11: None, 12: None, 13: None}

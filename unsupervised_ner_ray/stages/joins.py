@@ -117,6 +117,87 @@ def q_asof_last_order(sf_dir: str):
     return ev.map_batches(AsOf, batch_format="pyarrow", concurrency=(1, 4)).sort("event_id")
 
 
+def q_asof_last_order_shuffled(sf_dir: str):
+    """Same as-of semantics as :func:`q_asof_last_order`, but for
+    LARGE-LARGE sides: no broadcast.  Both sides are tagged and hash-
+    shuffled ONCE on the join key; inside each ``map_groups`` group the
+    events are answered with one vectorized ``np.searchsorted`` over that
+    user's sorted order dates.  (As-of lookback is unbounded, so the
+    partitioning key is the user key, not a time bucket — per-key state is
+    one sorted array, bounded by that user's order count; salt a pathological
+    hot key by splitting its events across replicas of its order array.)"""
+
+    def _orders_tag(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table(
+            {
+                "user_id": t.column("o_custkey"),
+                "ts_us": pc.cast(t.column("o_orderdate"), pa.int64()),
+                "event_id": pa.nulls(n, pa.int64()),
+                "is_order": pa.array(np.ones(n, dtype=np.int8)),
+            }
+        )
+
+    def _events_tag(t: pa.Table) -> pa.Table:
+        n = len(t)
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts_us": pc.cast(t.column("ts"), pa.int64()),
+                "event_id": t.column("event_id"),
+                "is_order": pa.array(np.zeros(n, dtype=np.int8)),
+            }
+        )
+
+    orders = read_sf(sf_dir, "orders", columns=["o_custkey", "o_orderdate"]).map_batches(
+        _orders_tag, batch_format="pyarrow"
+    )
+    events = read_sf(sf_dir, "events", columns=["event_id", "user_id", "ts"]).map_batches(
+        _events_tag, batch_format="pyarrow"
+    )
+
+    def _asof(g: pd.DataFrame) -> pd.DataFrame:
+        ev = g[g["is_order"] == 0]
+        if ev.empty:
+            return pd.DataFrame(
+                {"event_id": pd.Series([], dtype="int64"),
+                 "user_id": pd.Series([], dtype="int64"),
+                 "last_order_us": pd.Series([], dtype="float64")}
+            )
+        ots = np.sort(g.loc[g["is_order"] == 1, "ts_us"].to_numpy())
+        ets = ev["ts_us"].to_numpy()
+        if len(ots) == 0:
+            last = np.full(len(ets), np.nan)
+        else:
+            idx = np.searchsorted(ots, ets, side="right")
+            last = ots[np.maximum(idx - 1, 0)].astype(np.float64)
+            last[idx == 0] = np.nan
+        return pd.DataFrame(
+            {
+                "event_id": ev["event_id"].to_numpy().astype(np.int64),
+                "user_id": ev["user_id"].to_numpy().astype(np.int64),
+                "last_order_us": last,
+            }
+        )
+
+    def _to_int64(t: pa.Table) -> pa.Table:
+        col = t.column("last_order_us")
+        col = pc.if_else(pc.is_nan(col), pa.scalar(None, pa.float64()), col)
+        return t.set_column(
+            t.schema.get_field_index("last_order_us"),
+            "last_order_us",
+            pc.cast(col, pa.int64()),
+        )
+
+    return (
+        events.union(orders)
+        .groupby("user_id")
+        .map_groups(_asof, batch_format="pandas")
+        .sort("event_id")
+        .map_batches(_to_int64, batch_format="pyarrow")
+    )
+
+
 _RANGE_WINDOW_US = 30 * 86400 * 1_000_000  # trailing 30 days
 
 

@@ -122,6 +122,63 @@ def q_revenue_by_nation(sf_dir: str):
     )
 
 
+def q_rollup_revenue(sf_dir: str):
+    """ROLLUP(n_name, o_orderpriority) over order revenue: ONE shuffle at the
+    finest grain (nation × priority — a few hundred groups), then the
+    subtotal and grand-total levels are rolled up locally from that tiny
+    aggregate on the driver.  At 100 TB the shuffled payload is still only
+    the finest-grain partials (combiner groupby), never the fact rows."""
+    cust = read_sf(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = read_sf(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    c2n = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
+    n2name = dict(zip(nation["n_nationkey"], nation["n_name"]))
+    lookup_ref = ray.put((c2n, n2name))
+
+    class Joiner:
+        def __init__(self):
+            self.c2n, self.n2name = ray.get(lookup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t.column("o_custkey").to_pylist()
+            names = [self.n2name[self.c2n[k]] for k in keys]
+            return pa.table(
+                {
+                    "n_name": pa.array(names, pa.string()),
+                    "o_orderpriority": t.column("o_orderpriority"),
+                    "price_cents": _to_cents(t.column("o_totalprice")),
+                }
+            )
+
+    orders = read_sf(sf_dir, "orders", columns=["o_custkey", "o_orderpriority", "o_totalprice"])
+    fine = (
+        orders.map_batches(Joiner, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby(["n_name", "o_orderpriority"])
+        .aggregate(Sum("price_cents", alias_name="revenue_cents"), Count(alias_name="n_orders"))
+        .to_pandas()
+    )
+    lvl1 = (
+        fine.groupby("n_name", as_index=False)[["revenue_cents", "n_orders"]]
+        .sum()
+        .assign(o_orderpriority=None)
+    )
+    lvl0 = pd.DataFrame(
+        {
+            "n_name": [None],
+            "o_orderpriority": [None],
+            "revenue_cents": [fine["revenue_cents"].sum()],
+            "n_orders": [fine["n_orders"].sum()],
+        }
+    )
+    out = pd.concat([fine, lvl1, lvl0], ignore_index=True)[
+        ["n_name", "o_orderpriority", "revenue_cents", "n_orders"]
+    ]
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values(
+        ["n_name", "o_orderpriority"], na_position="last", kind="mergesort"
+    ).reset_index(drop=True)
+
+
 def q_topk_customers(sf_dir: str, k: int = 10):
     """Top-k customers by total order value: groupby-sum then global sort +
     limit (ties broken by custkey for a deterministic boundary)."""
