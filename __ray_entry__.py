@@ -169,6 +169,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     from unsupervised_ner_ray.stages import joins
 
+    def q_tdigest_quantiles(sf_dir: str):
+        import pandas as pd
+
+        from unsupervised_ner_ray.sources.io import read_sf
+        from unsupervised_ner_ray.stages.joins import tdigest_quantiles
+
+        li = read_sf(sf_dir, "lineitem", columns=["l_quantity"])
+        res = tdigest_quantiles(li, "l_quantity", qs=(0.5, 0.9, 0.99))
+        return pd.DataFrame(
+            [
+                {
+                    "p50_est": res["q"][0.5],
+                    "p90_est": res["q"][0.9],
+                    "p99_est": res["q"][0.99],
+                    "n": res["n"],
+                }
+            ]
+        )
+
     return {
         # relational / windowed (SQL-checked)
         "q1_lineitem_agg": relational.q1_lineitem_agg,
@@ -180,6 +199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_distinct_users": joins.q_distinct_users,
         "q_quantiles": joins.q_quantiles,
         "q_hll_users": q_hll_users,  # approximate: rows-only
+        "q_tdigest_quantiles": q_tdigest_quantiles,  # approximate: rows-only
         "q_filter_project": relational.q_filter_project,
         "q_revenue_by_nation": relational.q_revenue_by_nation,
         "q_rollup_revenue": relational.q_rollup_revenue,

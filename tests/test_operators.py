@@ -269,3 +269,23 @@ def test_asof_shuffled_matches_broadcast(ray_session, tmp_path):
         return {k: (None if v is None or (isinstance(v, float) and math.isnan(v)) else int(v)) for k, v in d.items()}
 
     assert norm(got_a) == norm(got_b) == {10: 100, 11: None, 12: None, 13: None}
+
+
+def test_tdigest_rank_error(ray_session):
+    """t-digest estimates land within 2% rank error of the exact quantiles."""
+    rd = _rd()
+
+    from unsupervised_ner_ray.stages.joins import tdigest_quantiles
+
+    rng = np.random.default_rng(7)
+    vals = np.concatenate(
+        [rng.lognormal(0, 1, 20000), rng.normal(50, 5, 5000)]
+    )  # skewed + a bump
+    ds = rd.from_items([{"x": float(v)} for v in vals]).repartition(8)
+    res = tdigest_quantiles(ds, "x", qs=(0.5, 0.9, 0.99), delta=256)
+    assert res["n"] == len(vals)
+    srt = np.sort(vals)
+    for q, est in res["q"].items():
+        rank = np.searchsorted(srt, est) / len(srt)
+        assert abs(rank - q) < 0.02, (q, est, rank)
+    assert res["n_centroids"] < 2000

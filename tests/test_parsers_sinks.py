@@ -111,3 +111,27 @@ def test_sinks_and_harvest(ray_session, tmp_path):
     n = unique_lines(str(src), str(tmp_path / "uniq.txt"))
     assert n == 3
     assert (tmp_path / "uniq.txt").read_text() == "b\na\nc\n"
+
+
+def test_jsonl_roundtrip(ray_session, tmp_path):
+    """JSONL sink/source round-trips the interleaved documents schema with
+    span order preserved (the per-row invariant)."""
+    from unsupervised_ner_ray.pipelines.flagship import docs_dataset_synthetic
+    from unsupervised_ner_ray.sources.io import read_documents_jsonl, write_jsonl
+
+    docs = docs_dataset_synthetic(20, seed=11)
+    before = docs.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    out = tmp_path / "docs_jsonl"
+    write_jsonl(docs, str(out))
+    after = (
+        read_documents_jsonl(str(out))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert set(after.columns) == set(before.columns)
+    assert len(before) == len(after)
+    for a, b in zip(before["spans"], after["spans"]):
+        sa = [(s["kind"], s["text"], s.get("media_ref"), s["offset"]) for s in a]
+        sb = [(s["kind"], s["text"], s.get("media_ref"), s["offset"]) for s in b]
+        assert sa == sb

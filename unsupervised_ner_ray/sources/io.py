@@ -40,6 +40,20 @@ def write_documents(ds, path: str, **kwargs):
     return ds.write_parquet(path, **kwargs)
 
 
+def read_documents_jsonl(path: str | list[str], **kwargs):
+    """JSONL ingest for the documents schema (doc_id + spans list).  Ray's
+    ``read_json`` streams files as Arrow blocks; nested span structs come in
+    as list<struct> exactly like the Parquet/Lance path, so everything
+    downstream is format-agnostic."""
+    return rd.read_json(path, **kwargs)
+
+
+def write_jsonl(ds, path: str, **kwargs):
+    """Line-delimited JSON sink (one file per block — resumable like the
+    Parquet layout; for interchange with line-oriented tools)."""
+    return ds.write_json(path, **kwargs)
+
+
 def sf_path(sf_dir: str, table: str) -> str:
     return os.path.join(sf_dir, f"{table}.parquet")
 

@@ -395,6 +395,75 @@ def q_quantiles(sf_dir: str):
     return li.groupby("l_returnflag").map_groups(_q, batch_format="pandas").sort("l_returnflag")
 
 
+def tdigest_quantiles(ds, col: str, qs=(0.5, 0.9, 0.99), delta: int = 256):
+    """Approximate quantiles via a mergeable centroid sketch (t-digest
+    family).  Per batch (vectorized): sort, cut into <=``delta`` equal-weight
+    chunks, emit (mean, count) centroids with ``np.add.reduceat`` — one tiny
+    sketch row per batch.  The driver merges all centroid rows (a few KB per
+    input block) with one t-digest compression pass (size cap
+    ``4*n*q*(1-q)/delta``) and interpolates the quantiles over cumulative
+    weights.  Rank error is O(1/delta) — this is the 100 TB path where the
+    exact ``q_quantiles`` sort/groupby would shuffle every row.
+
+    Returns {"q": {q: estimate}, "n": total_count, "n_centroids": int}.
+    """
+
+    def _sketch(t: pa.Table) -> pa.Table:
+        v = np.sort(
+            pc.drop_null(t.column(col)).to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        n = len(v)
+        if n == 0:
+            return pa.table(
+                {"means": pa.array([], pa.list_(pa.float64())),
+                 "counts": pa.array([], pa.list_(pa.int64()))}
+            )
+        k = min(delta, n)
+        cuts = (np.arange(k, dtype=np.int64) * n) // k
+        sums = np.add.reduceat(v, cuts)
+        counts = np.diff(np.append(cuts, n))
+        return pa.table(
+            {
+                "means": pa.array([(sums / counts).tolist()], pa.list_(pa.float64())),
+                "counts": pa.array([counts.tolist()], pa.list_(pa.int64())),
+            }
+        )
+
+    rows = ds.map_batches(_sketch, batch_format="pyarrow").to_pandas()
+    if not len(rows):
+        return {"q": {q: None for q in qs}, "n": 0, "n_centroids": 0}
+    means = np.concatenate([np.asarray(m, dtype=np.float64) for m in rows["means"]])
+    weights = np.concatenate([np.asarray(c, dtype=np.float64) for c in rows["counts"]])
+    order = np.argsort(means, kind="mergesort")
+    means, weights = means[order], weights[order]
+    total = float(weights.sum())
+    # single merge/compression pass over the (small) concatenated centroids
+    out_m: list[float] = []
+    out_w: list[float] = []
+    cur_m, cur_w, cum = means[0], weights[0], 0.0
+    for m, w in zip(means[1:], weights[1:]):
+        q_mid = (cum + cur_w / 2.0) / total
+        if cur_w + w <= 4.0 * total * q_mid * (1.0 - q_mid) / delta:
+            cur_m = (cur_m * cur_w + m * w) / (cur_w + w)
+            cur_w += w
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            cum += cur_w
+            cur_m, cur_w = m, w
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    cm = np.asarray(out_m)
+    cw = np.asarray(out_w)
+    # centroid midpoints in cumulative-rank space
+    mid = np.cumsum(cw) - cw / 2.0
+    est = {}
+    for q in qs:
+        r = q * total
+        est[q] = float(np.interp(r, mid, cm))
+    return {"q": est, "n": int(total), "n_centroids": len(cm)}
+
+
 _HLL_P = 12  # 4096 registers
 
 
