@@ -125,47 +125,95 @@ def minhash_lsh_pairs(
         # band rows carry only (band_id, band_hash, doc_id) — NOT the 64-int
         # signature; that keeps the groupby shuffle 64x smaller.  Candidate
         # verification fetches signatures in a second, filtered pass.
-        out_band, out_hash, out_doc = [], [], []
-        for doc_id, sig in zip(
-            batch.column("doc_id").to_pylist(), batch.column("minhash").to_pylist()
-        ):
-            arr = np.asarray(sig, dtype=np.int64)
+        # band_hash is a vectorized FNV-style fold over the band's signature
+        # lanes (arithmetic is deterministic across processes; a rare
+        # collision only ADDS a candidate, which verification then rejects —
+        # it can never hide a true near-dup pair).
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {
+                    "band_hash": pa.array([], pa.int64()),
+                    "doc_id": batch.column("doc_id"),
+                }
+            )
+        mat = np.stack(
+            [np.asarray(s, dtype=np.uint64) for s in batch.column("minhash").to_pylist()]
+        )
+        fnv = np.uint64(1099511628211)
+        hashes = np.empty((n, bands), dtype=np.uint64)
+        with np.errstate(over="ignore"):
             for b in range(bands):
-                h = hashlib.blake2b(
-                    arr[b * rows_per_band : (b + 1) * rows_per_band].tobytes(),
-                    digest_size=8,
-                ).hexdigest()
-                out_band.append(b)
-                out_hash.append(h)
-                out_doc.append(doc_id)
+                # band_id is mixed into the seed, so the single int64 hash IS
+                # the (band, slice) bucket key — half the shuffle payload of a
+                # (band_id, band_hash) composite key
+                h = np.full(n, np.uint64(1469598103934665603) ^ np.uint64(b))
+                for r in range(rows_per_band):
+                    h = (h ^ mat[:, b * rows_per_band + r]) * fnv
+                hashes[:, b] = h
         return pa.table(
             {
-                "band_id": pa.array(out_band, pa.int32()),
-                "band_hash": pa.array(out_hash, pa.string()),
-                "doc_id": pa.array(out_doc),
+                "band_hash": pa.array(hashes.reshape(-1).view(np.int64), pa.int64()),
+                "doc_id": batch.column("doc_id").take(
+                    pa.array(np.repeat(np.arange(n), bands), pa.int64())
+                ),
             }
         )
 
     buckets = sigs.map_batches(_explode, batch_format="pyarrow")
 
-    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": [], "b": []})
-        ids = sorted(set(g["doc_id"]))
-        rows = [
-            {"a": ids[i], "b": ids[j]}
-            for i in range(len(ids))
-            for j in range(i + 1, len(ids))
-        ]
-        return pd.DataFrame(rows, columns=["a", "b"])
+    # Bucket keys are int64 hashes: per-block PARTIAL counts (np.unique — a
+    # combiner) are a few bytes per distinct key, so the duplicate-key set is
+    # found by merging partials on the driver with NO shuffle.  (When the
+    # per-block partials stop fitting on the driver — ~billions of distinct
+    # band hashes — swap this merge for groupby("band_hash").aggregate(Count)
+    # which is the same computation with a distributed reduce.)
+    def _partial_counts(t: pa.Table) -> pa.Table:
+        keys, cnt = np.unique(
+            t.column("band_hash").to_numpy(zero_copy_only=False), return_counts=True
+        )
+        return pa.table(
+            {"band_hash": pa.array(keys, pa.int64()), "n": pa.array(cnt, pa.int64())}
+        )
 
-    pairs = (
-        buckets.groupby(["band_id", "band_hash"])
-        .map_groups(_pairs, batch_format="pandas")
-        .groupby(["a", "b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    part = buckets.map_batches(_partial_counts, batch_format="pyarrow").to_pandas()
+    tot = part.groupby("band_hash", sort=False)["n"].sum()
+    dup_keys = tot.index.to_numpy()[tot.to_numpy() >= 2]
+    if len(dup_keys) == 0:
+        import ray.data as rd
+
+        return rd.from_pandas(pd.DataFrame({"a": [], "b": [], "est_jaccard": []}))
+    dup_set = pa.array(np.sort(dup_keys), pa.int64())
+
+    def _keep_dup(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.filter(pc.is_in(t.column("band_hash"), value_set=dup_set))
+
+    # the surviving band rows are only the actual near-dup buckets — a sliver
+    # of the corpus — so pair generation is a local pandas groupby on the
+    # driver.  (If survivors were ever huge: same _pairs per group via
+    # .groupby("band_hash").map_groups — the distributed form of this step.)
+    surv = (
+        sigs.map_batches(_explode, batch_format="pyarrow")
+        .map_batches(_keep_dup, batch_format="pyarrow")
+        .to_pandas()
     )
-    cand = pairs.to_pandas()
+    pair_rows: list[tuple] = []
+    for _, g in surv.groupby("band_hash", sort=False):
+        ids = sorted(set(g["doc_id"]))
+        pair_rows.extend(
+            (ids[i], ids[j]) for i in range(len(ids)) for j in range(i + 1, len(ids))
+        )
+    cand = (
+        pd.DataFrame(pair_rows, columns=["a", "b"])
+        .drop_duplicates(["a", "b"])
+        .reset_index(drop=True)
+    )
+    if len(cand) == 0:
+        import ray.data as rd
+
+        return rd.from_pandas(pd.DataFrame({"a": [], "b": [], "est_jaccard": []}))
     if len(cand) == 0:
         import ray.data as rd
 
@@ -177,9 +225,12 @@ def minhash_lsh_pairs(
     # signature table instead)
     need = set(cand["a"]) | set(cand["b"])
 
+    need_arr = pa.array(sorted(need))
+
     def _filter(batch: pa.Table) -> pa.Table:
-        mask = [d in need for d in batch.column("doc_id").to_pylist()]
-        return batch.filter(pa.array(mask, pa.bool_()))
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.is_in(batch.column("doc_id"), value_set=need_arr))
 
     sig_pd = sigs.map_batches(_filter, batch_format="pyarrow").to_pandas()
     smap = {d: np.asarray(s) for d, s in zip(sig_pd["doc_id"], sig_pd["minhash"])}

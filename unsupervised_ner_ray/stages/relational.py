@@ -89,26 +89,37 @@ def q_filter_project(sf_dir: str, cutoff: str = "1998-01-01"):
     )
 
 
+def _broadcast_cust_nation(sf_dir: str):
+    """ray.put a vectorized custkey -> nation-name lookup: a dense int32
+    index array (TPC-H custkeys are 1..N) plus the 25-name Arrow array —
+    per-batch resolution is one numpy fancy-index + one ``pc.take``, no
+    Python per row."""
+    cust = read_sf(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
+    nation = read_sf(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
+    nation = nation.sort_values("n_nationkey")
+    assert (nation["n_nationkey"].to_numpy() == np.arange(len(nation))).all()
+    ckeys = cust["c_custkey"].to_numpy()
+    c2n_idx = np.full(int(ckeys.max()) + 1, -1, dtype=np.int32)
+    c2n_idx[ckeys] = cust["c_nationkey"].to_numpy().astype(np.int32)
+    names = pa.array(nation["n_name"].tolist(), pa.string())
+    return ray.put((c2n_idx, names))
+
+
 def q_revenue_by_nation(sf_dir: str):
     """orders |x| customer |x| nation via BROADCAST join (both dim tables are
     ray.put once; orders stream through map_batches), then a partial-agg
     groupby on nation name."""
-    cust = read_sf(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
-    nation = read_sf(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
-    c2n = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
-    n2name = dict(zip(nation["n_nationkey"], nation["n_name"]))
-    lookup_ref = ray.put((c2n, n2name))
+    lookup_ref = _broadcast_cust_nation(sf_dir)
 
     class Joiner:
         def __init__(self):
-            self.c2n, self.n2name = ray.get(lookup_ref)
+            self.c2n_idx, self.names = ray.get(lookup_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t.column("o_custkey").to_pylist()
-            names = [self.n2name[self.c2n[k]] for k in keys]
+            keys = t.column("o_custkey").to_numpy()
             return pa.table(
                 {
-                    "n_name": pa.array(names, pa.string()),
+                    "n_name": pc.take(self.names, pa.array(self.c2n_idx[keys])),
                     "price_cents": _to_cents(t.column("o_totalprice")),
                 }
             )
@@ -128,22 +139,17 @@ def q_rollup_revenue(sf_dir: str):
     subtotal and grand-total levels are rolled up locally from that tiny
     aggregate on the driver.  At 100 TB the shuffled payload is still only
     the finest-grain partials (combiner groupby), never the fact rows."""
-    cust = read_sf(sf_dir, "customer", columns=["c_custkey", "c_nationkey"]).to_pandas()
-    nation = read_sf(sf_dir, "nation", columns=["n_nationkey", "n_name"]).to_pandas()
-    c2n = dict(zip(cust["c_custkey"], cust["c_nationkey"]))
-    n2name = dict(zip(nation["n_nationkey"], nation["n_name"]))
-    lookup_ref = ray.put((c2n, n2name))
+    lookup_ref = _broadcast_cust_nation(sf_dir)
 
     class Joiner:
         def __init__(self):
-            self.c2n, self.n2name = ray.get(lookup_ref)
+            self.c2n_idx, self.names = ray.get(lookup_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            keys = t.column("o_custkey").to_pylist()
-            names = [self.n2name[self.c2n[k]] for k in keys]
+            keys = t.column("o_custkey").to_numpy()
             return pa.table(
                 {
-                    "n_name": pa.array(names, pa.string()),
+                    "n_name": pc.take(self.names, pa.array(self.c2n_idx[keys])),
                     "o_orderpriority": t.column("o_orderpriority"),
                     "price_cents": _to_cents(t.column("o_totalprice")),
                 }
