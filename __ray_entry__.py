@@ -139,6 +139,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_media_features(sf_dir: str):
         return featurize_media(extract_media_refs(_ner_corpus(sf_dir)))
 
+    def q_media_resize(sf_dir: str):
+        from unsupervised_ner_ray.stages.multimodal import resize_media
+
+        return resize_media(extract_media_refs(_ner_corpus(sf_dir))).drop_columns(
+            ["resized"]
+        )
+
     def q_minhash_neardup(sf_dir: str):
         return dedup.minhash_lsh_pairs(_docs(sf_dir), threshold=0.5)
 
@@ -235,6 +242,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_kg_entities": q_kg_entities,
         "q_kg_adjacency": q_kg_adjacency,
         "q_media_features": q_media_features,
+        "q_media_resize": q_media_resize,
     }
 
 

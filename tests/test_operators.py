@@ -289,3 +289,52 @@ def test_tdigest_rank_error(ray_session):
         rank = np.searchsorted(srt, est) / len(srt)
         assert abs(rank - q) < 0.02, (q, est, rank)
     assert res["n_centroids"] < 2000
+
+
+def test_media_resize_plumbing(ray_session):
+    from unsupervised_ner_ray.pipelines.flagship import docs_dataset_synthetic
+    from unsupervised_ner_ray.stages.multimodal import (
+        MediaResizer,
+        extract_media_refs,
+        resize_media,
+    )
+
+    docs = docs_dataset_synthetic(30, seed=4)
+    out = resize_media(extract_media_refs(docs), target=224).to_pandas()
+    assert len(out) > 0
+    # letterbox geometry: longest side == target, aspect preserved within 1px
+    assert ((out[["dst_w", "dst_h"]].max(axis=1)) == 224).all()
+    ar_src = out["src_w"] / out["src_h"]
+    ar_dst = out["dst_w"] / out["dst_h"]
+    assert (abs(ar_src - ar_dst) / ar_src < 0.05).all()
+    assert all(len(b) > 0 for b in out["resized"])
+    # determinism
+    out2 = resize_media(extract_media_refs(docs), target=224).to_pandas()
+    a = out.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+    b = out2.sort_values(["doc_id", "span_idx"]).reset_index(drop=True)
+    assert (a["dst_w"] == b["dst_w"]).all() and (a["dst_h"] == b["dst_h"]).all()
+    with pytest.raises(NotImplementedError):
+        MediaResizer(backend="real")
+
+
+def test_canonicalization_hot_key_skew(ray_session):
+    """One surface form dominating the corpus (head-entity skew) still
+    aggregates exactly under the salted two-phase groupby."""
+    rd = _rd()
+
+    from unsupervised_ner_ray.config import PipelineConfig
+    from unsupervised_ner_ray.stages.kg import canonicalize_mentions
+
+    rows = [
+        {"surface_norm": "aspirin", "surface": "Aspirin", "etype": "DRUG"}
+        for _ in range(2000)
+    ]
+    rows += [
+        {"surface_norm": f"rare{i}", "surface": f"Rare{i}", "etype": "DRUG"}
+        for i in range(50)
+    ]
+    ds = rd.from_items(rows).repartition(8)
+    out = canonicalize_mentions(ds, PipelineConfig(canon_salt_buckets=8)).to_pandas()
+    hot = out[out["surface_norm"] == "aspirin"]
+    assert len(hot) == 1 and int(hot["n_mentions"].iloc[0]) == 2000
+    assert len(out) == 51

@@ -91,6 +91,60 @@ def featurize_media(media, dim: int = 8, concurrency: int = 2, batch_size: int =
     )
 
 
+class MediaResizer:
+    """Image-resize actor stage.  ``backend="fake"`` (tested path) derives
+    the source dims deterministically from the ref hash and computes the
+    REAL letterbox geometry — the target dims, scale factor and output
+    byte estimate a true resampler produces; ``backend="real"`` is the seam
+    where PIL/cv2 would decode the binary payload once per batch (decoder
+    context held per actor).  Output schema is what a real pipeline writes:
+    (.., src_w, src_h, dst_w, dst_h, scale, resized: binary)."""
+
+    def __init__(self, target: int = 224, backend: str = "fake"):
+        if backend == "real":  # pragma: no cover
+            raise NotImplementedError(
+                "real image resize requires PIL/cv2 (absent here); use backend='fake'"
+            )
+        self.target = target
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        src_w, src_h, dst_w, dst_h, scale, payload = [], [], [], [], [], []
+        for r in refs:
+            h = hashlib.blake2b(r.encode(), digest_size=4).digest()
+            w0 = 64 + h[0] * 8  # deterministic fake source dims
+            h0 = 64 + h[1] * 8
+            s = self.target / max(w0, h0)
+            w1, h1 = max(1, round(w0 * s)), max(1, round(h0 * s))
+            src_w.append(w0)
+            src_h.append(h0)
+            dst_w.append(w1)
+            dst_h.append(h1)
+            scale.append(s)
+            payload.append(h * (w1 * h1 * 3 // 4 + 1))  # stand-in pixel buffer
+        return (
+            batch.append_column("src_w", pa.array(src_w, pa.int32()))
+            .append_column("src_h", pa.array(src_h, pa.int32()))
+            .append_column("dst_w", pa.array(dst_w, pa.int32()))
+            .append_column("dst_h", pa.array(dst_h, pa.int32()))
+            .append_column("scale", pa.array(scale, pa.float64()))
+            .append_column("resized", pa.array(payload, pa.binary()))
+        )
+
+
+def resize_media(media, target: int = 224, concurrency: int = 2, batch_size: int = 32):
+    """batch_size smaller still than featurize: resized pixel buffers are the
+    largest rows in the pipeline (batch x concurrency bounds heap)."""
+    return media.map_batches(
+        MediaResizer,
+        fn_constructor_kwargs={"target": target},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+
+
 class FrameSampler:
     """Video frame-sampling stub: emits deterministic frame indices (the
     real path would decode with ffmpeg in __init__-held context)."""
