@@ -18,6 +18,19 @@ import pyarrow as pa
 import ray
 
 
+def _list_col_to_matrix(col) -> np.ndarray:
+    """Zero-copy-ish list<float> column -> (n, d) float64 matrix: flatten the
+    Arrow values buffer and reshape (all rows same length, no nulls — the
+    embeddings-table contract), instead of a Python to_pylist round-trip."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n = len(col)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.float64)
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+    return flat.reshape(n, -1)
+
+
 class _TopKScorer:
     def __init__(self, queries_ref, k: int):
         q = ray.get(queries_ref) if not isinstance(queries_ref, np.ndarray) else queries_ref
@@ -25,8 +38,8 @@ class _TopKScorer:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
-        ids = np.array(batch.column("vec_id").to_pylist())
+        emb = _list_col_to_matrix(batch.column("embedding"))
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         normed = emb / np.maximum(np.linalg.norm(emb, axis=1)[:, None], 1e-12)
         sims = self.q @ normed.T  # (Q, B)
         k = min(self.k, sims.shape[1])
@@ -57,13 +70,26 @@ def brute_force_topk(embeds, queries: np.ndarray, k: int = 10, concurrency: int 
         concurrency=(1, concurrency),
     )
 
+    # partials are (n_blocks x Q x k) rows — tiny — so the global top-k merge
+    # is a local pandas groupby on the driver rather than an all-to-all
+    # shuffle.  (For thousands of simultaneous queries use the distributed
+    # form: .groupby("query_idx").map_groups(same merge fn).)
+    df = partials.to_pandas()
+
     def _merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
         g = g.reset_index(drop=True)
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g
 
-    return partials.groupby("query_idx").map_groups(_merge, batch_format="pandas")
+    out = (
+        df.groupby("query_idx", sort=True, group_keys=False)[df.columns.tolist()]
+        .apply(_merge)
+        .reset_index(drop=True)
+    )
+    import ray.data as rd
+
+    return rd.from_pandas(out)
 
 
 def train_ivf_codebook(
@@ -71,7 +97,7 @@ def train_ivf_codebook(
 ) -> np.ndarray:
     """Mini k-means on a sample (driver-side; the sample is small by design)."""
     sample = embeds.random_sample(sample_frac, seed=seed).to_pandas()
-    x = np.array([np.array(v) for v in sample["embedding"]], dtype=np.float64)
+    x = np.stack([np.asarray(v, dtype=np.float64) for v in sample["embedding"]])
     rng = np.random.RandomState(seed)
     centers = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
     for _ in range(iters):
@@ -96,7 +122,7 @@ def ivf_topk(embeds, queries: np.ndarray, codebook: np.ndarray, k: int = 10, npr
     probed_clusters = set().union(*probe_sets) if probe_sets else set()
 
     def _assign_filter(batch: pa.Table) -> pa.Table:
-        emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
+        emb = _list_col_to_matrix(batch.column("embedding"))
         d = ((emb[:, None, :] - codebook[None, :, :]) ** 2).sum(-1)
         assign = d.argmin(1)
         mask = np.isin(assign, list(probed_clusters))
