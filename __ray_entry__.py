@@ -203,6 +203,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_range_join": joins.q_range_join,
         "q_range_join_bucketed": joins.q_range_join_bucketed,
         "q_window_rank": joins.q_window_rank,
+        "q_lag_delta": joins.q_lag_delta,
         "q_distinct_users": joins.q_distinct_users,
         "q_quantiles": joins.q_quantiles,
         "q_hll_users": q_hll_users,  # approximate: rows-only
@@ -317,6 +318,16 @@ def oracle_sql() -> dict[str, str]:
                        ) AS BIGINT) AS rank
                 FROM orders
             ) WHERE rank <= 2 ORDER BY o_custkey, rank
+        """,
+        "q_lag_delta": """
+            SELECT event_id, user_id, delta_micro FROM (
+                SELECT event_id, user_id,
+                       CAST(FLOOR(value*1000000) AS BIGINT)
+                       - LAG(CAST(FLOOR(value*1000000) AS BIGINT)) OVER (
+                             PARTITION BY user_id ORDER BY ts, event_id
+                         ) AS delta_micro
+                FROM events
+            ) WHERE delta_micro IS NOT NULL ORDER BY event_id
         """,
         "q_distinct_users": """
             SELECT event_type, COUNT(DISTINCT user_id) AS n_users

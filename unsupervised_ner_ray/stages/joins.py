@@ -346,6 +346,46 @@ def q_window_rank(sf_dir: str, k: int = 2):
     )
 
 
+def q_lag_delta(sf_dir: str):
+    """LAG window function: per user, each event's value minus the previous
+    event's value in time order (ties broken by event_id).  One hash shuffle
+    on the partition key, then a vectorized diff per group — the standard
+    windowed-analytic shape (PARTITION BY user ORDER BY ts)."""
+    ev = read_sf(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t.column("event_id"),
+                "user_id": t.column("user_id"),
+                "ts_us": pc.cast(t.column("ts"), pa.int64()),
+                "value_micro": pc.cast(
+                    pc.floor(pc.multiply(t.column("value"), pa.scalar(1e6))), pa.int64()
+                ),
+            }
+        )
+
+    def _delta(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts_us", "event_id"], kind="mergesort")
+        v = g["value_micro"].to_numpy()
+        # a user's first event has no predecessor -> not emitted (matches
+        # the oracle's WHERE delta IS NOT NULL; avoids nullable-float hashing)
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy()[1:],
+                "user_id": g["user_id"].to_numpy()[1:],
+                "delta_micro": (v[1:] - v[:-1]).astype(np.int64),
+            }
+        )
+
+    return (
+        ev.map_batches(_prep, batch_format="pyarrow")
+        .groupby("user_id")
+        .map_groups(_delta, batch_format="pandas")
+        .sort("event_id")
+    )
+
+
 def q_distinct_users(sf_dir: str):
     """Exact distinct users per event_type: distinct pairs per batch
     (combiner) -> groupby pair -> count per type.  Duplicates collapse
