@@ -85,6 +85,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("q_token_histogram", lambda: textstats.token_histogram(docs_tbl).to_pandas())
     timed("q_exact_dedup", lambda: dedup.exact_dedup(docs_tbl).to_pandas())
     timed("q_minhash_neardup", lambda: dedup.minhash_lsh_pairs(docs_tbl).to_pandas())
+    from unsupervised_ner_ray.stages import joins
+
+    timed("q_range_join_bucketed", lambda: joins.q_range_join_bucketed(sf_dir).to_pandas())
+    timed("q_lag_delta", lambda: joins.q_lag_delta(sf_dir).to_pandas())
+    timed(
+        "q_tdigest_quantiles",
+        lambda: joins.tdigest_quantiles(
+            read_sf(sf_dir, "lineitem", columns=["l_quantity"]), "l_quantity"
+        ),
+    )
 
     def _topk():
         import numpy as np

@@ -117,21 +117,23 @@ def q_asof_last_order(sf_dir: str):
     return ev.map_batches(AsOf, batch_format="pyarrow", concurrency=(1, 4)).sort("event_id")
 
 
-def q_asof_last_order_shuffled(sf_dir: str):
+def q_asof_last_order_shuffled(sf_dir: str, num_parts: int = 64):
     """Same as-of semantics as :func:`q_asof_last_order`, but for
-    LARGE-LARGE sides: no broadcast.  Both sides are tagged and hash-
-    shuffled ONCE on the join key; inside each ``map_groups`` group the
-    events are answered with one vectorized ``np.searchsorted`` over that
-    user's sorted order dates.  (As-of lookback is unbounded, so the
-    partitioning key is the user key, not a time bucket — per-key state is
-    one sorted array, bounded by that user's order count; salt a pathological
-    hot key by splitting its events across replicas of its order array.)"""
+    LARGE-LARGE sides: no broadcast.  Both sides hash-shuffle ONCE on a
+    coarse ``part = hash(user) % num_parts`` key (per-user groups would pay
+    a Python call per almost-singleton group); each partition then resolves
+    ALL its events in one vectorized pass — orders sorted by the (user, ts)
+    pair, every event answered by one lexicographic ``np.searchsorted`` on
+    a structured dtype, taking the predecessor only if it belongs to the
+    same user."""
 
     def _orders_tag(t: pa.Table) -> pa.Table:
         n = len(t)
+        u = t.column("o_custkey").to_numpy()
         return pa.table(
             {
                 "user_id": t.column("o_custkey"),
+                "part": pa.array(((u * 2654435761) % num_parts).astype(np.int32)),
                 "ts_us": pc.cast(t.column("o_orderdate"), pa.int64()),
                 "event_id": pa.nulls(n, pa.int64()),
                 "is_order": pa.array(np.ones(n, dtype=np.int8)),
@@ -140,9 +142,11 @@ def q_asof_last_order_shuffled(sf_dir: str):
 
     def _events_tag(t: pa.Table) -> pa.Table:
         n = len(t)
+        u = t.column("user_id").to_numpy()
         return pa.table(
             {
                 "user_id": t.column("user_id"),
+                "part": pa.array(((u * 2654435761) % num_parts).astype(np.int32)),
                 "ts_us": pc.cast(t.column("ts"), pa.int64()),
                 "event_id": t.column("event_id"),
                 "is_order": pa.array(np.zeros(n, dtype=np.int8)),
@@ -156,7 +160,9 @@ def q_asof_last_order_shuffled(sf_dir: str):
         _events_tag, batch_format="pyarrow"
     )
 
-    def _asof(g: pd.DataFrame) -> pd.DataFrame:
+    _UT_DT = np.dtype([("u", "i8"), ("t", "i8")])
+
+    def _asof_part(g: pd.DataFrame) -> pd.DataFrame:
         ev = g[g["is_order"] == 0]
         if ev.empty:
             return pd.DataFrame(
@@ -164,14 +170,21 @@ def q_asof_last_order_shuffled(sf_dir: str):
                  "user_id": pd.Series([], dtype="int64"),
                  "last_order_us": pd.Series([], dtype="float64")}
             )
-        ots = np.sort(g.loc[g["is_order"] == 1, "ts_us"].to_numpy())
-        ets = ev["ts_us"].to_numpy()
-        if len(ots) == 0:
-            last = np.full(len(ets), np.nan)
-        else:
-            idx = np.searchsorted(ots, ets, side="right")
-            last = ots[np.maximum(idx - 1, 0)].astype(np.float64)
-            last[idx == 0] = np.nan
+        od = g[g["is_order"] == 1]
+        A = np.empty(len(od), dtype=_UT_DT)
+        A["u"] = od["user_id"].to_numpy()
+        A["t"] = od["ts_us"].to_numpy()
+        A.sort()
+        q = np.empty(len(ev), dtype=_UT_DT)
+        q["u"] = ev["user_id"].to_numpy()
+        q["t"] = ev["ts_us"].to_numpy()
+        last = np.full(len(ev), np.nan)
+        if len(A):
+            idx = np.searchsorted(A, q, side="right")
+            has_prev = idx > 0
+            prev = np.maximum(idx - 1, 0)
+            same_user = has_prev & (A["u"][prev] == q["u"])
+            last[same_user] = A["t"][prev[same_user]].astype(np.float64)
         return pd.DataFrame(
             {
                 "event_id": ev["event_id"].to_numpy().astype(np.int64),
@@ -191,8 +204,8 @@ def q_asof_last_order_shuffled(sf_dir: str):
 
     return (
         events.union(orders)
-        .groupby("user_id")
-        .map_groups(_asof, batch_format="pandas")
+        .groupby("part")
+        .map_groups(_asof_part, batch_format="pandas")
         .sort("event_id")
         .map_batches(_to_int64, batch_format="pyarrow")
     )
@@ -243,27 +256,37 @@ def q_range_join(sf_dir: str, window_us: int = _RANGE_WINDOW_US):
     return ev.map_batches(RangeCount, batch_format="pyarrow", concurrency=(1, 4)).sort("event_id")
 
 
-def q_range_join_bucketed(sf_dir: str, window_us: int = _RANGE_WINDOW_US):
+def q_range_join_bucketed(
+    sf_dir: str, window_us: int = _RANGE_WINDOW_US, num_parts: int = 64
+):
     """Same range join semantics as :func:`q_range_join`, built for
     LARGE-LARGE sides: no broadcast, no per-event right scan.
 
     Bucket width == window width, so every order can only affect events in
     its own time bucket or the next one — replicate each order to exactly
-    those 2 buckets (bounded 2× blow-up), tag rows with ``is_order``, then a
-    single co-partitioned ``groupby(user_id, bucket).map_groups`` answers
-    each event with two ``np.searchsorted`` calls against that group's
-    sorted order timestamps.  Every stage streams; the only exchange is the
-    one hash shuffle on (user_id, bucket).
+    those 2 buckets (bounded 2× blow-up).  The shuffle key is a COARSE
+    ``part = hash(user, bucket) % num_parts`` (a (user, bucket) group never
+    splits): grouping by the raw (user, bucket) key would pay a Python/
+    pandas call per group with almost-singleton groups, so instead each of
+    the ``num_parts`` partitions is answered in ONE vectorized pass — sort
+    the partition's orders by the (user, bucket, ts) triple and resolve
+    every event with two lexicographic ``np.searchsorted`` calls on a
+    structured dtype.  One hash shuffle total, O(log) per event after it.
     """
 
     def _orders_rep(t: pa.Table) -> pa.Table:
         ts = pc.cast(t.column("o_orderdate"), pa.int64()).to_numpy()
         keys = t.column("o_custkey").to_numpy()
         b0 = ts // window_us
+        u2 = np.concatenate([keys, keys])
+        b2 = np.concatenate([b0, b0 + 1])
         return pa.table(
             {
-                "user_id": pa.array(np.concatenate([keys, keys]), pa.int64()),
-                "bucket": pa.array(np.concatenate([b0, b0 + 1]), pa.int64()),
+                "user_id": pa.array(u2, pa.int64()),
+                "bucket": pa.array(b2, pa.int64()),
+                "part": pa.array(
+                    ((u2 * 2654435761 + b2) % num_parts).astype(np.int32)
+                ),
                 "ts_us": pa.array(np.concatenate([ts, ts]), pa.int64()),
                 "event_id": pa.nulls(2 * len(ts), pa.int64()),
                 "is_order": pa.array(np.ones(2 * len(ts), dtype=np.int8)),
@@ -272,10 +295,13 @@ def q_range_join_bucketed(sf_dir: str, window_us: int = _RANGE_WINDOW_US):
 
     def _events_tag(t: pa.Table) -> pa.Table:
         ts = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+        u = t.column("user_id").to_numpy()
+        b = ts // window_us
         return pa.table(
             {
                 "user_id": t.column("user_id"),
-                "bucket": pa.array(ts // window_us, pa.int64()),
+                "bucket": pa.array(b, pa.int64()),
+                "part": pa.array(((u * 2654435761 + b) % num_parts).astype(np.int32)),
                 "ts_us": pa.array(ts, pa.int64()),
                 "event_id": t.column("event_id"),
                 "is_order": pa.array(np.zeros(len(ts), dtype=np.int8)),
@@ -289,7 +315,9 @@ def q_range_join_bucketed(sf_dir: str, window_us: int = _RANGE_WINDOW_US):
         _events_tag, batch_format="pyarrow"
     )
 
-    def _count(g: pd.DataFrame) -> pd.DataFrame:
+    _KEY_DT = np.dtype([("u", "i8"), ("b", "i8"), ("t", "i8")])
+
+    def _count_part(g: pd.DataFrame) -> pd.DataFrame:
         ev = g[g["is_order"] == 0]
         if ev.empty:
             return pd.DataFrame(
@@ -297,23 +325,31 @@ def q_range_join_bucketed(sf_dir: str, window_us: int = _RANGE_WINDOW_US):
                  "user_id": pd.Series([], dtype="int64"),
                  "n_orders_30d": pd.Series([], dtype="int64")}
             )
-        ots = np.sort(g.loc[g["is_order"] == 1, "ts_us"].to_numpy())
-        ets = ev["ts_us"].to_numpy()
-        n = np.searchsorted(ots, ets, side="right") - np.searchsorted(
-            ots, ets - window_us, side="right"
-        )
+        od = g[g["is_order"] == 1]
+        A = np.empty(len(od), dtype=_KEY_DT)
+        A["u"] = od["user_id"].to_numpy()
+        A["b"] = od["bucket"].to_numpy()
+        A["t"] = od["ts_us"].to_numpy()
+        A.sort()
+        hi = np.empty(len(ev), dtype=_KEY_DT)
+        hi["u"] = ev["user_id"].to_numpy()
+        hi["b"] = ev["bucket"].to_numpy()
+        hi["t"] = ev["ts_us"].to_numpy()
+        lo = hi.copy()
+        lo["t"] = hi["t"] - window_us
+        n = np.searchsorted(A, hi, side="right") - np.searchsorted(A, lo, side="right")
         return pd.DataFrame(
             {
-                "event_id": ev["event_id"].to_numpy(),
-                "user_id": ev["user_id"].to_numpy(),
+                "event_id": ev["event_id"].to_numpy().astype(np.int64),
+                "user_id": ev["user_id"].to_numpy().astype(np.int64),
                 "n_orders_30d": n.astype(np.int64),
             }
         )
 
     return (
         events.union(orders)
-        .groupby(["user_id", "bucket"])
-        .map_groups(_count, batch_format="pandas")
+        .groupby("part")
+        .map_groups(_count_part, batch_format="pandas")
         .sort("event_id")
     )
 
