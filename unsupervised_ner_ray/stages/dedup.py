@@ -324,12 +324,14 @@ def simhash_pairs(docs, max_hamming: int = 3, concurrency: int = 4):
                     rows.append({"a": ids[i], "b": ids[j], "hamming": ham})
         return pd.DataFrame(rows, columns=["a", "b", "hamming"])
 
-    pairs = buckets.groupby(["band_id", "band_key"]).map_groups(
-        _pairs, batch_format="pandas"
-    )
-    return pairs.groupby(["a", "b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    from ray.data.aggregate import Min
+
+    from .grouping import partitioned_map_groups
+
+    pairs = partitioned_map_groups(buckets, ["band_id", "band_key"], _pairs)
+    # cross-band dedup via the C-path Min aggregate (hamming is identical
+    # for every copy of a pair, so Min is the identity)
+    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
 def ngram_jaccard_verify(docs, candidate_pairs, shingle_k: int = 3):
@@ -426,4 +428,6 @@ def embedding_neardup_pairs(embeds, threshold: float = 0.95, planes: int = 16, s
                         )
         return pd.DataFrame(rows, columns=["a", "b", "cosine"])
 
-    return bucketed.groupby("bucket").map_groups(_pairs, batch_format="pandas")
+    from .grouping import partitioned_map_groups
+
+    return partitioned_map_groups(bucketed, "bucket", _pairs)

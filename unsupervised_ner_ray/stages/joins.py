@@ -374,12 +374,11 @@ def q_window_rank(sf_dir: str, k: int = 2):
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         return g
 
-    return (
-        orders.map_batches(_prep, batch_format="pyarrow")
-        .groupby("o_custkey")
-        .map_groups(_rank, batch_format="pandas")
-        .sort(["o_custkey", "rank"])
-    )
+    from .grouping import partitioned_map_groups
+
+    return partitioned_map_groups(
+        orders.map_batches(_prep, batch_format="pyarrow"), "o_custkey", _rank
+    ).sort(["o_custkey", "rank"])
 
 
 def q_lag_delta(sf_dir: str):
@@ -414,12 +413,11 @@ def q_lag_delta(sf_dir: str):
             }
         )
 
-    return (
-        ev.map_batches(_prep, batch_format="pyarrow")
-        .groupby("user_id")
-        .map_groups(_delta, batch_format="pandas")
-        .sort("event_id")
-    )
+    from .grouping import partitioned_map_groups
+
+    return partitioned_map_groups(
+        ev.map_batches(_prep, batch_format="pyarrow"), "user_id", _delta
+    ).sort("event_id")
 
 
 def q_distinct_users(sf_dir: str):
@@ -440,10 +438,12 @@ def q_distinct_users(sf_dir: str):
             }
         )
 
+    # both levels are C-path aggregates (no per-group Python): Count over
+    # (type, user) collapses duplicates, Count over its output counts users
     pairs = (
         ev.map_batches(_pairs, batch_format="pyarrow")
         .groupby(["event_type", "user_id"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
+        .aggregate(Count(alias_name="_n"))
     )
     return (
         pairs.groupby("event_type")

@@ -119,8 +119,10 @@ def canonicalize_mentions(
         )
         return out
 
-    bucketed = partials.groupby(["surface_norm", "salt"]).map_groups(
-        _merge_bucket, batch_format="pandas"
+    from .grouping import partitioned_map_groups
+
+    bucketed = partitioned_map_groups(
+        partials, ["surface_norm", "salt"], _merge_bucket, num_parts=64
     )
 
     def _finalize(g: pd.DataFrame) -> pd.DataFrame:
@@ -147,9 +149,7 @@ def canonicalize_mentions(
             }
         )
 
-    return bucketed.groupby("surface_norm").map_groups(
-        _finalize, batch_format="pandas"
-    )
+    return partitioned_map_groups(bucketed, "surface_norm", _finalize, num_parts=64)
 
 
 def build_adjacency(triples, reduce_partitions: int = 8):
@@ -161,7 +161,6 @@ def build_adjacency(triples, reduce_partitions: int = 8):
     ``reduce_partitions`` bounds the shuffle fan-out (scale it with the
     cluster, not with the tiny per-run block count).
     """
-    triples = triples.repartition(reduce_partitions)
 
     def _adj(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["pred", "obj_id", "doc_id"], kind="mergesort")
@@ -178,4 +177,8 @@ def build_adjacency(triples, reduce_partitions: int = 8):
             }
         )
 
-    return triples.groupby("subj_id").map_groups(_adj, batch_format="pandas")
+    from .grouping import partitioned_map_groups
+
+    return partitioned_map_groups(
+        triples, "subj_id", _adj, num_parts=max(16, reduce_partitions)
+    )

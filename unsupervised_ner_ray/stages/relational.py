@@ -235,9 +235,14 @@ def q_union_distinct_names(sf_dir: str):
         lambda t: pa.table({"name": t.column("n_name")}), batch_format="pyarrow"
     )
     u = r.union(n)
-    return u.groupby("name").map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    ).sort("name")
+    # C-path distinct: Count per name collapses duplicates with no Python
+    # per group; the count column is then projected away
+    return (
+        u.groupby("name")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["name"])
+        .sort("name")
+    )
 
 
 def q_events_tumbling_window(sf_dir: str, window_s: int = 3600):
@@ -324,7 +329,9 @@ def q_sessionize(sf_dir: str, gap_s: int = 1800):
             }
         )
 
-    return ev.groupby("user_id").map_groups(_sess, batch_format="pandas").sort("user_id")
+    from .grouping import partitioned_map_groups
+
+    return partitioned_map_groups(ev, "user_id", _sess, num_parts=64).sort("user_id")
 
 
 def q_part_revenue_by_brand(sf_dir: str):

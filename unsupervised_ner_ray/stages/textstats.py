@@ -217,4 +217,6 @@ def vocab_merge(docs):
              "n_langs": [len(langs)]}
         )
 
-    return partials.groupby("token").map_groups(_merge, batch_format="pandas")
+    from .grouping import partitioned_map_groups
+
+    return partitioned_map_groups(partials, "token", _merge, num_parts=64)
