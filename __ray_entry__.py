@@ -211,6 +211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_filter_project": relational.q_filter_project,
         "q_revenue_by_nation": relational.q_revenue_by_nation,
         "q_rollup_revenue": relational.q_rollup_revenue,
+        "q_pivot_status": relational.q_pivot_status,
         "q_asof_shuffled": joins.q_asof_last_order_shuffled,
         "q_topk_customers": relational.q_topk_customers,
         "q_anti_join_customers": relational.q_anti_join_customers,
@@ -227,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["doc_id", "md5"]
         ),
         "q_vocab_merge": lambda sf: textstats.vocab_merge(_docs(sf)),
+        "q_heavy_hitters": lambda sf: textstats.heavy_hitters(_docs(sf), k=20),
         "q_langid": lambda sf: textstats.langid(_docs(sf)),  # heuristic: rows-only
         # dedup family
         "q_exact_dedup": lambda sf: dedup.exact_dedup(_docs(sf)),
@@ -282,6 +284,13 @@ def oracle_sql() -> dict[str, str]:
             ASOF LEFT JOIN orders o
               ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
             ORDER BY e.event_id
+        """,
+        "q_pivot_status": """
+            SELECT o_orderpriority,
+                   COUNT(*) FILTER (o_orderstatus = 'F') AS F,
+                   COUNT(*) FILTER (o_orderstatus = 'O') AS O,
+                   COUNT(*) FILTER (o_orderstatus = 'P') AS P
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
         "q_rollup_revenue": """
             SELECT n_name, o_orderpriority,
@@ -419,6 +428,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, COUNT(*) AS n FROM (
                 SELECT unnest({_TOKS}) AS token FROM documents
             ) GROUP BY token ORDER BY n DESC, token LIMIT 100
+        """,
+        "q_heavy_hitters": f"""
+            SELECT token, COUNT(*) AS n FROM (
+                SELECT unnest({_TOKS}) AS token FROM documents
+            ) GROUP BY token ORDER BY n DESC, token LIMIT 20
         """,
         "q_quality": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)

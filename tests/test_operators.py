@@ -338,3 +338,25 @@ def test_canonicalization_hot_key_skew(ray_session):
     hot = out[out["surface_norm"] == "aspirin"]
     assert len(hot) == 1 and int(hot["n_mentions"].iloc[0]) == 2000
     assert len(out) == 51
+
+
+def test_heavy_hitters_matches_full_histogram(ray_session):
+    """MG-candidates + exact recount returns exactly the full histogram's
+    top-k even with a tiny counter budget (provable-completeness assert)."""
+    rd = _rd()
+
+    from unsupervised_ner_ray.stages.textstats import heavy_hitters, token_histogram
+
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(300)]
+    weights = 1.0 / (np.arange(1, len(vocab) + 1) ** 1.2)  # zipf-ish
+    weights /= weights.sum()
+    docs = [
+        {"doc_id": i, "text": " ".join(rng.choice(vocab, size=30, p=weights))}
+        for i in range(400)
+    ]
+    ds = rd.from_items(docs).repartition(8)
+    hh = heavy_hitters(ds, k=10, cap=64)
+    full = token_histogram(ds, limit=10).to_pandas()
+    assert hh["token"].tolist() == full["token"].tolist()
+    assert hh["n"].tolist() == full["n"].tolist()

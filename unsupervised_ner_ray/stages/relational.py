@@ -185,6 +185,34 @@ def q_rollup_revenue(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def q_pivot_status(sf_dir: str):
+    """PIVOT (wide reshape): order counts by priority × status.  One C-path
+    groupby over both keys (a few dozen cells), then the reshape is a local
+    pivot of that tiny aggregate — the fact rows never move twice."""
+    orders = read_sf(sf_dir, "orders", columns=["o_orderpriority", "o_orderstatus"])
+    cells = (
+        orders.groupby(["o_orderpriority", "o_orderstatus"])
+        .aggregate(Count(alias_name="n"))
+        .to_pandas()
+    )
+    statuses = ["F", "O", "P"]
+    wide = (
+        cells.pivot_table(
+            index="o_orderpriority", columns="o_orderstatus", values="n", fill_value=0
+        )
+        .reindex(columns=statuses, fill_value=0)
+        .reset_index()
+    )
+    wide.columns.name = None
+    for s in statuses:
+        if s not in wide.columns:
+            wide[s] = 0
+        wide[s] = wide[s].astype("int64")
+    return wide[["o_orderpriority", *statuses]].sort_values(
+        "o_orderpriority"
+    ).reset_index(drop=True)
+
+
 def q_topk_customers(sf_dir: str, k: int = 10):
     """Top-k customers by total order value: groupby-sum then global sort +
     limit (ties broken by custkey for a deterministic boundary)."""

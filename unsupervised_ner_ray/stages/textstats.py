@@ -93,6 +93,82 @@ def token_histogram(docs, limit: int = 100):
     return top
 
 
+def heavy_hitters(docs, k: int = 20, cap: int = 4096):
+    """Exact top-``k`` tokens WITHOUT the full-vocabulary shuffle of
+    :func:`token_histogram` — the 100 TB path when the vocab itself is huge.
+
+    Pass 1: one Misra-Gries summary (``cap`` counters) per batch, merged on
+    the driver (sum counters, decrement by the (cap+1)-th value — MG merge
+    is associative, so at larger scale the merge tree is a map_batches
+    reduction).  Any token with true count > e = (N - sum(kept)) / (cap+1)
+    is guaranteed to survive as a candidate.
+    Pass 2: broadcast the candidate set, exact-recount ONLY candidate rows
+    (a C-path groupby over a few thousand tokens), sort, limit.
+    The result is provably the exact top-k whenever the k-th recounted
+    count exceeds ``e`` (asserted); at ties the (count desc, token asc)
+    order matches the oracle.
+    """
+    from ray.data.aggregate import Sum
+
+    _TOTAL = ""  # reserved key (never a token: _tokens drops empty strings)
+
+    def _mg(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        n = 0
+        for t in batch.column("text").to_pylist():
+            for tok in _tokens(t):
+                n += 1
+                counts[tok] = counts.get(tok, 0) + 1
+        if len(counts) > cap:
+            kth = sorted(counts.values(), reverse=True)[cap]
+            counts = {t: c - kth for t, c in counts.items() if c > kth}
+        counts[_TOTAL] = n
+        items = sorted(counts.items())
+        return pa.table(
+            {
+                "token": pa.array([t for t, _ in items], pa.string()),
+                "c": pa.array([c for _, c in items], pa.int64()),
+            }
+        )
+
+    part = docs.map_batches(_mg, batch_format="pyarrow").to_pandas()
+    merged = part.groupby("token", sort=False)["c"].sum()
+    total_n = int(merged.pop(_TOTAL))
+    if len(merged) > cap:
+        kth = int(np.sort(merged.to_numpy())[::-1][cap])
+        merged = merged[merged > kth] - kth
+    err = (total_n - int(merged.sum())) / (cap + 1)
+    need = frozenset(merged.index.tolist())
+
+    def _recount(batch: pa.Table) -> pa.Table:
+        counts: dict[str, int] = {}
+        for t in batch.column("text").to_pylist():
+            for tok in _tokens(t):
+                if tok in need:
+                    counts[tok] = counts.get(tok, 0) + 1
+        items = sorted(counts.items())
+        return pa.table(
+            {
+                "token": pa.array([t for t, _ in items], pa.string()),
+                "n": pa.array([c for _, c in items], pa.int64()),
+            }
+        )
+    exact = (
+        docs.map_batches(_recount, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort(["n", "token"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    if len(exact) == k:
+        assert float(exact["n"].iloc[-1]) > err, (
+            f"heavy-hitter bound violated (kth={exact['n'].iloc[-1]} <= e={err:.1f}); "
+            "raise cap"
+        )
+    return exact
+
+
 def quality_scores(docs):
     """Per-doc quality features: token count, stopword count, mean token
     length; ratio = n_stopwords / n_tokens (exact IEEE division, no
