@@ -132,6 +132,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_kg_entities(sf_dir: str):
         return canonicalize_mentions(link_mentions(explode_mentions(_tagged(sf_dir))))
 
+    def q_kg_entities_shuffled(sf_dir: str):
+        from unsupervised_ner_ray.stages.kg import link_mentions_shuffled
+
+        return canonicalize_mentions(
+            link_mentions_shuffled(explode_mentions(_tagged(sf_dir)))
+        )
+
     def q_kg_adjacency(sf_dir: str):
         adj = build_adjacency(explode_triples(_tagged(sf_dir)))
         return adj.select_columns(["subj_id", "subj_norm", "degree"])
@@ -229,6 +236,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "q_vocab_merge": lambda sf: textstats.vocab_merge(_docs(sf)),
         "q_heavy_hitters": lambda sf: textstats.heavy_hitters(_docs(sf), k=20),
+        "q_sample_hash": lambda sf: textstats.deterministic_sample(
+            _docs(sf).select_columns(["doc_id", "lang"])
+        ).sort("doc_id"),
         "q_langid": lambda sf: textstats.langid(_docs(sf)),  # heuristic: rows-only
         # dedup family
         "q_exact_dedup": lambda sf: dedup.exact_dedup(_docs(sf)),
@@ -243,6 +253,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_ner_tags": q_ner_tags,
         "q_ner_triples": q_ner_triples,
         "q_kg_entities": q_kg_entities,
+        "q_kg_entities_shuffled": q_kg_entities_shuffled,
         "q_kg_adjacency": q_kg_adjacency,
         "q_media_features": q_media_features,
         "q_media_resize": q_media_resize,
@@ -428,6 +439,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, COUNT(*) AS n FROM (
                 SELECT unnest({_TOKS}) AS token FROM documents
             ) GROUP BY token ORDER BY n DESC, token LIMIT 100
+        """,
+        "q_sample_hash": """
+            SELECT doc_id, lang FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '14'
+            ORDER BY doc_id
         """,
         "q_heavy_hitters": f"""
             SELECT token, COUNT(*) AS n FROM (

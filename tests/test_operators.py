@@ -360,3 +360,35 @@ def test_heavy_hitters_matches_full_histogram(ray_session):
     full = token_histogram(ds, limit=10).to_pandas()
     assert hh["token"].tolist() == full["token"].tolist()
     assert hh["n"].tolist() == full["n"].tolist()
+
+
+def test_link_mentions_shuffled_matches_broadcast(ray_session):
+    """Hash-shuffled entity linking (vocab sharded, never broadcast) agrees
+    row-for-row with the broadcast EntityLinker, including the first-word
+    fallback for multiword surfaces and duplicate-mention multiplicity."""
+    from unsupervised_ner_ray.config import PipelineConfig
+    from unsupervised_ner_ray.pipelines.flagship import docs_dataset_synthetic, run_tagging
+    from unsupervised_ner_ray.stages.kg import link_mentions, link_mentions_shuffled
+    from unsupervised_ner_ray.stages.ner import explode_mentions
+
+    tagged = run_tagging(
+        docs_dataset_synthetic(60, seed=8), PipelineConfig(tagger_concurrency=2)
+    )
+    mentions = explode_mentions(tagged).materialize()
+
+    key = ["doc_id", "span_idx", "surface", "etype", "surface_norm", "eid"]
+
+    def canon(df):
+        df = df.copy()
+        df["linked_types"] = df["linked_types"].map(lambda x: "/".join(x))
+        return (
+            df[key + ["linked_types", "linked"]]
+            .sort_values(key + ["linked_types"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+    a = canon(link_mentions(mentions).to_pandas())
+    b = canon(link_mentions_shuffled(mentions).to_pandas())
+    assert len(a) == len(b) and len(a) > 0
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert a["linked"].any()  # the vocab actually links something here

@@ -67,6 +67,125 @@ def link_mentions(mentions, vocab_ref=None, concurrency: int = 4):
     )
 
 
+def link_mentions_shuffled(mentions, vocab: dict | None = None, num_parts: int = 64):
+    """Entity linking for a vocabulary too large to broadcast: the SURVEY
+    §2.4 "hash shuffle join keyed on normalized surface" path, semantically
+    identical to the broadcast :class:`EntityLinker` (exact surface first,
+    then the first whitespace word that hits).
+
+    Plan: (1) collapse duplicate mention rows with a C-path Count (identical
+    rows link identically); (2) explode each distinct mention into its
+    lookup keys with a precedence index (surface_norm=0, word_i=i+1);
+    (3) co-partition key rows AND vocab rows on hash(key) and resolve each
+    partition with a local dict — vocab is sharded across partitions, never
+    replicated; (4) regroup per mention, take the lowest-precedence hit, and
+    re-expand the duplicate multiplicity.  Three bounded shuffles, no
+    driver-side vocab.
+    """
+    import numpy as np
+
+    from ray.data.aggregate import Count
+
+    from .grouping import partitioned_map_groups
+
+    if vocab is None:
+        from ..assets import build_vocab
+
+        vocab = build_vocab()
+
+    ident = ["doc_id", "span_idx", "surface", "etype", "surface_norm", "eid"]
+    distinct = mentions.groupby(ident).aggregate(Count(alias_name="n_copies"))
+
+    def _explode_keys(t: pa.Table) -> pa.Table:
+        df = t.to_pandas()
+        rows = {c: [] for c in [*ident, "n_copies", "key", "prio"]}
+        for rec in df.itertuples(index=False):
+            d = rec._asdict()
+            keys = [(d["surface_norm"], 0)]
+            if " " in d["surface_norm"]:
+                keys += [(w, i + 1) for i, w in enumerate(d["surface_norm"].split())]
+            for key, prio in keys:
+                for c in ident:
+                    rows[c].append(d[c])
+                rows["n_copies"].append(d["n_copies"])
+                rows["key"].append(key)
+                rows["prio"].append(prio)
+        out = pa.table(rows)
+        return out.set_column(
+            out.schema.get_field_index("prio"),
+            "prio",
+            pa.array(rows["prio"], pa.int64()),
+        )
+
+    keyrows = distinct.map_batches(_explode_keys, batch_format="pyarrow")
+
+    import ray.data as rd
+
+    vocab_df = pd.DataFrame(
+        {
+            "key": list(vocab.keys()),
+            "types_joined": ["/".join(v[0]) for v in vocab.values()],
+        }
+    )
+    vocab_ds = rd.from_pandas(vocab_df)
+
+    def _tag_part(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df["key"], index=False)
+        df = df.copy()
+        df["part"] = (h % num_parts).astype("int32")
+        return df
+
+    def _vocab_shape(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        for c in ident:
+            out[c] = "" if c != "span_idx" else 0
+        out["n_copies"] = 0  # marks a vocab row
+        out["prio"] = -1
+        return out[[*ident, "n_copies", "key", "prio", "types_joined", "part"]]
+
+    km = keyrows.map_batches(_tag_part, batch_format="pandas").map_batches(
+        lambda df: df.assign(types_joined=""), batch_format="pandas"
+    )
+    vm = vocab_ds.map_batches(_tag_part, batch_format="pandas").map_batches(
+        _vocab_shape, batch_format="pandas"
+    )
+
+    def _resolve(part: pd.DataFrame) -> pd.DataFrame:
+        voc = part[part["n_copies"] == 0]
+        men = part[part["n_copies"] > 0]
+        if men.empty:
+            return pd.DataFrame(
+                columns=[*ident, "n_copies", "prio", "types_joined", "hit"]
+            ).astype({"span_idx": "int64", "n_copies": "int64", "prio": "int64", "hit": "bool"})
+        lut = dict(zip(voc["key"], voc["types_joined"]))
+        men = men.copy()
+        men["types_joined"] = men["key"].map(lambda k: lut.get(k))
+        men["hit"] = men["types_joined"].notna()
+        return men[[*ident, "n_copies", "prio", "types_joined", "hit"]]
+
+    resolved = (
+        km.union(vm)
+        .groupby("part")
+        .map_groups(_resolve, batch_format="pandas")
+    )
+
+    def _pick(g: pd.DataFrame) -> pd.DataFrame:
+        hits = g[g["hit"]].sort_values("prio")
+        if len(hits):
+            tj = hits["types_joined"].iloc[0]
+            types = tj.split("/") if tj else []
+            linked = True
+        else:
+            types, linked = [], False
+        n = int(g["n_copies"].iloc[0])
+        base = {c: [g[c].iloc[0]] * n for c in ident}
+        base["linked_types"] = [types] * n
+        base["linked"] = [linked] * n
+        return pd.DataFrame(base)
+
+    return partitioned_map_groups(resolved, ident, _pick, num_parts=num_parts)
+
+
 def canonicalize_mentions(
     mentions, config: PipelineConfig = DEFAULT_CONFIG
 ):

@@ -93,6 +93,25 @@ def token_histogram(docs, limit: int = 100):
     return top
 
 
+def deterministic_sample(docs, hex_cutoff: str = "14"):
+    """Deterministic, seedless row sampling by content hash: keep rows whose
+    ``md5(doc_id)`` starts below ``hex_cutoff`` ("14" ~ 8%).  Unlike
+    ``random_sample`` this is reproducible across runs/engines/nodes (the
+    oracle computes the identical predicate in SQL), composable (same rows
+    selected in every pipeline that uses the same cutoff), and streaming —
+    a pure map_batches filter, no shuffle, no coordination."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        mask = pa.array(
+            [hashlib.md5(str(d).encode()).hexdigest()[:2] < hex_cutoff for d in ids],
+            pa.bool_(),
+        )
+        return batch.filter(mask)
+
+    return docs.map_batches(_f, batch_format="pyarrow")
+
+
 def heavy_hitters(docs, k: int = 20, cap: int = 4096):
     """Exact top-``k`` tokens WITHOUT the full-vocabulary shuffle of
     :func:`token_histogram` — the 100 TB path when the vocab itself is huge.
