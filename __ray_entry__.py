@@ -139,6 +139,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             link_mentions_shuffled(explode_mentions(_tagged(sf_dir)))
         )
 
+    def q_kg_pagerank(sf_dir: str):
+        from unsupervised_ner_ray.stages.kg import pagerank
+
+        return pagerank(explode_triples(_tagged(sf_dir)), iters=20)
+
     def q_kg_adjacency(sf_dir: str):
         adj = build_adjacency(explode_triples(_tagged(sf_dir)))
         return adj.select_columns(["subj_id", "subj_norm", "degree"])
@@ -236,6 +241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "q_vocab_merge": lambda sf: textstats.vocab_merge(_docs(sf)),
         "q_heavy_hitters": lambda sf: textstats.heavy_hitters(_docs(sf), k=20),
+        "q_top_tfidf": lambda sf: textstats.top_tfidf_terms(_docs(sf)),
         "q_sample_hash": lambda sf: textstats.deterministic_sample(
             _docs(sf).select_columns(["doc_id", "lang"])
         ).sort("doc_id"),
@@ -255,6 +261,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_kg_entities": q_kg_entities,
         "q_kg_entities_shuffled": q_kg_entities_shuffled,
         "q_kg_adjacency": q_kg_adjacency,
+        "q_kg_pagerank": q_kg_pagerank,  # iterative: rows-only
         "q_media_features": q_media_features,
         "q_media_resize": q_media_resize,
     }
@@ -439,6 +446,25 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, COUNT(*) AS n FROM (
                 SELECT unnest({_TOKS}) AS token FROM documents
             ) GROUP BY token ORDER BY n DESC, token LIMIT 100
+        """,
+        "q_top_tfidf": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+            ), tf AS (
+                SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+            ), df AS (
+                SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+            ), ranked AS (
+                SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                       tf.tf * 1000000 // df.df AS score,
+                       row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf.tf * 1000000 // df.df DESC, tf.token
+                       ) AS rn
+                FROM tf JOIN df USING (token)
+            )
+            SELECT doc_id, token, tf, df, score FROM ranked WHERE rn = 1
+            ORDER BY doc_id
         """,
         "q_sample_hash": """
             SELECT doc_id, lang FROM documents

@@ -392,3 +392,38 @@ def test_link_mentions_shuffled_matches_broadcast(ray_session):
     assert len(a) == len(b) and len(a) > 0
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
     assert a["linked"].any()  # the vocab actually links something here
+
+
+def test_pagerank_on_known_graph(ray_session):
+    """Cycle graph -> uniform ranks; star graph -> hub dominates; ranks sum
+    to 1 and match a local numpy power iteration exactly."""
+    rd = _rd()
+
+    from unsupervised_ner_ray.stages.kg import pagerank
+
+    edges = [("a", "b"), ("b", "c"), ("c", "a")]
+    ds = rd.from_items([{"subj_id": s, "obj_id": o} for s, o in edges])
+    out = pagerank(ds, iters=50).to_pandas().set_index("node_id")
+    assert abs(out["rank"].sum() - 1.0) < 1e-9
+    assert np.allclose(out["rank"], 1 / 3, atol=1e-9)
+
+    star = [(f"u{i}", "hub") for i in range(6)] + [("hub", "u0")]
+    ds2 = rd.from_items([{"subj_id": s, "obj_id": o} for s, o in star])
+    out2 = pagerank(ds2, iters=60).to_pandas().set_index("node_id")
+    assert abs(out2["rank"].sum() - 1.0) < 1e-9
+    assert out2["rank"].idxmax() == "hub"
+    # local reference power iteration (same dangling/damping scheme)
+    nodes = sorted(out2.index)
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for s, o in star:
+        outdeg[idx[s]] += 1
+    r = np.full(n, 1 / n)
+    for _ in range(60):
+        w = r / np.maximum(outdeg, 1.0)
+        c = np.zeros(n)
+        for s, o in star:
+            c[idx[o]] += w[idx[s]]
+        r = 0.15 / n + 0.85 * (c + r[outdeg == 0].sum() / n)
+    assert np.allclose(out2.loc[nodes, "rank"].to_numpy(), r, atol=1e-12)

@@ -67,6 +67,79 @@ def link_mentions(mentions, vocab_ref=None, concurrency: int = 4):
     )
 
 
+def pagerank(triples, damping: float = 0.85, iters: int = 20, tol: float = 1e-12):
+    """PageRank over the (subj_id -> obj_id) triple edges by power
+    iteration: each iteration is ONE streaming pass over the edge dataset —
+    per-batch contributions are pre-summed per destination (a combiner), the
+    rank vector (one float per ENTITY, orders of magnitude smaller than the
+    edges) rides the object store via ``ray.put``, and the node-sized merge
+    happens on the driver (swap for a groupby-sum reduce when the entity
+    count outgrows one machine).  Dangling mass is redistributed uniformly.
+    Returns a Dataset (node_id, rank); ranks sum to 1.
+    """
+    import numpy as np
+    import ray.data as rd
+
+    from ray.data.aggregate import Count
+
+    edges_pd_ids = (
+        triples.map_batches(
+            lambda t: pa.table(
+                {"node_id": pa.concat_arrays(
+                    [t.column("subj_id").combine_chunks(), t.column("obj_id").combine_chunks()]
+                )}
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("node_id")
+        .aggregate(Count(alias_name="_n"))
+        .to_pandas()
+    )
+    node_ids = sorted(edges_pd_ids["node_id"].tolist())
+    n = len(node_ids)
+    if n == 0:
+        return rd.from_pandas(pd.DataFrame({"node_id": [], "rank": []}))
+    idx = {v: i for i, v in enumerate(node_ids)}
+    idx_ref = ray.put(idx)
+
+    def _encode(t: pa.Table) -> pa.Table:
+        m = ray.get(idx_ref)
+        s = [m[v] for v in t.column("subj_id").to_pylist()]
+        o = [m[v] for v in t.column("obj_id").to_pylist()]
+        return pa.table(
+            {"s": pa.array(s, pa.int64()), "o": pa.array(o, pa.int64())}
+        )
+
+    enc = triples.map_batches(_encode, batch_format="pyarrow").materialize()
+    outdeg = np.zeros(n, dtype=np.float64)
+    for b in enc.iter_batches(batch_format="pyarrow"):
+        np.add.at(outdeg, b.column("s").to_numpy(), 1.0)
+
+    rank = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        rank_ref = ray.put(rank / np.maximum(outdeg, 1.0))
+
+        def _contrib(t: pa.Table) -> pa.Table:
+            w = ray.get(rank_ref)
+            acc = np.zeros(n, dtype=np.float64)
+            np.add.at(acc, t.column("o").to_numpy(), w[t.column("s").to_numpy()])
+            nz = np.nonzero(acc)[0]
+            return pa.table(
+                {"i": pa.array(nz, pa.int64()), "v": pa.array(acc[nz], pa.float64())}
+            )
+
+        parts = enc.map_batches(_contrib, batch_format="pyarrow").to_pandas()
+        contrib = np.zeros(n, dtype=np.float64)
+        np.add.at(contrib, parts["i"].to_numpy(), parts["v"].to_numpy())
+        dangling = float(rank[outdeg == 0].sum())
+        new = (1.0 - damping) / n + damping * (contrib + dangling / n)
+        delta = float(np.abs(new - rank).sum())
+        rank = new
+        if delta < tol:
+            break
+    return rd.from_pandas(pd.DataFrame({"node_id": node_ids, "rank": rank}))
+
+
 def link_mentions_shuffled(mentions, vocab: dict | None = None, num_parts: int = 64):
     """Entity linking for a vocabulary too large to broadcast: the SURVEY
     §2.4 "hash shuffle join keyed on normalized surface" path, semantically

@@ -26,6 +26,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 
 # tiny per-language stopword profiles for the heuristic language ID; the
 # quality stopword set mirrors the SQL oracle's inline list
@@ -91,6 +92,89 @@ def token_histogram(docs, limit: int = 100):
     agg = partials.groupby("token").aggregate(Sum("n", alias_name="n"))
     top = agg.sort(["n", "token"], descending=[True, False]).limit(limit)
     return top
+
+
+def top_tfidf_terms(docs, scale: int = 1_000_000):
+    """Per-document top term by an integer tf-idf variant:
+    ``score = tf * scale // df`` (document frequency).  Integer arithmetic
+    keeps ranking bit-exact across engines — float ``ln`` idf can flip an
+    argmax at the last ulp between libm implementations, which would break
+    the oracle hash (ties break by token asc on both sides).
+
+    Two stages: df via distinct (token, doc) pairs collapsed per batch then
+    one C-path Count groupby; scoring via a broadcast df map over a second
+    streaming pass (at vocabularies beyond broadcast size, ship df as a
+    dataset and reuse the hash-join path instead).
+    Output: doc_id, token, tf, df, score.
+    """
+    from ray.data.aggregate import Count
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        seen = set()
+        for d, t in zip(
+            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+        ):
+            for tok in set(_tokens(t)):
+                seen.add((tok, d))
+        items = sorted(seen)
+        return pa.table(
+            {
+                "token": pa.array([a for a, _ in items], pa.string()),
+                "doc_id": pa.array([b for _, b in items]),
+            }
+        )
+
+    df_pd = (
+        docs.map_batches(_pairs, batch_format="pyarrow")
+        .groupby(["token", "doc_id"])
+        .aggregate(Count(alias_name="_n"))
+        .groupby("token")
+        .aggregate(Count(alias_name="df"))
+        .to_pandas()
+    )
+    df_map = dict(zip(df_pd["token"], df_pd["df"].astype(int)))
+    df_ref = ray.put(df_map)
+
+    class Scorer:
+        def __init__(self):
+            self.df = ray.get(df_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = {"doc_id": [], "token": [], "tf": [], "df": [], "score": []}
+            for d, t in zip(
+                batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
+            ):
+                counts: dict[str, int] = {}
+                for tok in _tokens(t):
+                    counts[tok] = counts.get(tok, 0) + 1
+                best = None
+                for tok in counts:
+                    dfv = self.df[tok]
+                    sc = counts[tok] * scale // dfv
+                    cand = (-sc, tok)
+                    if best is None or cand < best:
+                        best = cand
+                if best is None:
+                    continue
+                tok = best[1]
+                out["doc_id"].append(d)
+                out["token"].append(tok)
+                out["tf"].append(counts[tok])
+                out["df"].append(self.df[tok])
+                out["score"].append(-best[0])
+            return pa.table(
+                {
+                    "doc_id": pa.array(out["doc_id"]),
+                    "token": pa.array(out["token"], pa.string()),
+                    "tf": pa.array(out["tf"], pa.int64()),
+                    "df": pa.array(out["df"], pa.int64()),
+                    "score": pa.array(out["score"], pa.int64()),
+                }
+            )
+
+    return docs.map_batches(Scorer, batch_format="pyarrow", concurrency=(1, 4)).sort(
+        "doc_id"
+    )
 
 
 def deterministic_sample(docs, hex_cutoff: str = "14"):
