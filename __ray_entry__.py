@@ -227,6 +227,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_asof_shuffled": joins.q_asof_last_order_shuffled,
         "q_topk_customers": relational.q_topk_customers,
         "q_anti_join_customers": relational.q_anti_join_customers,
+        "q_semi_join_customers": relational.q_semi_join_customers,
+        "q3_shipping_priority": relational.q3_shipping_priority,
         "q_union_distinct_names": relational.q_union_distinct_names,
         "q_events_window": relational.q_events_tumbling_window,
         "q_events_sliding_window": relational.q_events_sliding_window,
@@ -395,6 +397,22 @@ def oracle_sql() -> dict[str, str]:
                 WHERE o_orderdate >= TIMESTAMP '2000-01-01'
             )
             ORDER BY c_custkey
+        """,
+        "q_semi_join_customers": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (
+                SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+            )
+            ORDER BY c_custkey
+        """,
+        "q3_shipping_priority": """
+            SELECT o.o_orderkey, o.o_orderpriority, l.revenue_cents FROM (
+                SELECT l_orderkey,
+                       CAST(SUM(CAST(FLOOR(l_extendedprice*(1-l_discount)*100) AS BIGINT)) AS BIGINT) AS revenue_cents
+                FROM lineitem GROUP BY l_orderkey
+            ) l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE o.o_custkey < 500
+            ORDER BY l.revenue_cents DESC, o.o_orderkey LIMIT 10
         """,
         "q_union_distinct_names": """
             SELECT DISTINCT name FROM (

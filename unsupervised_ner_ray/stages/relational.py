@@ -254,6 +254,85 @@ def q_anti_join_customers(sf_dir: str, since: str = "2000-01-01"):
     return cust.map_batches(AntiFilter, batch_format="pyarrow", concurrency=(1, 2)).sort("c_custkey")
 
 
+def q_semi_join_customers(sf_dir: str, status: str = "P"):
+    """SEMI join: customers that HAVE at least one order with the given
+    status — broadcast the qualifying key set (pc.is_in, vectorized), never
+    shuffling or widening the big side."""
+    odf = read_sf(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"]).to_pandas()
+    keys = np.sort(odf.loc[odf["o_orderstatus"] == status, "o_custkey"].unique())
+    keys_ref = ray.put(keys)
+
+    class SemiFilter:
+        def __init__(self):
+            self.keys = pa.array(ray.get(keys_ref))
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t.column("c_custkey"), value_set=self.keys))
+
+    cust = read_sf(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return cust.map_batches(
+        SemiFilter, batch_format="pyarrow", concurrency=(1, 2)
+    ).sort("c_custkey")
+
+
+def q3_shipping_priority(sf_dir: str, segment_cut: int = 500, num_partitions: int = 16):
+    """TPC-H Q3-shaped multi-way join: revenue of each order placed by a
+    'small' customer (custkey < cut), per order + priority, top-10 by
+    revenue.  Composition: broadcast customer filter on orders (semi join)
+    -> hash join to the per-order lineitem combiner aggregate -> sort+limit.
+    The lineitem fact table is touched exactly once."""
+    li = read_sf(sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+        return pa.table(
+            {"l_orderkey": t.column("l_orderkey"), "rev_cents": _to_cents(rev)}
+        )
+
+    per_order = (
+        li.map_batches(_prep, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev_cents", alias_name="revenue_cents"))
+    )
+
+    cust = read_sf(sf_dir, "customer", columns=["c_custkey"]).to_pandas()
+    small = pa.array(np.sort(cust.loc[cust["c_custkey"] < segment_cut, "c_custkey"].to_numpy()))
+    small_ref = ray.put(small)
+
+    class OrderFilter:
+        def __init__(self):
+            self.keys = ray.get(small_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keep = t.filter(pc.is_in(t.column("o_custkey"), value_set=self.keys))
+            return pa.table(
+                {
+                    "o_orderkey": keep.column("o_orderkey"),
+                    "o_orderpriority": keep.column("o_orderpriority"),
+                }
+            )
+
+    orders = read_sf(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderpriority"]
+    ).map_batches(OrderFilter, batch_format="pyarrow", concurrency=(1, 2))
+
+    joined = orders.join(
+        per_order,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("o_orderkey",),
+        right_on=("l_orderkey",),
+    )
+    return (
+        joined.select_columns(["o_orderkey", "o_orderpriority", "revenue_cents"])
+        .sort(["revenue_cents", "o_orderkey"], descending=[True, False])
+        .limit(10)
+    )
+
+
 def q_union_distinct_names(sf_dir: str):
     """region names UNION nation names, distinct, sorted."""
     r = read_sf(sf_dir, "region", columns=["r_name"]).map_batches(
