@@ -91,7 +91,7 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
     names = [n for n in (only or list(oracles)) if n in oracles]
     for name in names:
         if name not in qs:
-            print(f"[MISS] {name}: no queries() entry")
+            print(f"[MISS] {name}: no queries() entry", flush=True)
             failed += 1
             continue
         try:
@@ -101,13 +101,13 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
             hard = [p for p in problems if not p.startswith("dtype note")]
             if hard:
                 failed += 1
-                print(f"[FAIL] {name}: " + "; ".join(problems))
+                print(f"[FAIL] {name}: " + "; ".join(problems), flush=True)
             else:
                 extra = "; ".join(p for p in problems if p.startswith("dtype note"))
-                print(f"[ OK ] {name} rows={len(eng)}" + (f"  ({extra})" if extra else ""))
+                print(f"[ OK ] {name} rows={len(eng)}" + (f"  ({extra})" if extra else ""), flush=True)
         except Exception as e:  # noqa: BLE001
             failed += 1
-            print(f"[ERR ] {name}: {type(e).__name__}: {e}")
+            print(f"[ERR ] {name}: {type(e).__name__}: {e}", flush=True)
     # rows-only entries: just execute
     for name in qs:
         if name in oracles:
@@ -116,15 +116,15 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
             continue
         try:
             eng = to_pandas(qs[name](sf_dir))
-            print(f"[ROWS] {name} rows={len(eng)}")
+            print(f"[ROWS] {name} rows={len(eng)}", flush=True)
         except Exception as e:  # noqa: BLE001
             failed += 1
-            print(f"[ERR ] {name}: {type(e).__name__}: {e}")
-    print("FAILED" if failed else "ALL OK", failed)
+            print(f"[ERR ] {name}: {type(e).__name__}: {e}", flush=True)
+    print("FAILED" if failed else "ALL OK", failed, flush=True)
     return failed
 
 
 if __name__ == "__main__":
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = sys.argv[2].split(",") if len(sys.argv) > 2 else None
-    raise SystemExit(main(sf, only))
+    extra = [n for a in sys.argv[2:] for n in a.split(",")]
+    raise SystemExit(main(sf, extra or None))
