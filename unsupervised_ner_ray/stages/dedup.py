@@ -160,7 +160,9 @@ def minhash_lsh_pairs(
             }
         )
 
-    buckets = sigs.map_batches(_explode, batch_format="pyarrow")
+    # materialized: consumed twice (partial counts, then the survivor scan) —
+    # without pinning, each consumer would re-run the band-hash fold
+    buckets = sigs.map_batches(_explode, batch_format="pyarrow").materialize()
 
     # Bucket keys are int64 hashes: per-block PARTIAL counts (np.unique — a
     # combiner) are a few bytes per distinct key, so the duplicate-key set is
@@ -194,11 +196,7 @@ def minhash_lsh_pairs(
     # of the corpus — so pair generation is a local pandas groupby on the
     # driver.  (If survivors were ever huge: same _pairs per group via
     # .groupby("band_hash").map_groups — the distributed form of this step.)
-    surv = (
-        sigs.map_batches(_explode, batch_format="pyarrow")
-        .map_batches(_keep_dup, batch_format="pyarrow")
-        .to_pandas()
-    )
+    surv = buckets.map_batches(_keep_dup, batch_format="pyarrow").to_pandas()
     pair_rows: list[tuple] = []
     for _, g in surv.groupby("band_hash", sort=False):
         ids = sorted(set(g["doc_id"]))
@@ -214,12 +212,6 @@ def minhash_lsh_pairs(
         import ray.data as rd
 
         return rd.from_pandas(pd.DataFrame({"a": [], "b": [], "est_jaccard": []}))
-    if len(cand) == 0:
-        import ray.data as rd
-
-        return rd.from_pandas(
-            pd.DataFrame({"a": [], "b": [], "est_jaccard": []})
-        )
     # verification: signatures of exactly the candidate ids (candidates are
     # rare by construction; for adversarial corpora hash-join pairs to the
     # signature table instead)
@@ -346,7 +338,9 @@ def ngram_jaccard_verify(docs, candidate_pairs, shingle_k: int = 3):
 
     cand_pd = candidate_pairs.to_pandas()
     if len(cand_pd) == 0:
-        return candidate_pairs
+        return ray.data.from_pandas(
+            pd.DataFrame({"a": [], "b": [], "jaccard": []})
+        )
 
     need = set(cand_pd["a"]) | set(cand_pd["b"])
 
@@ -395,6 +389,14 @@ def embedding_neardup_pairs(embeds, threshold: float = 0.95, planes: int = 16, s
             self.rng_planes = None
 
         def __call__(self, batch: pa.Table) -> pa.Table:
+            if len(batch) == 0:
+                return pa.table(
+                    {
+                        "vec_id": batch.column("vec_id"),
+                        "bucket": pa.array([], pa.int64()),
+                        "normed": pa.array([], pa.list_(pa.float64())),
+                    }
+                )
             emb = np.array(batch.column("embedding").to_pylist(), dtype=np.float64)
             if self.rng_planes is None:
                 rng = np.random.RandomState(seed)

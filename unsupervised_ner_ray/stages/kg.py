@@ -15,8 +15,10 @@ Shuffle discipline (SURVEY.md §7):
 
 from __future__ import annotations
 
+import os
 import zlib
 
+import numpy as np
 import pandas as pd
 import pyarrow as pa
 import ray
@@ -289,11 +291,18 @@ def canonicalize_mentions(
             .size()
             .reset_index(name="n")
         )
-        # stable across worker processes (builtin hash is PYTHONHASHSEED-salted)
-        g["salt"] = g["surface_norm"].map(
-            lambda s: zlib.crc32(s.encode()) % salt_buckets
-        ).astype("int32")
+        # salt must NOT be a pure function of the key (that would send every
+        # partial of a hot surface to the same reducer anyway): it varies per
+        # BATCH, so a head surface's partials from different batches land in
+        # different (key, salt) buckets and merge in two steps.  Which bucket
+        # a partial lands in never affects the final sums.
+        _combine.batch_no += 1
+        g["salt"] = np.int32(
+            (zlib.crc32(str(os.getpid()).encode()) + _combine.batch_no) % salt_buckets
+        )
         return pa.Table.from_pandas(g, preserve_index=False)
+
+    _combine.batch_no = 0
 
     # partials are pre-aggregated (distinct keys per batch) and therefore
     # small; coalesce before the shuffle so the reduce stage doesn't fan out
@@ -372,5 +381,5 @@ def build_adjacency(triples, reduce_partitions: int = 8):
     from .grouping import partitioned_map_groups
 
     return partitioned_map_groups(
-        triples, "subj_id", _adj, num_parts=max(16, reduce_partitions)
+        triples, "subj_id", _adj, num_parts=reduce_partitions
     )

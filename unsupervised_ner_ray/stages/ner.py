@@ -204,16 +204,29 @@ class SingleModelTagger:
         spans_json = []
         for spans in batch.column("spans").to_pylist():
             row = {}
+            quar = []
             for span_idx, span in enumerate(spans or []):
                 if span["kind"] != "text" or not span["text"] or not span["text"].strip():
                     continue
-                res = tag_sentence(
-                    span["text"], self.backend, self.emap,
-                    self.config.suppress_untagged, self.config.common_descs,
-                    self.config.aggregation_variant,
-                )
+                try:
+                    res = tag_sentence(
+                        span["text"], self.backend, self.emap,
+                        self.config.suppress_untagged, self.config.common_descs,
+                        self.config.aggregation_variant,
+                    )
+                except Exception as exc:  # noqa: BLE001
+                    # same row-level poison-pill contract as NerTagger: the
+                    # bad sentence rides the quarantine side-channel through
+                    # the join instead of failing the whole job
+                    quar.append(
+                        {
+                            "span_idx": span_idx,
+                            "error": f"{self.model_name}: {type(exc).__name__}: {exc}"[:500],
+                        }
+                    )
+                    continue
                 row[span_idx] = res["result"]
-            results_col.append(json.dumps(row))
+            results_col.append(json.dumps({"r": row, "q": quar}))
             if self.model_name == "bio":
                 spans_json.append(json.dumps(spans or []))
         # nested payloads cross the join as JSON strings: Acero hash joins
@@ -265,6 +278,7 @@ def tag_documents_split(
         from ..functions.kg import extract_entity_spans, extract_triples
 
         ner_rows, triple_rows, mention_rows, harvest_rows = [], [], [], []
+        quarantine_rows = []
         spans_col = []
         for spans_j, bio_j, phi_j in zip(
             batch.column("spans_json").to_pylist(),
@@ -273,10 +287,15 @@ def tag_documents_split(
         ):
             spans = json.loads(spans_j)
             spans_col.append(spans)
-            bio_by_idx = {int(k): v for k, v in json.loads(bio_j).items()}
-            phi_by_idx = {int(k): v for k, v in json.loads(phi_j).items()}
+            bio_env = json.loads(bio_j)
+            phi_env = json.loads(phi_j)
+            bio_by_idx = {int(k): v for k, v in bio_env["r"].items()}
+            phi_by_idx = {int(k): v for k, v in phi_env["r"].items()}
+            quarantine_rows.append(bio_env["q"] + phi_env["q"])
             ner_r, triple_r, mention_r, harvest_r = [], [], [], []
             for span_idx in sorted(bio_by_idx):
+                if span_idx not in phi_by_idx:
+                    continue  # quarantined on the phi side
                 rb, rp = bio_by_idx[span_idx], phi_by_idx[span_idx]
                 ens = ensemble_processing([rb, rp], SERVERS_CONFIG)
                 n = len(ens["ensembled_ner"])
@@ -324,9 +343,7 @@ def tag_documents_split(
                 "triples": pa.array(triple_rows, pa.list_(TRIPLE_STRUCT)),
                 "mentions": pa.array(mention_rows, pa.list_(MENTION_STRUCT)),
                 "harvest": pa.array(harvest_rows, pa.list_(HARVEST_STRUCT)),
-                "quarantine": pa.array(
-                    [[] for _ in range(batch.num_rows)], pa.list_(QUARANTINE_STRUCT)
-                ),
+                "quarantine": pa.array(quarantine_rows, pa.list_(QUARANTINE_STRUCT)),
             }
         )
 

@@ -244,11 +244,12 @@ def q_anti_join_customers(sf_dir: str, since: str = "2000-01-01"):
 
     class AntiFilter:
         def __init__(self):
-            self.keys = ray.get(keys_ref)
+            self.keys = pa.array(sorted(ray.get(keys_ref)))
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            mask = [k not in self.keys for k in t.column("c_custkey").to_pylist()]
-            return t.filter(pa.array(mask, pa.bool_()))
+            return t.filter(
+                pc.invert(pc.is_in(t.column("c_custkey"), value_set=self.keys))
+            )
 
     cust = read_sf(sf_dir, "customer", columns=["c_custkey", "c_name"])
     return cust.map_batches(AntiFilter, batch_format="pyarrow", concurrency=(1, 2)).sort("c_custkey")
@@ -420,12 +421,20 @@ def q_sessionize(sf_dir: str, gap_s: int = 1800):
     Ordering assumption: all events of one user fit one group (holds at any
     scale where per-user event counts are bounded; hot users would be chunked
     by time range first)."""
-    ev = read_sf(sf_dir, "events", columns=["user_id", "ts"])
+    # cast to int64 microseconds on the ARROW side: a pandas datetime64
+    # column's .astype('int64') unit follows the frame's resolution (ns under
+    # pandas 1.x), which would compare nanoseconds against a microsecond gap
+    ev = read_sf(sf_dir, "events", columns=["user_id", "ts"]).map_batches(
+        lambda t: pa.table(
+            {"user_id": t.column("user_id"), "ts_us": pc.cast(t.column("ts"), pa.int64())}
+        ),
+        batch_format="pyarrow",
+    )
 
     def _sess(g: pd.DataFrame) -> pd.DataFrame:
         # microsecond domain end-to-end (the SQL oracle uses epoch_us) so a
         # sub-second component can never flip a gap comparison
-        ts = g["ts"].sort_values().astype("int64")
+        ts = g["ts_us"].sort_values()
         gaps = ts.diff().fillna(0)
         n_sessions = int(1 + (gaps > gap_s * 1_000_000).sum()) if len(ts) else 0
         return pd.DataFrame(

@@ -38,6 +38,14 @@ class _TopKScorer:
         self.k = k
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:  # e.g. an IVF-pruned block with no probed rows
+            return pa.table(
+                {
+                    "query_idx": pa.array([], pa.int32()),
+                    "vec_id": pa.array([], pa.int64()),
+                    "cosine": pa.array([], pa.float64()),
+                }
+            )
         emb = _list_col_to_matrix(batch.column("embedding"))
         ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
         normed = emb / np.maximum(np.linalg.norm(emb, axis=1)[:, None], 1e-12)
