@@ -427,3 +427,37 @@ def test_pagerank_on_known_graph(ray_session):
             c[idx[o]] += w[idx[s]]
         r = 0.15 / n + 0.85 * (c + r[outdeg == 0].sum() / n)
     assert np.allclose(out2.loc[nodes, "rank"].to_numpy(), r, atol=1e-12)
+
+
+def test_partitioned_map_groups_semantics(ray_session):
+    """partitioned_map_groups == groupby().map_groups(): groups never split
+    across partitions, per-group fn sees whole groups, empty fn outputs drop."""
+    rd = _rd()
+
+    from unsupervised_ner_ray.stages.grouping import partitioned_map_groups
+
+    rng = np.random.default_rng(5)
+    rows = [
+        {"k": f"key{int(i)}", "v": int(v)}
+        for i, v in zip(rng.integers(0, 40, 500), rng.integers(0, 100, 500))
+    ]
+    ds = rd.from_items(rows).repartition(8)
+
+    def agg(g):
+        if g["v"].sum() % 2 == 1:  # some groups emit nothing
+            return pd.DataFrame({"k": [], "total": [], "cnt": []})
+        return pd.DataFrame(
+            {"k": [g["k"].iloc[0]], "total": [int(g["v"].sum())], "cnt": [len(g)]}
+        )
+
+    got = (
+        partitioned_map_groups(ds, "k", agg, num_parts=7)
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    ref = pd.DataFrame(rows).groupby("k", as_index=False).agg(total=("v", "sum"), cnt=("v", "size"))
+    ref = ref[ref["total"] % 2 == 0].sort_values("k").reset_index(drop=True)
+    assert got["k"].tolist() == ref["k"].tolist()
+    assert got["total"].astype(int).tolist() == ref["total"].astype(int).tolist()
+    assert got["cnt"].astype(int).tolist() == ref["cnt"].astype(int).tolist()
