@@ -228,6 +228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_topk_customers": relational.q_topk_customers,
         "q_anti_join_customers": relational.q_anti_join_customers,
         "q_semi_join_customers": relational.q_semi_join_customers,
+        "q_semi_join_bloom": relational.q_semi_join_bloom,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q_union_distinct_names": relational.q_union_distinct_names,
         "q_events_window": relational.q_events_tumbling_window,
@@ -399,6 +400,13 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY c_custkey
         """,
         "q_semi_join_customers": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey IN (
+                SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+            )
+            ORDER BY c_custkey
+        """,
+        "q_semi_join_bloom": """
             SELECT c_custkey, c_name FROM customer
             WHERE c_custkey IN (
                 SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'

@@ -461,3 +461,18 @@ def test_partitioned_map_groups_semantics(ray_session):
     assert got["k"].tolist() == ref["k"].tolist()
     assert got["total"].astype(int).tolist() == ref["total"].astype(int).tolist()
     assert got["cnt"].astype(int).tolist() == ref["cnt"].astype(int).tolist()
+
+
+def test_bloom_prefilter_selectivity(ray_session):
+    """The Bloom stage passes all true members and (at 128 KiB / k=4) almost
+    no non-members, so the verify step sees a tiny candidate set."""
+    from unsupervised_ner_ray.stages.relational import _BLOOM_BITS, _bloom_positions
+
+    rng = np.random.default_rng(9)
+    members = rng.choice(10_000_000, size=50_000, replace=False)
+    non_members = np.setdiff1d(rng.choice(10_000_000, size=50_000, replace=False), members)
+    bits = np.zeros(_BLOOM_BITS, dtype=bool)
+    bits[_bloom_positions(members).reshape(-1)] = True
+    assert bits[_bloom_positions(members)].all(axis=0).all()  # zero false negatives
+    fp = bits[_bloom_positions(non_members)].all(axis=0).mean()
+    assert fp < 0.01, fp

@@ -276,6 +276,81 @@ def q_semi_join_customers(sf_dir: str, status: str = "P"):
     ).sort("c_custkey")
 
 
+_BLOOM_BITS = 1 << 20  # 128 KiB of filter for ~65k keys at k=4 -> fp ~1e-4
+
+
+def _bloom_positions(keys: np.ndarray, m: int = _BLOOM_BITS, k: int = 4) -> np.ndarray:
+    """Vectorized double-hashed bit positions, shape (k, n): pure uint64
+    arithmetic — deterministic across processes, no Python per key."""
+    def _splitmix(z: np.ndarray) -> np.ndarray:  # well-mixed low bits
+        z = z + np.uint64(0x9E3779B97F4A7C15)
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+    x = keys.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        h1 = _splitmix(x)
+        h2 = _splitmix(x ^ np.uint64(0xDEADBEEFCAFEF00D)) | np.uint64(1)
+        return np.stack(
+            [((h1 + np.uint64(i) * h2) % np.uint64(m)).astype(np.int64) for i in range(k)]
+        )
+
+
+def q_semi_join_bloom(sf_dir: str, status: str = "P"):
+    """Semi join via a BLOOM pre-filter — the pattern for a build side too
+    large to broadcast as an exact set: per-batch bit arrays OR-merge into a
+    128 KiB filter (mergeable, so at scale the merge is a tree reduce), the
+    probe side streams through a vectorized membership test, and only the
+    tiny surviving candidate set pays exact verification (here a broadcast
+    is_in; at scale a hash join of survivors).  False positives are removed
+    by the verify step, so the result is exact — same oracle as the
+    broadcast semi join."""
+    orders = read_sf(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+
+    def _build(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.equal(t.column("o_orderstatus"), pa.scalar(status)))
+        bits = np.zeros(_BLOOM_BITS, dtype=bool)
+        keys = keep.column("o_custkey").to_numpy()
+        if len(keys):
+            bits[_bloom_positions(np.unique(keys)).reshape(-1)] = True
+        packed = np.packbits(bits)
+        return pa.table({"bits": pa.array([packed.tobytes()], pa.binary())})
+
+    parts = orders.map_batches(_build, batch_format="pyarrow").to_pandas()
+    merged = np.zeros(_BLOOM_BITS // 8, dtype=np.uint8)
+    for b in parts["bits"]:
+        merged |= np.frombuffer(b, dtype=np.uint8)
+    bloom_bits = np.unpackbits(merged).astype(bool)
+    bloom_ref = ray.put(bloom_bits)
+
+    class BloomFilterStage:
+        def __init__(self):
+            self.bits = ray.get(bloom_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t.column("c_custkey").to_numpy()
+            pos = _bloom_positions(keys)
+            mask = self.bits[pos].all(axis=0)
+            return t.filter(pa.array(mask))
+
+    cust = read_sf(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    candidates = cust.map_batches(
+        BloomFilterStage, batch_format="pyarrow", concurrency=(1, 2)
+    )
+
+    # exact verification of the (rare) false positives
+    odf = read_sf(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"]).to_pandas()
+    true_keys = pa.array(
+        np.sort(odf.loc[odf["o_orderstatus"] == status, "o_custkey"].unique())
+    )
+
+    def _verify(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_in(t.column("c_custkey"), value_set=true_keys))
+
+    return candidates.map_batches(_verify, batch_format="pyarrow").sort("c_custkey")
+
+
 def q3_shipping_priority(sf_dir: str, segment_cut: int = 500, num_partitions: int = 16):
     """TPC-H Q3-shaped multi-way join: revenue of each order placed by a
     'small' customer (custkey < cut), per order + priority, top-10 by
