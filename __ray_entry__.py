@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_semi_join_bloom": relational.q_semi_join_bloom,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q_union_distinct_names": relational.q_union_distinct_names,
+        "q_intersect_users": relational.q_intersect_users,
         "q_events_window": relational.q_events_tumbling_window,
         "q_events_sliding_window": relational.q_events_sliding_window,
         "q_sessionize": relational.q_sessionize,
@@ -405,6 +406,12 @@ def oracle_sql() -> dict[str, str]:
                 SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
             )
             ORDER BY c_custkey
+        """,
+        "q_intersect_users": """
+            SELECT DISTINCT o_custkey AS id FROM orders
+            INTERSECT
+            SELECT DISTINCT user_id AS id FROM events
+            ORDER BY id
         """,
         "q_semi_join_bloom": """
             SELECT c_custkey, c_name FROM customer

@@ -428,6 +428,45 @@ def q_union_distinct_names(sf_dir: str):
     )
 
 
+def q_intersect_users(sf_dir: str):
+    """INTERSECT set op: ids that appear both as an order customer and an
+    events user.  Each side dedups with a C-path Count groupby (duplicates
+    collapse per block before the shuffle); the smaller distinct set then
+    broadcast-filters the other — no join shuffle."""
+    o = (
+        read_sf(sf_dir, "orders", columns=["o_custkey"])
+        .map_batches(
+            lambda t: pa.table({"id": t.column("o_custkey").unique()}),
+            batch_format="pyarrow",
+        )
+        .groupby("id")
+        .aggregate(Count(alias_name="_n"))
+    )
+    ev_ids = (
+        read_sf(sf_dir, "events", columns=["user_id"])
+        .map_batches(
+            lambda t: pa.table({"id": t.column("user_id").unique()}),
+            batch_format="pyarrow",
+        )
+        .groupby("id")
+        .aggregate(Count(alias_name="_n"))
+        .to_pandas()
+    )
+    ev_set = pa.array(np.sort(ev_ids["id"].to_numpy()))
+    ref = ray.put(ev_set)
+
+    class Keep:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"id": t.filter(pc.is_in(t.column("id"), value_set=self.keys)).column("id")}
+            )
+
+    return o.map_batches(Keep, batch_format="pyarrow", concurrency=(1, 2)).sort("id")
+
+
 def q_events_tumbling_window(sf_dir: str, window_s: int = 3600):
     """Tumbling-window aggregate on the events stream table: the window index
     is computed per batch (epoch_us // window), partial sums in the integer
