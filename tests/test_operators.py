@@ -48,6 +48,56 @@ def test_minhash_lsh_finds_neardup(docs_small):
     assert not any(3 in k for k in keys)
 
 
+def test_simhash_vectorized_matches_scalar_reference():
+    """The vectorized SimHasher must be byte-identical to the per-row scalar
+    form it replaced (round-1 pin)."""
+    import pyarrow as pa
+
+    from unsupervised_ner_ray.stages.dedup import SimHasher, _stable_hash64
+
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "a  b   c",  # repeated separators -> empty tokens must be dropped
+        "",
+        "single",
+        "protein kinase inhibits the receptor in the cell line",
+    ]
+
+    def scalar_simhash(t: str) -> int:
+        acc = np.zeros(64, dtype=np.int64)
+        for w in [w for w in t.split(" ") if w]:
+            raw = np.unpackbits(
+                np.frombuffer(_stable_hash64(w).to_bytes(8, "little"), dtype=np.uint8)
+            ).astype(np.int64)
+            acc += np.where(raw == 1, 1, -1)
+        sim = 0
+        for i in range(64):
+            if acc[i] > 0:
+                sim |= 1 << i
+        return sim - (1 << 63)
+
+    batch = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    got = SimHasher()(batch).column("simhash").to_pylist()
+    assert got == [scalar_simhash(t) for t in texts]
+
+
+def test_hll_register_updates_accuracy_and_determinism():
+    from unsupervised_ner_ray.stages.joins import _HLL_P, _hll_register_updates
+
+    vals = pd.Series(np.arange(10_000, dtype=np.int64))
+    regs1 = _hll_register_updates(vals)
+    # split into halves and max-merge: must equal the single-pass registers
+    half = np.maximum(
+        _hll_register_updates(vals.iloc[:5000]), _hll_register_updates(vals.iloc[5000:])
+    )
+    assert np.array_equal(regs1, half)
+    m = float(1 << _HLL_P)
+    alpha = 0.7213 / (1 + 1.079 / m)
+    est = alpha * m * m / float(np.sum(np.exp2(-regs1.astype(np.float64))))
+    # standard error ~1.04/sqrt(4096) = 1.6%; allow 3 sigma
+    assert abs(est - 10_000) / 10_000 < 0.05
+
+
 def test_simhash_finds_neardup(docs_small):
     from unsupervised_ner_ray.stages.dedup import simhash_pairs
 

@@ -237,37 +237,54 @@ def minhash_lsh_pairs(
 
 
 class SimHasher:
-    """64-bit SimHash over token hashes (actor; token->bit-vector cache is
+    """64-bit SimHash over token hashes (actor; token->hash cache is
     per-actor state — natural-language token vocabularies are small relative
-    to the corpus, so the cache hit rate is high)."""
+    to the corpus, so only first-seen tokens pay a blake2b call).
+
+    Fully vectorized accumulate, byte-identical to the per-row form:
+    tokenization via ``pc.split_pattern`` (C path), one ``np.unique`` over
+    the batch's tokens, the +/-1 bit matrix expanded from cached uint64
+    hashes with a single ``np.unpackbits``, per-doc sums via ``np.add.at``
+    over the doc index, and the 64 sign bits reassembled with one shifted
+    matmul-free reduction — no Python per row or per bit."""
 
     def __init__(self):
-        self._bits_cache: dict[str, np.ndarray] = {}
-
-    def _token_bits(self, w: str) -> np.ndarray:
-        bits = self._bits_cache.get(w)
-        if bits is None:
-            h = _stable_hash64(w)
-            raw = np.unpackbits(
-                np.frombuffer(h.to_bytes(8, "little"), dtype=np.uint8)
-            ).astype(np.int64)
-            bits = np.where(raw == 1, 1, -1)
-            if len(self._bits_cache) < 500_000:
-                self._bits_cache[w] = bits
-        return bits
+        self._hash_cache: dict[str, int] = {}
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        prints = []
-        for t in batch.column("text").to_pylist():
-            toks = [w for w in t.split(" ") if w]
-            acc = np.zeros(64, dtype=np.int64)
-            for w in toks:
-                acc += self._token_bits(w)
-            sim = 0
-            for i in range(64):
-                if acc[i] > 0:
-                    sim |= 1 << i
-            prints.append(sim - (1 << 63))  # store as int64
+        import pyarrow.compute as pc
+
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {"doc_id": batch.column("doc_id"), "simhash": pa.array([], pa.int64())}
+            )
+        tok_lists = pc.split_pattern(batch.column("text"), pattern=" ")
+        split = pc.list_flatten(tok_lists).to_numpy(zero_copy_only=False)
+        counts = pc.list_value_length(tok_lists).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(n), counts)
+        keep = split != ""  # original filtered empty tokens
+        toks, doc_idx = split[keep], doc_idx[keep]
+        acc = np.zeros((n, 64), dtype=np.int64)
+        if len(toks):
+            uniq, codes = np.unique(toks, return_inverse=True)
+            hashes = np.empty(len(uniq), dtype=np.uint64)
+            cache = self._hash_cache
+            for i, w in enumerate(uniq):
+                h = cache.get(w)
+                if h is None:
+                    h = _stable_hash64(w)
+                    if len(cache) < 2_000_000:
+                        cache[w] = h
+                hashes[i] = h
+            raw = np.unpackbits(
+                hashes.astype("<u8").view(np.uint8).reshape(-1, 8), axis=1
+            )
+            B = np.where(raw == 1, 1, -1).astype(np.int64)
+            np.add.at(acc, doc_idx, B[codes])
+        pos = (acc > 0).astype(np.uint64)
+        u = (pos << np.arange(64, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
+        prints = (u ^ np.uint64(1 << 63)).view(np.int64)  # == sim - 2^63
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -282,22 +299,18 @@ def simhash_pairs(docs, max_hamming: int = 3, concurrency: int = 4):
     sigs = docs.map_batches(SimHasher, batch_format="pyarrow", concurrency=(1, concurrency))
 
     def _explode(batch: pa.Table) -> pa.Table:
-        out_band, out_key, out_doc, out_sim = [], [], [], []
-        for doc_id, sim in zip(
-            batch.column("doc_id").to_pylist(), batch.column("simhash").to_pylist()
-        ):
-            u = sim + (1 << 63)
-            for b in range(4):
-                out_band.append(b)
-                out_key.append((u >> (16 * b)) & 0xFFFF)
-                out_doc.append(doc_id)
-                out_sim.append(sim)
+        n = len(batch)
+        sims = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.int64)
+        u = sims.view(np.uint64) ^ np.uint64(1 << 63)  # == sim + 2^63
+        shifts = (np.uint64(16) * np.arange(4, dtype=np.uint64))[None, :]
+        keys = ((u[:, None] >> shifts) & np.uint64(0xFFFF)).reshape(-1)
+        take_idx = pa.array(np.repeat(np.arange(n), 4), pa.int64())
         return pa.table(
             {
-                "band_id": pa.array(out_band, pa.int32()),
-                "band_key": pa.array(out_key, pa.int64()),
-                "doc_id": pa.array(out_doc),
-                "simhash": pa.array(out_sim, pa.int64()),
+                "band_id": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
+                "band_key": pa.array(keys.astype(np.int64), pa.int64()),
+                "doc_id": batch.column("doc_id").take(take_idx),
+                "simhash": pa.array(np.repeat(sims, 4), pa.int64()),
             }
         )
 

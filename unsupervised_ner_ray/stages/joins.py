@@ -29,8 +29,6 @@
 
 from __future__ import annotations
 
-import hashlib
-
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -80,36 +78,60 @@ def q_order_lineitem_join(sf_dir: str, num_partitions: int = 16):
     return joined.select_columns(["l_orderkey", "rev_cents", "n_items", "total_cents"]).sort("l_orderkey")
 
 
+_UT_DT = np.dtype([("u", "i8"), ("t", "i8")])
+
+
+def _broadcast_sorted_orders(sf_dir: str):
+    """ray.put one structured (user, ts_us) array of all orders, sorted
+    lexicographically.  Timestamps are cast to int64 microseconds on the
+    ARROW side (``pc.cast``) — a pandas datetime64 ``.astype('int64')``
+    follows the frame's resolution (ns vs us), which would silently compare
+    nanoseconds against the probe side's microseconds."""
+    odf = (
+        read_sf(sf_dir, "orders", columns=["o_custkey", "o_orderdate"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "u": t.column("o_custkey"),
+                    "t": pc.cast(t.column("o_orderdate"), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
+    A = np.empty(len(odf), dtype=_UT_DT)
+    A["u"] = odf["u"].to_numpy()
+    A["t"] = odf["t"].to_numpy()
+    A.sort()
+    return ray.put(A)
+
+
 def q_asof_last_order(sf_dir: str):
     """For each event: the latest o_orderdate of the same user at or before
-    the event ts (broadcast sorted-array as-of)."""
-    odf = read_sf(sf_dir, "orders", columns=["o_custkey", "o_orderdate"]).to_pandas()
-    by_key: dict[int, np.ndarray] = {
-        k: np.sort(g["o_orderdate"].astype("int64").to_numpy())
-        for k, g in odf.groupby("o_custkey")
-    }
-    ref = ray.put(by_key)
+    the event ts (broadcast as-of).  The whole batch is resolved with ONE
+    lexicographic ``np.searchsorted`` over the broadcast (user, ts) array —
+    the same vectorized form as the shuffled variant, no Python per row."""
+    ref = _broadcast_sorted_orders(sf_dir)
 
     class AsOf:
         def __init__(self):
-            self.by_key = ray.get(ref)
+            self.A = ray.get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            users = t.column("user_id").to_pylist()
-            ts = pc.cast(t.column("ts"), pa.int64()).to_pylist()
-            out = []
-            for u, x in zip(users, ts):
-                arr = self.by_key.get(u)
-                if arr is None or len(arr) == 0:
-                    out.append(None)
-                    continue
-                i = int(np.searchsorted(arr, x, side="right"))
-                out.append(int(arr[i - 1]) if i > 0 else None)
+            q = np.empty(len(t), dtype=_UT_DT)
+            q["u"] = t.column("user_id").to_numpy()
+            q["t"] = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+            idx = np.searchsorted(self.A, q, side="right")
+            has_prev = idx > 0
+            prev = np.maximum(idx - 1, 0)
+            same_user = has_prev & (self.A["u"][prev] == q["u"])
+            last = self.A["t"][prev]
             return pa.table(
                 {
                     "event_id": t.column("event_id"),
                     "user_id": t.column("user_id"),
-                    "last_order_us": pa.array(out, pa.int64()),
+                    "last_order_us": pa.array(last, mask=~same_user),
                 }
             )
 
@@ -159,8 +181,6 @@ def q_asof_last_order_shuffled(sf_dir: str, num_parts: int = 64):
     events = read_sf(sf_dir, "events", columns=["event_id", "user_id", "ts"]).map_batches(
         _events_tag, batch_format="pyarrow"
     )
-
-    _UT_DT = np.dtype([("u", "i8"), ("t", "i8")])
 
     def _asof_part(g: pd.DataFrame) -> pd.DataFrame:
         ev = g[g["is_order"] == 0]
@@ -218,37 +238,32 @@ def q_range_join(sf_dir: str, window_us: int = _RANGE_WINDOW_US):
     """Per event: COUNT of the same user's orders with
     ``o_orderdate in (ts - window, ts]`` — a keyed interval/range join.
 
-    Orders is dimension-sized here, so the right side is broadcast as
-    per-key SORTED int64 arrays; each batch is answered with two
-    ``np.searchsorted`` calls per key run (no shuffle).  For the
-    large-large case use :func:`q_range_join_bucketed`.
+    Orders is dimension-sized here, so the right side is broadcast ONCE as
+    a single (user, ts) structured array sorted lexicographically (int64 us,
+    cast Arrow-side); each batch is answered with TWO vectorized
+    ``np.searchsorted`` calls total — no Python per row, no shuffle.  For
+    the large-large case use :func:`q_range_join_bucketed`.
     """
-    odf = read_sf(sf_dir, "orders", columns=["o_custkey", "o_orderdate"]).to_pandas()
-    by_key: dict[int, np.ndarray] = {
-        k: np.sort(g["o_orderdate"].astype("int64").to_numpy())
-        for k, g in odf.groupby("o_custkey")
-    }
-    ref = ray.put(by_key)
+    ref = _broadcast_sorted_orders(sf_dir)
 
     class RangeCount:
         def __init__(self):
-            self.by_key = ray.get(ref)
+            self.A = ray.get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            users = t.column("user_id").to_numpy()
-            ts = pc.cast(t.column("ts"), pa.int64()).to_numpy()
-            out = np.zeros(len(users), dtype=np.int64)
-            for i, (u, x) in enumerate(zip(users, ts)):
-                arr = self.by_key.get(u)
-                if arr is not None and len(arr):
-                    out[i] = np.searchsorted(arr, x, side="right") - np.searchsorted(
-                        arr, x - window_us, side="right"
-                    )
+            hi = np.empty(len(t), dtype=_UT_DT)
+            hi["u"] = t.column("user_id").to_numpy()
+            hi["t"] = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+            lo = hi.copy()
+            lo["t"] = hi["t"] - window_us
+            out = np.searchsorted(self.A, hi, side="right") - np.searchsorted(
+                self.A, lo, side="right"
+            )
             return pa.table(
                 {
                     "event_id": t.column("event_id"),
                     "user_id": t.column("user_id"),
-                    "n_orders_30d": pa.array(out, pa.int64()),
+                    "n_orders_30d": pa.array(out.astype(np.int64), pa.int64()),
                 }
             )
 
@@ -427,16 +442,8 @@ def q_distinct_users(sf_dir: str):
     ev = read_sf(sf_dir, "events", columns=["event_type", "user_id"])
 
     def _pairs(t: pa.Table) -> pa.Table:
-        seen = set(
-            zip(t.column("event_type").to_pylist(), t.column("user_id").to_pylist())
-        )
-        items = sorted(seen)
-        return pa.table(
-            {
-                "event_type": pa.array([a for a, _ in items], pa.string()),
-                "user_id": pa.array([b for _, b in items], pa.int64()),
-            }
-        )
+        # C-path per-batch distinct (Arrow group_by with no aggregates)
+        return t.group_by(["event_type", "user_id"]).aggregate([])
 
     # both levels are C-path aggregates (no per-group Python): Count over
     # (type, user) collapses duplicates, Count over its output counts users
@@ -541,19 +548,26 @@ def tdigest_quantiles(ds, col: str, qs=(0.5, 0.9, 0.99), delta: int = 256):
 
 
 _HLL_P = 12  # 4096 registers
+_HLL_HASH_KEY = "unsup-ner-hll-key"  # fixed -> deterministic across processes
 
 
-def _hll_register_updates(values) -> np.ndarray:
+def _hll_register_updates(values: pd.Series) -> np.ndarray:
+    """Fully vectorized register update: ONE keyed C-path hash call over the
+    whole column (``pd.util.hash_pandas_object`` with a fixed key — the
+    builtin ``hash()`` is process-salted, per the repo's distributed-hash
+    rule), then numpy shifts for the register index and ``np.frexp`` for the
+    exact bit length of the remaining 52 bits (52 <= float64's 53-bit
+    significand, so the exponent is exact), ``np.maximum.at`` for the
+    per-register max.  No Python per row."""
+    h = pd.util.hash_pandas_object(values, index=False, hash_key=_HLL_HASH_KEY).to_numpy()
     regs = np.zeros(1 << _HLL_P, dtype=np.int8)
-    for v in values:
-        h = int.from_bytes(
-            hashlib.blake2b(str(v).encode(), digest_size=8).digest(), "big"
-        )
-        idx = h >> (64 - _HLL_P)
-        rest = h & ((1 << (64 - _HLL_P)) - 1)
-        rho = (64 - _HLL_P) - rest.bit_length() + 1
-        if rho > regs[idx]:
-            regs[idx] = rho
+    if not len(h):
+        return regs
+    idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+    rest = (h & np.uint64((1 << (64 - _HLL_P)) - 1)).astype(np.float64)
+    bl = np.frexp(rest)[1]  # exact bit_length; 0 for rest == 0
+    rho = ((64 - _HLL_P) - bl + 1).astype(np.int8)
+    np.maximum.at(regs, idx, rho)
     return regs
 
 
@@ -563,7 +577,7 @@ def hll_distinct(ds, col: str):
     Returns {"estimate": float, "n_sketches": int}."""
 
     def _sketch(t: pa.Table) -> pa.Table:
-        regs = _hll_register_updates(t.column(col).to_pylist())
+        regs = _hll_register_updates(t.column(col).to_pandas())
         return pa.table({"registers": pa.array([regs.tolist()], pa.list_(pa.int8()))})
 
     sketches = ds.map_batches(_sketch, batch_format="pyarrow").to_pandas()

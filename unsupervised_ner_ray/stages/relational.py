@@ -339,16 +339,31 @@ def q_semi_join_bloom(sf_dir: str, status: str = "P"):
         BloomFilterStage, batch_format="pyarrow", concurrency=(1, 2)
     )
 
-    # exact verification of the (rare) false positives
-    odf = read_sf(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"]).to_pandas()
-    true_keys = pa.array(
-        np.sort(odf.loc[odf["o_orderstatus"] == status, "o_custkey"].unique())
+    # exact verification of the (rare) false positives: hash-join the tiny
+    # surviving candidate set against the distinct build-side keys.  The
+    # build side never touches the driver (that is the too-big-to-broadcast
+    # case the Bloom filter exists for) — distinct keys collapse per block
+    # first, then a C-path groupby, then a shuffle join whose left side is
+    # only the Bloom survivors.
+    def _status_keys(t: pa.Table) -> pa.Table:
+        keep = t.filter(pc.equal(t.column("o_orderstatus"), pa.scalar(status)))
+        return pa.table({"o_custkey": keep.column("o_custkey").unique()})
+
+    matched_keys = (
+        read_sf(sf_dir, "orders", columns=["o_custkey", "o_orderstatus"])
+        .map_batches(_status_keys, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="_n"))
+        .select_columns(["o_custkey"])
     )
-
-    def _verify(t: pa.Table) -> pa.Table:
-        return t.filter(pc.is_in(t.column("c_custkey"), value_set=true_keys))
-
-    return candidates.map_batches(_verify, batch_format="pyarrow").sort("c_custkey")
+    verified = candidates.join(
+        matched_keys,
+        join_type="inner",
+        num_partitions=8,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+    )
+    return verified.select_columns(["c_custkey", "c_name"]).sort("c_custkey")
 
 
 def q3_shipping_priority(sf_dir: str, segment_cut: int = 500, num_partitions: int = 16):
@@ -566,24 +581,34 @@ def q_sessionize(sf_dir: str, gap_s: int = 1800):
 
 def q_part_revenue_by_brand(sf_dir: str):
     """lineitem |x| part broadcast join -> revenue by brand (revenue =
-    floor(price*(1-disc)) in cents, computed identically in the oracle)."""
+    floor(price*(1-disc)) in cents, computed identically in the oracle).
+
+    The small side ships once as a dense int32 index (partkeys are 1..N) plus
+    the distinct-brand dictionary array; per-batch resolution is one numpy
+    fancy-index + one ``pc.take`` — no Python per row, and an unmatched
+    partkey maps to null (index -1) instead of raising."""
     part = read_sf(sf_dir, "part", columns=["p_partkey", "p_brand"]).to_pandas()
-    p2b = dict(zip(part["p_partkey"], part["p_brand"]))
-    ref = ray.put(p2b)
+    brands_dict, brand_codes = np.unique(part["p_brand"].to_numpy(), return_inverse=True)
+    pkeys = part["p_partkey"].to_numpy()
+    p2b_idx = np.full(int(pkeys.max()) + 2, -1, dtype=np.int32)
+    p2b_idx[pkeys] = brand_codes.astype(np.int32)
+    ref = ray.put((p2b_idx, pa.array(brands_dict, pa.string())))
 
     class Joiner:
         def __init__(self):
-            self.p2b = ray.get(ref)
+            self.p2b_idx, self.brands = ray.get(ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            brands = [self.p2b[k] for k in t.column("l_partkey").to_pylist()]
+            keys = np.minimum(t.column("l_partkey").to_numpy(), len(self.p2b_idx) - 1)
+            idx = self.p2b_idx[keys]
+            codes = pa.array(idx, mask=idx < 0)
             rev = pc.multiply(
                 t.column("l_extendedprice"),
                 pc.subtract(pa.scalar(1.0), t.column("l_discount")),
             )
             return pa.table(
                 {
-                    "p_brand": pa.array(brands, pa.string()),
+                    "p_brand": pc.take(self.brands, codes),
                     "rev_cents": _to_cents(rev),
                 }
             )
