@@ -168,6 +168,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cands = dedup.minhash_lsh_pairs(_docs(sf_dir), threshold=0.3)
         return dedup.ngram_jaccard_verify(_docs(sf_dir), cands)
 
+    def q_jaccard_adjacent(sf_dir: str):
+        return dedup.ngram_jaccard_adjacent(_docs(sf_dir))
+
+    def q_canonicalize_tokens(sf_dir: str):
+        from unsupervised_ner_ray.stages.kg import token_mentions
+
+        return canonicalize_mentions(token_mentions(_docs(sf_dir))).sort("surface_norm")
+
+    def q_bigram_adjacency(sf_dir: str):
+        from unsupervised_ner_ray.stages.kg import bigram_triples
+
+        adj = build_adjacency(bigram_triples(_docs(sf_dir)), reduce_partitions=32)
+        return adj.select_columns(["subj_id", "subj_norm", "degree"]).sort("subj_norm")
+
     def q_embedding_neardup(sf_dir: str):
         from unsupervised_ner_ray.sources.io import read_sf
 
@@ -254,7 +268,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_exact_dedup": lambda sf: dedup.exact_dedup(_docs(sf)),
         "q_minhash_neardup": q_minhash_neardup,  # rows-only
         "q_simhash_neardup": q_simhash_neardup,  # rows-only
-        "q_ngram_jaccard": q_ngram_jaccard,  # rows-only
+        "q_ngram_jaccard": q_ngram_jaccard,  # rows-only (LSH candidates)
+        "q_jaccard_adjacent": q_jaccard_adjacent,  # SQL-checked exact Jaccard
         "q_embedding_neardup": q_embedding_neardup,  # rows-only
         # similarity search
         "q_embedding_topk": q_embedding_topk,
@@ -265,6 +280,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_kg_entities": q_kg_entities,
         "q_kg_entities_shuffled": q_kg_entities_shuffled,
         "q_kg_adjacency": q_kg_adjacency,
+        # same canonicalization/adjacency operators over SQL-expressible
+        # inputs (token mentions / bigram edges) -> exact DuckDB oracles
+        "q_canonicalize_tokens": q_canonicalize_tokens,
+        "q_bigram_adjacency": q_bigram_adjacency,
         "q_kg_pagerank": q_kg_pagerank,  # iterative: rows-only
         "q_media_features": q_media_features,
         "q_media_resize": q_media_resize,
@@ -536,6 +555,70 @@ def oracle_sql() -> dict[str, str]:
             SELECT md5(text) AS content_hash, MIN(doc_id) AS keep_id,
                    COUNT(*) AS n_dups
             FROM documents GROUP BY md5(text)
+        """,
+        "q_jaccard_adjacent": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), sh AS (
+                SELECT doc_id,
+                       CASE WHEN len(toks) = 0 THEN CAST([] AS VARCHAR[])
+                            WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+                            ELSE list_transform(range(1, len(toks) - 1),
+                                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+                       END AS shingles
+                FROM t
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   CASE WHEN len(list_distinct(list_concat(a.shingles, b.shingles))) = 0
+                        THEN 0.0
+                        ELSE CAST(len(list_intersect(list_distinct(a.shingles),
+                                                     list_distinct(b.shingles))) AS DOUBLE)
+                             / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
+                   END AS jaccard
+            FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
+            ORDER BY a
+        """,
+        "q_canonicalize_tokens": f"""
+            WITH tok AS (
+                SELECT lang, unnest({_TOKS}) AS token FROM documents
+            ), m AS (
+                SELECT regexp_replace(lower(token), '^\\W+|\\W+$', '', 'g') AS surface_norm,
+                       token AS surface, lang AS etype
+                FROM tok
+            ), cnt AS (
+                SELECT surface_norm, surface, etype, COUNT(*) AS n
+                FROM m GROUP BY 1, 2, 3
+            ), et AS (
+                SELECT surface_norm, etype,
+                       row_number() OVER (PARTITION BY surface_norm
+                                          ORDER BY SUM(n) DESC, etype) AS rn
+                FROM cnt GROUP BY 1, 2
+            ), sf AS (
+                SELECT surface_norm, surface,
+                       row_number() OVER (PARTITION BY surface_norm
+                                          ORDER BY SUM(n) DESC, surface) AS rn
+                FROM cnt GROUP BY 1, 2
+            ), tot AS (
+                SELECT surface_norm, CAST(SUM(n) AS BIGINT) AS n_mentions
+                FROM cnt GROUP BY 1
+            )
+            SELECT substr(md5(tot.surface_norm), 1, 16) AS eid, tot.surface_norm,
+                   sf.surface, et.etype, tot.n_mentions
+            FROM tot
+            JOIN et ON et.surface_norm = tot.surface_norm AND et.rn = 1
+            JOIN sf ON sf.surface_norm = tot.surface_norm AND sf.rn = 1
+            ORDER BY tot.surface_norm
+        """,
+        "q_bigram_adjacency": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), big AS (
+                SELECT doc_id, unnest(range(1, len(toks))) AS i, toks
+                FROM t WHERE len(toks) >= 2
+            )
+            SELECT substr(md5(toks[i]), 1, 16) AS subj_id, toks[i] AS subj_norm,
+                   CAST(COUNT(*) AS BIGINT) AS degree
+            FROM big GROUP BY toks[i] ORDER BY subj_norm
         """,
         "q_embedding_topk": """
             WITH q AS (

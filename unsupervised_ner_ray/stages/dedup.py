@@ -106,6 +106,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     threshold: float = 0.5,
+    driver_merge_max_rows: int = 5_000_000,
 ):
     """MinHash+LSH near-dup pairs.
 
@@ -114,6 +115,13 @@ def minhash_lsh_pairs(
     signature agreement -> keep >= threshold.  Only band keys and candidate
     pairs shuffle; signatures travel with the pair rows for verification.
     Output: (a, b, est_jaccard), a < b, deduplicated.
+
+    Duplicate-bucket detection has two equivalent paths, chosen by band-row
+    count: below ``driver_merge_max_rows`` the per-block partial counts
+    (a few bytes per distinct key) merge on the driver with NO shuffle;
+    above it the same computation runs as a distributed
+    ``groupby("band_hash").Count`` reduce — the 100 TB path, exercised by a
+    dedicated equivalence test rather than left as a comment.
     """
     rows_per_band = num_hashes // bands
     # signatures are computed once and re-consumed for verification; at this
@@ -165,11 +173,10 @@ def minhash_lsh_pairs(
     buckets = sigs.map_batches(_explode, batch_format="pyarrow").materialize()
 
     # Bucket keys are int64 hashes: per-block PARTIAL counts (np.unique — a
-    # combiner) are a few bytes per distinct key, so the duplicate-key set is
-    # found by merging partials on the driver with NO shuffle.  (When the
-    # per-block partials stop fitting on the driver — ~billions of distinct
-    # band hashes — swap this merge for groupby("band_hash").aggregate(Count)
-    # which is the same computation with a distributed reduce.)
+    # combiner) are a few bytes per distinct key, so below the threshold the
+    # duplicate-key set is found by merging partials on the driver with NO
+    # shuffle; past it (billions of distinct band hashes) the identical
+    # computation runs as a distributed groupby Count reduce.
     def _partial_counts(t: pa.Table) -> pa.Table:
         keys, cnt = np.unique(
             t.column("band_hash").to_numpy(zero_copy_only=False), return_counts=True
@@ -178,9 +185,31 @@ def minhash_lsh_pairs(
             {"band_hash": pa.array(keys, pa.int64()), "n": pa.array(cnt, pa.int64())}
         )
 
-    part = buckets.map_batches(_partial_counts, batch_format="pyarrow").to_pandas()
-    tot = part.groupby("band_hash", sort=False)["n"].sum()
-    dup_keys = tot.index.to_numpy()[tot.to_numpy() >= 2]
+    if buckets.count() <= driver_merge_max_rows:
+        part = buckets.map_batches(_partial_counts, batch_format="pyarrow").to_pandas()
+        tot = part.groupby("band_hash", sort=False)["n"].sum()
+        dup_keys = tot.index.to_numpy()[tot.to_numpy() >= 2]
+    else:
+        from ray.data.aggregate import Sum
+
+        def _only_dups(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            if t.num_columns == 0:
+                return pa.schema([("band_hash", pa.int64())]).empty_table()
+            keep = t.filter(pc.greater_equal(t.column("n"), pa.scalar(2)))
+            return pa.table({"band_hash": keep.column("band_hash")})
+
+        # combiner partials first, then a C-path Sum groupby; only the
+        # (rare) duplicate keys come back to the driver
+        dup_keys = (
+            buckets.map_batches(_partial_counts, batch_format="pyarrow")
+            .groupby("band_hash")
+            .aggregate(Sum("n", alias_name="n"))
+            .map_batches(_only_dups, batch_format="pyarrow")
+            .to_pandas()["band_hash"]
+            .to_numpy()
+        )
     if len(dup_keys) == 0:
         import ray.data as rd
 
@@ -388,6 +417,58 @@ def ngram_jaccard_verify(docs, candidate_pairs, shingle_k: int = 3):
     import ray.data as rd
 
     return rd.from_pandas(pd.DataFrame(rows))
+
+
+def ngram_jaccard_adjacent(docs, shingle_k: int = 3):
+    """Exact n-gram Jaccard for every CONSECUTIVE doc-id pair (d, d+1) — the
+    deterministic, SQL-oracle-checkable face of the Jaccard verifier (the
+    LSH-candidate variant :func:`ngram_jaccard_verify` is rows-only because
+    its candidate set comes from hashing).
+
+    Distribution: each doc is replicated to at most 2 pair keys (as right
+    member of pair d-1 and left member of pair d) — bounded 2x, one hash
+    shuffle on the pair key, each group resolved locally.  Output
+    (a, b, jaccard); both sides divide the same small integers, so the
+    doubles match bit-for-bit UNROUNDED (rounding would actually break
+    parity: Python round() is banker's, DuckDB ROUND is half-away).
+    """
+
+    def _rep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy()
+        texts = batch.column("text").to_pylist()
+        sh = [sorted(set(_shingles(t, shingle_k))) for t in texts]
+        return pa.table(
+            {
+                "pair_id": pa.array(np.concatenate([ids, ids - 1]), pa.int64()),
+                "side": pa.array(
+                    np.concatenate(
+                        [np.zeros(len(ids), dtype=np.int8), np.ones(len(ids), dtype=np.int8)]
+                    )
+                ),
+                "shingles": pa.array(sh + sh, pa.list_(pa.string())),
+            }
+        )
+
+    reps = docs.map_batches(_rep, batch_format="pyarrow")
+
+    def _jac(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["side"] == 0]
+        right = g[g["side"] == 1]
+        if left.empty or right.empty:
+            return pd.DataFrame(
+                {"a": pd.Series([], dtype="int64"), "b": pd.Series([], dtype="int64"),
+                 "jaccard": pd.Series([], dtype="float64")}
+            )
+        pid = int(g["pair_id"].iloc[0])
+        sa = set(left["shingles"].iloc[0])
+        sb = set(right["shingles"].iloc[0])
+        union = len(sa | sb)
+        j = (len(sa & sb) / union) if union else 0.0
+        return pd.DataFrame({"a": [pid], "b": [pid + 1], "jaccard": [j]})
+
+    from .grouping import partitioned_map_groups
+
+    return partitioned_map_groups(reps, "pair_id", _jac, num_parts=32).sort("a")
 
 
 def embedding_neardup_pairs(embeds, threshold: float = 0.95, planes: int = 16, seed: int = 3):

@@ -15,7 +15,7 @@ Shuffle discipline (SURVEY.md §7):
 
 from __future__ import annotations
 
-import os
+import uuid
 import zlib
 
 import numpy as np
@@ -69,77 +69,375 @@ def link_mentions(mentions, vocab_ref=None, concurrency: int = 4):
     )
 
 
-def pagerank(triples, damping: float = 0.85, iters: int = 20, tol: float = 1e-12):
-    """PageRank over the (subj_id -> obj_id) triple edges by power
-    iteration: each iteration is ONE streaming pass over the edge dataset —
-    per-batch contributions are pre-summed per destination (a combiner), the
-    rank vector (one float per ENTITY, orders of magnitude smaller than the
-    edges) rides the object store via ``ray.put``, and the node-sized merge
-    happens on the driver (swap for a groupby-sum reduce when the entity
-    count outgrows one machine).  Dangling mass is redistributed uniformly.
+def pagerank(
+    triples,
+    damping: float = 0.85,
+    iters: int = 20,
+    tol: float = 1e-12,
+    num_partitions: int = 16,
+    broadcast_threshold: int = 2_000_000,
+):
+    """Distributed PageRank by power iteration with two regimes chosen by
+    node count — neither keeps a dense per-batch vector or an id dict, and
+    the at-scale path keeps NO node-sized state on the driver at all (the
+    north_rule's 10^12-doc graph has >=10^8 entities).
+
+    * ``n <= broadcast_threshold`` (node table is a classic SMALL side):
+      the (node_id, outdeg) table and rank vector live with the driver, the
+      per-source weight series is ``ray.put`` once per iteration, and each
+      iteration is ONE streaming map over the edge dataset whose per-batch
+      output is already pre-summed per destination (np-free combiner via
+      pandas groupby) — no shuffle at all.
+    * above the threshold: node ids stay a Dataset end-to-end — the
+      edges-x-weights pairing is a co-partitioned union merge (one hash
+      shuffle on the source key, vectorized pandas merge per partition;
+      Dataset.join/Acero is avoided because a sparse-key join partition can
+      receive rows on only one side, which Ray 2.49 hands to pyarrow as a
+      schema-less empty table), the reduce is ``groupby("node_id")`` Sum
+      over pre-combined partials, and the rank update union-merges back
+      onto the node table.  Only scalars (n, dangling mass, L1 delta) ever
+      reach the driver.
+
+    Both regimes are the same algorithm — a forced-path equivalence test
+    pins them equal bit-for-bit.  Dangling mass redistributes uniformly.
     Returns a Dataset (node_id, rank); ranks sum to 1.
     """
-    import numpy as np
+    import pyarrow.compute as pc
     import ray.data as rd
 
-    from ray.data.aggregate import Count
+    from ray.data.aggregate import Count, Sum
 
-    edges_pd_ids = (
-        triples.map_batches(
+    # Ray's hash-shuffle groupby emits ZERO-COLUMN empty blocks for
+    # partitions that received no keys (common when the key count is below
+    # num_partitions); every UDF consuming a groupby/join output must
+    # normalize them to its real schema or downstream union/join breaks.
+    _CARRIER = pa.schema(
+        [("node_id", pa.string()), ("v", pa.float64()),
+         ("outdeg", pa.int64()), ("old", pa.float64())]
+    )
+
+    edges = triples.map_batches(
+        lambda t: pa.table({"s": t.column("subj_id"), "o": t.column("obj_id")}),
+        batch_format="pyarrow",
+    ).materialize()
+    edges = _coalesce_for_iteration(edges, num_partitions)
+
+    def _outdeg_carrier(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return _CARRIER.empty_table()
+        return pa.table(
+            {
+                "node_id": pc.cast(t.column("s"), pa.string()),
+                "v": pa.array(np.zeros(len(t)), pa.float64()),
+                "outdeg": pc.cast(t.column("outdeg"), pa.int64()),
+                "old": pa.array(np.zeros(len(t)), pa.float64()),
+            }
+        )
+
+    def _node_carrier(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return _CARRIER.empty_table()
+        return pa.table(
+            {
+                "node_id": pc.cast(t.column("node_id"), pa.string()),
+                "v": pa.array(np.zeros(len(t)), pa.float64()),
+                "outdeg": pa.array(np.zeros(len(t), dtype=np.int64)),
+                "old": pa.array(np.zeros(len(t)), pa.float64()),
+            }
+        )
+
+    outdeg_rows = (
+        edges.groupby("s")
+        .aggregate(Count(alias_name="outdeg"))
+        .map_batches(_outdeg_carrier, batch_format="pyarrow")
+    )
+    node_rows = (
+        edges.map_batches(
             lambda t: pa.table(
-                {"node_id": pa.concat_arrays(
-                    [t.column("subj_id").combine_chunks(), t.column("obj_id").combine_chunks()]
-                )}
+                {
+                    "node_id": pa.concat_arrays(
+                        [t.column("s").combine_chunks(), t.column("o").combine_chunks()]
+                    ).unique()
+                }
             ),
             batch_format="pyarrow",
         )
         .groupby("node_id")
         .aggregate(Count(alias_name="_n"))
-        .to_pandas()
+        .map_batches(_node_carrier, batch_format="pyarrow")
     )
-    node_ids = sorted(edges_pd_ids["node_id"].tolist())
-    n = len(node_ids)
+    # node table (node_id, outdeg) via a union + Sum merge (zero rows give
+    # every node a row; outdeg rows add the true degree)
+    nodes = (
+        node_rows.union(outdeg_rows)
+        .groupby("node_id")
+        .aggregate(Sum("outdeg", alias_name="outdeg"))
+        .materialize()
+    )
+    nodes = _coalesce_for_iteration(nodes, num_partitions)
+    n = nodes.count()
     if n == 0:
         return rd.from_pandas(pd.DataFrame({"node_id": [], "rank": []}))
-    idx = {v: i for i, v in enumerate(node_ids)}
-    idx_ref = ray.put(idx)
 
-    def _encode(t: pa.Table) -> pa.Table:
-        m = ray.get(idx_ref)
-        s = [m[v] for v in t.column("subj_id").to_pylist()]
-        o = [m[v] for v in t.column("obj_id").to_pylist()]
-        return pa.table(
-            {"s": pa.array(s, pa.int64()), "o": pa.array(o, pa.int64())}
-        )
+    if n <= broadcast_threshold:
+        return _pagerank_broadcast_regime(edges, nodes, n, damping, iters, tol)
+    return _pagerank_shuffle_regime(
+        edges, nodes, n, damping, iters, tol, num_partitions, _CARRIER
+    )
 
-    enc = triples.map_batches(_encode, batch_format="pyarrow").materialize()
-    outdeg = np.zeros(n, dtype=np.float64)
-    for b in enc.iter_batches(batch_format="pyarrow"):
-        np.add.at(outdeg, b.column("s").to_numpy(), 1.0)
 
-    rank = np.full(n, 1.0 / n)
+def _coalesce_for_iteration(ds, min_blocks: int, target_block_bytes: int = 128 << 20):
+    """Bound the block count of a Dataset that an ITERATIVE loop will re-scan
+    every round.  Inherited micro-blocking (e.g. ``from_items`` emitting one
+    block per handful of rows) multiplies per-iteration task overhead by the
+    block count — a 300-edge graph arrived here as 200 blocks and each power
+    iteration's two groupbys fanned into ~1000 near-empty tasks (~3 min/iter
+    on one core).  Target ~``target_block_bytes`` blocks with a floor of
+    ``min_blocks`` so real 100 TB inputs (thousands of already-full blocks)
+    are left untouched — coalescing those would serialize the cluster."""
+    nb = ds.num_blocks()
+    size = ds.size_bytes() or 0
+    target = max(min_blocks, -(-size // target_block_bytes))
+    if nb > target * 2:
+        return ds.repartition(target).materialize()
+    return ds
+
+
+def _pagerank_broadcast_regime(edges, nodes, n, damping, iters, tol):
+    """Small-node-count regime: rank vector with the driver (same bound as
+    broadcasting it), ONE shuffle-free edges pass per iteration, per-batch
+    partial sums as the combiner."""
+    import ray.data as rd
+
+    nd = nodes.to_pandas()
+    node_index = pd.Index(nd["node_id"])
+    outdeg = nd["outdeg"].to_numpy().astype(np.float64)
+    active = outdeg > 0
+    r = np.full(n, 1.0 / n)
+    _P = pa.schema([("node_id", pa.string()), ("v", pa.float64())])
     for _ in range(iters):
-        rank_ref = ray.put(rank / np.maximum(outdeg, 1.0))
+        w_ser = pd.Series(r[active] / outdeg[active], index=node_index[active])
+        w_ref = ray.put(w_ser)
 
-        def _contrib(t: pa.Table) -> pa.Table:
-            w = ray.get(rank_ref)
-            acc = np.zeros(n, dtype=np.float64)
-            np.add.at(acc, t.column("o").to_numpy(), w[t.column("s").to_numpy()])
-            nz = np.nonzero(acc)[0]
+        def _bc_contrib(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:
+                return _P.empty_table()
+            ws = ray.get(w_ref)
+            sv = ws.reindex(t.column("s").to_pandas()).to_numpy()
+            df = pd.DataFrame({"node_id": t.column("o").to_pandas(), "v": sv})
+            df = df[~np.isnan(df["v"])]
+            p = df.groupby("node_id", sort=False)["v"].sum().reset_index()
             return pa.table(
-                {"i": pa.array(nz, pa.int64()), "v": pa.array(acc[nz], pa.float64())}
+                {
+                    "node_id": pa.array(p["node_id"], pa.string()),
+                    "v": pa.array(p["v"].to_numpy(), pa.float64()),
+                }
             )
 
-        parts = enc.map_batches(_contrib, batch_format="pyarrow").to_pandas()
-        contrib = np.zeros(n, dtype=np.float64)
-        np.add.at(contrib, parts["i"].to_numpy(), parts["v"].to_numpy())
-        dangling = float(rank[outdeg == 0].sum())
-        new = (1.0 - damping) / n + damping * (contrib + dangling / n)
-        delta = float(np.abs(new - rank).sum())
-        rank = new
+        parts = edges.map_batches(_bc_contrib, batch_format="pyarrow").to_pandas()
+        c = (
+            parts.groupby("node_id", sort=False)["v"].sum()
+            .reindex(node_index).fillna(0.0).to_numpy()
+        )
+        dangling = float(r[~active].sum())
+        new = (1.0 - damping) / n + damping * (c + dangling / n)
+        delta = float(np.abs(new - r).sum())
+        r = new
         if delta < tol:
             break
-    return rd.from_pandas(pd.DataFrame({"node_id": node_ids, "rank": rank}))
+    return rd.from_pandas(pd.DataFrame({"node_id": nd["node_id"], "rank": r}))
+
+
+def _pagerank_shuffle_regime(
+    edges, nodes, n, damping, iters, tol, num_partitions, _CARRIER
+):
+    """At-scale regime: no node-sized driver state; 2 bounded shuffles per
+    iteration over pre-combined partials."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    _RANKS = pa.schema(
+        [("node_id", pa.string()), ("rank", pa.float64()), ("outdeg", pa.int64())]
+    )
+    _MERGE = pa.schema(
+        [("key", pa.string()), ("o", pa.string()),
+         ("w", pa.float64()), ("is_w", pa.int8())]
+    )
+
+    def _init_ranks(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return _RANKS.empty_table()
+        return pa.table(
+            {
+                "node_id": pc.cast(t.column("node_id"), pa.string()),
+                "rank": pa.array(np.full(len(t), 1.0 / n), pa.float64()),
+                "outdeg": pc.cast(t.column("outdeg"), pa.int64()),
+            }
+        )
+
+    ranks = nodes.map_batches(_init_ranks, batch_format="pyarrow").materialize()
+
+    def _block_sums(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.table({"dangling": pa.array([0.0], pa.float64())})
+        dang = t.filter(pc.equal(t.column("outdeg"), pa.scalar(0, pa.int64())))
+        return pa.table(
+            {"dangling": pa.array([pc.sum(dang.column("rank")).as_py() or 0.0])}
+        )
+
+    def _weight_rows(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return _MERGE.empty_table()
+        keep = t.filter(pc.greater(t.column("outdeg"), pa.scalar(0, pa.int64())))
+        k = len(keep)
+        return pa.table(
+            {
+                "key": pc.cast(keep.column("node_id"), pa.string()),
+                "o": pa.array([""] * k, pa.string()),
+                "w": pc.divide(
+                    keep.column("rank"), pc.cast(keep.column("outdeg"), pa.float64())
+                ),
+                "is_w": pa.array(np.ones(k, dtype=np.int8)),
+            }
+        )
+
+    def _edge_rows(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return _MERGE.empty_table()
+        return pa.table(
+            {
+                "key": pc.cast(t.column("s"), pa.string()),
+                "o": pc.cast(t.column("o"), pa.string()),
+                "w": pa.array(np.zeros(len(t)), pa.float64()),
+                "is_w": pa.array(np.zeros(len(t), dtype=np.int8)),
+            }
+        )
+
+    def _tag_part(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df["key"], index=False)
+        df = df.copy()
+        df["part"] = (h % num_partitions).astype("int32")
+        return df
+
+    def _merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        voc = g[g["is_w"] == 1]
+        men = g[g["is_w"] == 0]
+        if men.empty or voc.empty:
+            return pd.DataFrame(
+                {"node_id": pd.Series([], dtype=object),
+                 "v": pd.Series([], dtype="float64"),
+                 "outdeg": pd.Series([], dtype="int64"),
+                 "old": pd.Series([], dtype="float64")}
+            )
+        m = men[["key", "o"]].merge(voc[["key", "w"]], on="key", how="inner")
+        p = m.groupby("o", sort=False)["w"].sum().reset_index()
+        return pd.DataFrame(
+            {
+                "node_id": p["o"].to_numpy(),
+                "v": p["w"].to_numpy(),
+                "outdeg": np.zeros(len(p), dtype=np.int64),
+                "old": np.zeros(len(p)),
+            }
+        )
+
+    def _to_carrier(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return _CARRIER.empty_table()
+        return pa.table(
+            {
+                "node_id": pc.cast(t.column("node_id"), pa.string()),
+                "v": pc.cast(t.column("v"), pa.float64()),
+                "outdeg": pc.cast(t.column("outdeg"), pa.int64()),
+                "old": pc.cast(t.column("old"), pa.float64()),
+            }
+        )
+
+    def _carrier_rows(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return _CARRIER.empty_table()
+        return pa.table(
+            {
+                "node_id": t.column("node_id"),
+                "v": pa.array(np.zeros(len(t)), pa.float64()),
+                "outdeg": t.column("outdeg"),
+                "old": t.column("rank"),
+            }
+        )
+
+    def _delta_part(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.table(
+                {"d": pa.array([0.0], pa.float64()),
+                 "dangling": pa.array([0.0], pa.float64())}
+            )
+        dang = t.filter(pc.equal(t.column("outdeg"), pa.scalar(0, pa.int64())))
+        return pa.table(
+            {
+                "d": pa.array([pc.sum(t.column("absdiff")).as_py() or 0.0]),
+                "dangling": pa.array([pc.sum(dang.column("rank")).as_py() or 0.0]),
+            }
+        )
+
+    # initial dangling mass; inside the loop it is folded into the delta
+    # pass over new_ranks so each iteration scans the node table once
+    dangling = float(
+        ranks.map_batches(_block_sums, batch_format="pyarrow")
+        .to_pandas()["dangling"]
+        .sum()
+    )
+    for _ in range(iters):
+        w = ranks.map_batches(_weight_rows, batch_format="pyarrow")
+        e_rows = edges.map_batches(_edge_rows, batch_format="pyarrow")
+        contrib = (
+            e_rows.union(w)
+            .map_batches(_tag_part, batch_format="pandas")
+            .groupby("part")
+            .map_groups(_merge_part, batch_format="pandas")
+            .map_batches(_to_carrier, batch_format="pyarrow")
+        )
+        carrier = ranks.map_batches(_carrier_rows, batch_format="pyarrow")
+        merged = (
+            carrier.union(contrib)
+            .groupby("node_id")
+            .aggregate(
+                Sum("v", alias_name="v"),
+                Sum("outdeg", alias_name="outdeg"),
+                Sum("old", alias_name="old"),
+            )
+        )
+
+        dang_now = dangling
+
+        def _update(t: pa.Table, _dang=dang_now) -> pa.Table:
+            if t.num_columns == 0:
+                return pa.schema(
+                    [("node_id", pa.string()), ("rank", pa.float64()),
+                     ("outdeg", pa.int64()), ("absdiff", pa.float64())]
+                ).empty_table()
+            v = t.column("v").to_numpy(zero_copy_only=False)
+            old = t.column("old").to_numpy(zero_copy_only=False)
+            new = (1.0 - damping) / n + damping * (v + _dang / n)
+            return pa.table(
+                {
+                    "node_id": t.column("node_id"),
+                    "rank": pa.array(new, pa.float64()),
+                    "outdeg": pc.cast(t.column("outdeg"), pa.int64()),
+                    "absdiff": pa.array(np.abs(new - old), pa.float64()),
+                }
+            )
+
+        new_ranks = merged.map_batches(_update, batch_format="pyarrow").materialize()
+        stats = new_ranks.map_batches(_delta_part, batch_format="pyarrow").to_pandas()
+        delta = float(stats["d"].sum())
+        dangling = float(stats["dangling"].sum())
+        # next iteration reads node_id/rank/outdeg straight off new_ranks
+        # (the extra absdiff column is ignored) — no second materialize
+        ranks = new_ranks
+        if delta < tol:
+            break
+    return ranks.select_columns(["node_id", "rank"])
+
 
 
 def link_mentions_shuffled(mentions, vocab: dict | None = None, num_parts: int = 64):
@@ -172,25 +470,21 @@ def link_mentions_shuffled(mentions, vocab: dict | None = None, num_parts: int =
     distinct = mentions.groupby(ident).aggregate(Count(alias_name="n_copies"))
 
     def _explode_keys(t: pa.Table) -> pa.Table:
+        # vectorized 1->N key expansion: base row (key=surface_norm, prio=0)
+        # for every mention, plus one row per whitespace word (prio=i+1) for
+        # multi-word surfaces — pandas str.split + explode, no per-row loop
         df = t.to_pandas()
-        rows = {c: [] for c in [*ident, "n_copies", "key", "prio"]}
-        for rec in df.itertuples(index=False):
-            d = rec._asdict()
-            keys = [(d["surface_norm"], 0)]
-            if " " in d["surface_norm"]:
-                keys += [(w, i + 1) for i, w in enumerate(d["surface_norm"].split())]
-            for key, prio in keys:
-                for c in ident:
-                    rows[c].append(d[c])
-                rows["n_copies"].append(d["n_copies"])
-                rows["key"].append(key)
-                rows["prio"].append(prio)
-        out = pa.table(rows)
-        return out.set_column(
-            out.schema.get_field_index("prio"),
-            "prio",
-            pa.array(rows["prio"], pa.int64()),
-        )
+        cols = [*ident, "n_copies"]
+        base = df[cols].assign(key=df["surface_norm"], prio=np.int64(0))
+        multi = df[df["surface_norm"].str.contains(" ", regex=False)]
+        if len(multi):
+            words = multi[cols].assign(key=multi["surface_norm"].str.split()).explode("key")
+            words["prio"] = (words.groupby(level=0).cumcount() + 1).astype(np.int64)
+            out = pd.concat([base, words], ignore_index=True)
+        else:
+            out = base
+        out["prio"] = out["prio"].astype(np.int64)
+        return pa.Table.from_pandas(out[[*cols, "key", "prio"]], preserve_index=False)
 
     keyrows = distinct.map_batches(_explode_keys, batch_format="pyarrow")
 
@@ -295,14 +589,12 @@ def canonicalize_mentions(
         # partial of a hot surface to the same reducer anyway): it varies per
         # BATCH, so a head surface's partials from different batches land in
         # different (key, salt) buckets and merge in two steps.  Which bucket
-        # a partial lands in never affects the final sums.
-        _combine.batch_no += 1
-        g["salt"] = np.int32(
-            (zlib.crc32(str(os.getpid()).encode()) + _combine.batch_no) % salt_buckets
-        )
+        # a partial lands in never affects the final sums.  A fresh uuid per
+        # batch keeps the distribution uniform even when Ray re-deserializes
+        # the function per task or reuses one long-lived worker pid (a pickled
+        # counter would reset per task and narrow the salt range).
+        g["salt"] = np.int32(zlib.crc32(uuid.uuid4().bytes) % salt_buckets)
         return pa.Table.from_pandas(g, preserve_index=False)
-
-    _combine.batch_no = 0
 
     # partials are pre-aggregated (distinct keys per batch) and therefore
     # small; coalesce before the shuffle so the reduce stage doesn't fan out
@@ -351,6 +643,82 @@ def canonicalize_mentions(
         )
 
     return partitioned_map_groups(bucketed, "surface_norm", _finalize, num_parts=64)
+
+
+def token_mentions(docs):
+    """documents(doc_id, text, lang) -> mention rows (surface, surface_norm,
+    etype=lang) — one per token occurrence.  A SQL-expressible mention source
+    that lets :func:`canonicalize_mentions` (the salted two-phase shuffle) be
+    checked against an exact DuckDB oracle; the NER-derived mention stream
+    exercises the same operator rows-only."""
+    import pyarrow.compute as pc
+
+    from ..functions.kg import normalize_surface
+
+    def _explode(t: pa.Table) -> pa.Table:
+        tok_lists = pc.split_pattern(t.column("text"), pattern=" ")
+        flat = pc.list_flatten(tok_lists)
+        counts = pc.list_value_length(tok_lists).to_numpy(zero_copy_only=False)
+        langs = t.column("lang").take(
+            pa.array(np.repeat(np.arange(len(t)), counts), pa.int64())
+        )
+        keep = pc.not_equal(flat, pa.scalar(""))
+        flat, langs = flat.filter(keep), langs.filter(keep)
+        toks = flat.to_numpy(zero_copy_only=False)
+        # normalize per UNIQUE token, then broadcast back (vectorized map)
+        uniq, inv = np.unique(toks, return_inverse=True)
+        norm_u = np.array([normalize_surface(w) for w in uniq], dtype=object)
+        return pa.table(
+            {
+                "surface": pa.array(toks, pa.string()),
+                "surface_norm": pa.array(norm_u[inv], pa.string()),
+                "etype": pc.cast(langs, pa.string()),
+            }
+        )
+
+    return docs.map_batches(_explode, batch_format="pyarrow")
+
+
+def bigram_triples(docs):
+    """documents(doc_id, text) -> consecutive-token 'bigram' edges shaped
+    like the triples table (subj/obj + content-addressed ids, pred='next') —
+    a SQL-expressible edge source so :func:`build_adjacency`'s groupby path
+    has an exact DuckDB oracle."""
+    import pyarrow.compute as pc
+
+    from ..functions.kg import entity_id
+
+    def _edges(t: pa.Table) -> pa.Table:
+        tok_lists = pc.split_pattern(t.column("text"), pattern=" ")
+        flat = pc.list_flatten(tok_lists).to_numpy(zero_copy_only=False)
+        counts = pc.list_value_length(tok_lists).to_numpy(zero_copy_only=False)
+        doc_ids = t.column("doc_id").to_numpy()
+        doc_of = np.repeat(doc_ids, counts)
+        # drop empty tokens first (bigrams run over consecutive NON-EMPTY
+        # tokens, matching list_filter-then-pair in the SQL oracle)
+        nonempty = flat != ""
+        flat, doc_of = flat[nonempty], doc_of[nonempty]
+        if len(flat) < 2:
+            keep = np.zeros(max(len(flat) - 1, 0), dtype=bool)
+        else:
+            keep = doc_of[:-1] == doc_of[1:]
+        s, o = flat[:-1][keep], flat[1:][keep]
+        d = doc_of[:-1][keep]
+        uniq, inv = np.unique(np.concatenate([s, o]), return_inverse=True)
+        ids = np.array([entity_id(w) for w in uniq], dtype=object)
+        sid, oid = ids[inv[: len(s)]], ids[inv[len(s):]]
+        return pa.table(
+            {
+                "doc_id": pa.array(d),
+                "subj_id": pa.array(sid, pa.string()),
+                "subj_norm": pa.array(s, pa.string()),
+                "pred": pa.array(["next"] * len(s), pa.string()),
+                "obj_id": pa.array(oid, pa.string()),
+                "obj_norm": pa.array(o, pa.string()),
+            }
+        )
+
+    return docs.map_batches(_edges, batch_format="pyarrow")
 
 
 def build_adjacency(triples, reduce_partitions: int = 8):
