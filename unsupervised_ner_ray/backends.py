@@ -143,20 +143,98 @@ class MockDescriptorBackend:
 
 
 class HFDescriptorBackend:
-    """Optional real masked-LM backend (requires transformers+torch, absent in
-    this sandbox).  Same interface; model + tokenizer + entity-vector table
-    loaded once in __init__ — designed to live inside a map_batches actor."""
+    """Real masked-LM backend (requires transformers+torch — absent in this
+    sandbox, so construction raises NotImplementedError here and the tests
+    for it are ``pytest.importorskip``-gated).
 
-    def __init__(self, name: str, model_name: str, vocab=None, top_k: int = DUMMY_DESCS):
+    Implements the same service contract the reference consumes from its
+    external bert_descriptors repo (/root/reference/batched_main_NER.py:
+    264-269, 557-562): the ``__entity__`` mask slot becomes the tokenizer's
+    mask token, ONE forward pass yields the mask position's logits, the
+    top-k vocabulary tokens become the ordered descriptors (``v`` = softmax
+    probability rounded to 4 dp, the reference's score rounding), and each
+    descriptor term is annotated with its entity signature from the labeled
+    vocabulary (``e``/``e_count``, D15) — the fused entity-server lookup.
+
+    Model + tokenizer + vocab are loaded ONCE in ``__init__``; the class is
+    meant to live inside a ``map_batches`` actor (stage constructs it per
+    worker, never per batch).  ``predict_many`` batches several masked
+    sentences into one padded forward pass for throughput.
+    """
+
+    def __init__(
+        self,
+        name: str,
+        model_name: str,
+        vocab=None,
+        top_k: int = DUMMY_DESCS,
+        device: str = "cpu",
+        max_length: int = 128,
+    ):
         try:
-            import torch  # noqa: F401
-            from transformers import AutoModelForMaskedLM, AutoTokenizer  # noqa: F401
+            import torch
+            from transformers import AutoModelForMaskedLM, AutoTokenizer
         except ImportError as exc:  # pragma: no cover
             raise NotImplementedError(
                 "HFDescriptorBackend needs torch+transformers; use "
                 "MockDescriptorBackend in this environment"
             ) from exc
-        raise NotImplementedError("HF backend wiring is deferred (no torch here)")
+        self.name = name
+        self.top_k = top_k
+        self.max_length = max_length
+        self.vocab = vocab if vocab is not None else build_vocab()
+        self._torch = torch
+        self.device = device
+        self.tokenizer = AutoTokenizer.from_pretrained(model_name)
+        self.model = AutoModelForMaskedLM.from_pretrained(model_name)
+        self.model.to(device)
+        self.model.eval()
+
+    def _signature(self, term: str) -> tuple[str, str]:
+        subtypes, counts = self.vocab.get(term, (["UNTAGGED_ENTITY"], [1]))
+        return "/".join(subtypes), "/".join(str(c) for c in counts)
+
+    def _descs_from_logits(self, logits_row) -> list[dict]:
+        torch = self._torch
+        probs = torch.softmax(logits_row, dim=-1)
+        topv, topi = probs.topk(self.top_k)
+        out = []
+        for v, i in zip(topv.tolist(), topi.tolist()):
+            term = self.tokenizer.decode([int(i)]).strip().lower()
+            e, e_count = self._signature(term)
+            out.append({"desc": term, "v": round(float(v), 4), "e": e, "e_count": e_count})
+        return out
+
+    def predict_many(self, masked_sentences: list[str]) -> list[list[dict]]:
+        """One padded forward pass for a batch of masked sentences; each
+        sentence's FIRST mask position supplies its descriptor list (the
+        reference masks exactly one span per sentence copy)."""
+        torch = self._torch
+        texts = [s.replace("__entity__", self.tokenizer.mask_token) for s in masked_sentences]
+        enc = self.tokenizer(
+            texts, return_tensors="pt", padding=True,
+            truncation=True, max_length=self.max_length,
+        ).to(self.device)
+        with torch.no_grad():
+            logits = self.model(**enc).logits
+        results: list[list[dict]] = []
+        mask_id = self.tokenizer.mask_token_id
+        for row in range(len(texts)):
+            pos = (enc["input_ids"][row] == mask_id).nonzero(as_tuple=True)[0]
+            if len(pos) == 0:  # mask truncated away -> degraded empty result
+                results.append([])
+                continue
+            results.append(self._descs_from_logits(logits[row, int(pos[0])]))
+        return results
+
+    def predict(self, masked_sentence: str, phrase: str, mode: str) -> list[dict]:
+        if mode == "ci" and phrase.replace(",", "").replace(".", "").isdigit():
+            sig = self._signature(DUMMY_DESC_TERM)
+            return [
+                {"desc": DUMMY_DESC_TERM, "v": 0.0, "e": sig[0], "e_count": sig[1]}
+                for _ in range(DUMMY_DESCS)
+            ]
+        return self.predict_many([masked_sentence])[0]
 
 
 def default_backends(top_k: int = DUMMY_DESCS) -> list[MockDescriptorBackend]:

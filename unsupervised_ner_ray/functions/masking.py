@@ -38,6 +38,59 @@ def parse_marked_terms(sentence: str) -> list[tuple[str, str]]:
     return terms
 
 
+# POS-lite fallback for UNMARKED sentences.  The reference falls back to an
+# external jPTDP POS service when a sentence has no ``:__entity__`` markers
+# (/root/reference/main_NER.py:225-230); the engine ships a deterministic
+# closed-class heuristic behind the same seam (a real POS model can be
+# plugged in via the ``pos_backend`` parameter of tagger.tag_sentence).
+_FUNCTION_WORDS = frozenset(
+    """a an the this that these those is are was were be been being am
+    do does did done has have had having will would shall should can could
+    may might must and or but nor so yet if then than as of in on at by for
+    with from to into onto over under about after before between during
+    through up down out off above below again further once here there when
+    where why how all any both each few more most other some such no not
+    only own same too very s t don now he she it they we you i his her hers
+    its their theirs our ours your yours my mine me him them us who whom
+    whose which what said says say went gets got get made make makes""".split()
+)
+import re as _re
+
+_PUNCT_ONLY = _re.compile(r"^\W+$", _re.UNICODE)
+_EDGE_PUNCT = _re.compile(r"^\W+|\W+$", _re.UNICODE)
+
+
+def heuristic_pos_terms(sentence: str) -> list[tuple[str, str]]:
+    """Unmarked sentence -> (word, tag) pairs without a POS model: pure
+    punctuation and closed-class function words get RESET, numerics get CD,
+    every other content word gets a noun tag (maximal content-word runs then
+    become candidate entity spans, same downstream flow as the marker path).
+    Deterministic and vocabulary-free — recall over real verbs is imperfect
+    by construction; swap in a real POS backend for production tagging."""
+    terms = []
+    for word in sentence.split():
+        core = _EDGE_PUNCT.sub("", word)
+        if not core or _PUNCT_ONLY.match(word):
+            terms.append((word, RESET_POS_TAG))
+        elif core.lower() in _FUNCTION_WORDS:
+            terms.append((word, RESET_POS_TAG))
+        elif core.replace(",", "").replace(".", "").isdigit():
+            terms.append((word, "CD"))
+        else:
+            terms.append((word, "NN"))
+    return terms
+
+
+def detect_terms(sentence: str, pos_backend=None) -> list[tuple[str, str]]:
+    """The reference's mode switch (main_NER.py:225-230): marker-driven when
+    the sentence carries ``:__entity__`` tags, POS-driven otherwise."""
+    if INPUT_MASK_TAG in sentence:
+        return parse_marked_terms(sentence)
+    if pos_backend is not None:
+        return pos_backend(sentence)
+    return heuristic_pos_terms(sentence)
+
+
 def generate_masked_sentences(terms: list[tuple[str, str]]) -> tuple[list[list[str]], list[int]]:
     """Per maximal run of noun-tagged tokens emit one sentence copy with the
     run replaced by ``__entity__``; span flags mark run membership.

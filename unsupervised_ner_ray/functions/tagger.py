@@ -25,14 +25,20 @@ def tag_sentence(
     suppress_untagged: bool = True,
     common_descs: frozenset[str] = frozenset(),
     aggregation_variant: str = "softmax",
+    pos_backend=None,
 ) -> dict:
     """Tag one sentence with one model.
+
+    Mention detection follows the reference's mode switch
+    (main_NER.py:225-230): ``:__entity__``-marked sentences use the marker
+    parser; plain sentences fall back to ``pos_backend`` (default: the
+    deterministic POS-lite heuristic) so unmarked corpora tag end-to-end.
 
     Returns a dict with tokens, span_arr, phrases, per-span detail, BIO tags
     and the service-shaped ``result`` (functions/emission.build_model_result)
     consumed by the ensemble.
     """
-    terms = masking.parse_marked_terms(text)
+    terms = masking.detect_terms(text, pos_backend)
     masked_sent_arr, span_arr = masking.generate_masked_sentences(terms)
     masked_sent_arr, span_arr = masking.filter_common_noun_spans(
         span_arr, masked_sent_arr, terms, common_descs
@@ -96,6 +102,7 @@ def ensemble_tag_sentence(
     common_descs: frozenset[str] = frozenset(),
     servers_config: list[dict] = SERVERS_CONFIG,
     aggregation_variant: str = "softmax",
+    pos_backend=None,
 ) -> dict:
     """Tag one sentence with both models and resolve conflicts.
 
@@ -105,7 +112,10 @@ def ensemble_tag_sentence(
     by position), and the inferred-entity harvest pairs.
     """
     per_model = [
-        tag_sentence(text, b, emap, suppress_untagged, common_descs, aggregation_variant)
+        tag_sentence(
+            text, b, emap, suppress_untagged, common_descs,
+            aggregation_variant, pos_backend,
+        )
         for b in backends
     ]
     results = [m["result"] for m in per_model]

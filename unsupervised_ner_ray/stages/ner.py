@@ -37,6 +37,7 @@ import pyarrow as pa
 from ..assets import SERVERS_CONFIG, build_entity_map
 from ..backends import default_backends
 from ..config import DEFAULT_CONFIG, PipelineConfig
+from ..functions import masking
 from ..functions.kg import extract_entity_spans, extract_triples
 from ..functions.tagger import ensemble_tag_sentence
 
@@ -301,9 +302,10 @@ def tag_documents_split(
                 n = len(ens["ensembled_ner"])
                 tags = [ens["ensembled_ner"][str(i + 1)]["e"] for i in range(n)]
                 text = spans[span_idx]["text"]
-                tokens = [
-                    w.replace(":__entity__", "") for w in text.split()
-                ]
+                # same tokenization as NerTagger (masking.detect_terms):
+                # marker stripped only from words that END with it — a global
+                # replace would diverge on a mid-word ':__entity__'
+                tokens = [w for w, _ in masking.detect_terms(text)]
                 ner_r.append(
                     {
                         "span_idx": span_idx,
