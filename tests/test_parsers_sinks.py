@@ -135,3 +135,54 @@ def test_jsonl_roundtrip(ray_session, tmp_path):
         sa = [(s["kind"], s["text"], s.get("media_ref"), s["offset"]) for s in a]
         sb = [(s["kind"], s["text"], s.get("media_ref"), s["offset"]) for s in b]
         assert sa == sb
+
+
+def test_lance_routing_seam(monkeypatch, tmp_path):
+    """The Lance/Parquet dispatch in read/write_documents: a ``.lance``
+    path routes to Ray's lance reader/writer when pylance imports, and
+    falls back to Parquet otherwise.  pylance is absent in this sandbox, so
+    the lance arm is exercised with a stub module + patched rd hooks (the
+    routing is the testable seam; Ray's own lance IO is upstream code)."""
+    import sys
+    import types
+
+    import ray.data as rd
+
+    from unsupervised_ner_ray.sources import io
+
+    calls = {}
+    monkeypatch.setitem(sys.modules, "lance", types.ModuleType("lance"))
+    monkeypatch.setattr(
+        rd, "read_lance", lambda path, **kw: calls.setdefault("read", path), raising=False
+    )
+
+    class _FakeDs:
+        def write_lance(self, path, **kw):
+            calls["write"] = path
+
+        def write_parquet(self, path, **kw):
+            calls["write_parquet"] = path
+
+    io.read_documents("/tmp/x.lance")
+    io.write_documents(_FakeDs(), "/tmp/y.lance")
+    assert calls == {"read": "/tmp/x.lance", "write": "/tmp/y.lance"}
+
+    # non-.lance path ignores the lance module entirely
+    io.write_documents(_FakeDs(), str(tmp_path / "plain_dir"))
+    assert calls["write_parquet"] == str(tmp_path / "plain_dir")
+
+    # without pylance, a .lance suffix falls back to Parquet (format-agnostic
+    # logical schema) rather than erroring
+    monkeypatch.delitem(sys.modules, "lance")
+    import builtins
+
+    real_import = builtins.__import__
+
+    def _no_lance(name, *a, **k):
+        if name == "lance":
+            raise ImportError("no pylance")
+        return real_import(name, *a, **k)
+
+    monkeypatch.setattr(builtins, "__import__", _no_lance)
+    io.write_documents(_FakeDs(), "/tmp/z.lance")
+    assert calls["write_parquet"] == "/tmp/z.lance"

@@ -39,7 +39,10 @@ def softmax(x) -> "np.ndarray | list[float]":
         return e_x / e_x.sum(axis=0)
     m = max(vals)
     e_x = [math.exp(v - m) for v in vals]
-    s = math.fsum(e_x) if len(e_x) > 8 else sum(e_x)
+    # plain sequential sum matches np.sum's accumulation order bit-for-bit
+    # (math.fsum's exact rounding can differ in the last ulp, and the tie
+    # ordering downstream is load-bearing — see module docstring)
+    s = sum(e_x)
     return [v / s for v in e_x]
 
 
