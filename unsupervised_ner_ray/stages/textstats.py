@@ -49,16 +49,34 @@ def token_stats(docs):
     """Per-doc: n_tokens, n_chars (computed), distinct token count."""
 
     def _f(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        toks = [_tokens(t) for t in texts]
+        # vectorized: split/flatten on the C path, per-doc token + distinct
+        # counts via a segment reduction over the flattened (doc, token) rows
+        import numpy as np
+        import pandas as pd
+
+        n = len(batch)
+        tok_lists = pc.split_pattern(batch.column("text"), pattern=" ")
+        counts = pc.list_value_length(tok_lists).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(tok_lists)
+        ne = pc.not_equal(flat, pa.scalar("")).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(n), counts)
+        n_tokens = np.zeros(n, dtype=np.int64)
+        np.add.at(n_tokens, doc_idx, ne.astype(np.int64))
+        nd = (
+            pd.DataFrame(
+                {"d": doc_idx[ne], "t": flat.to_numpy(zero_copy_only=False)[ne]}
+            )
+            .groupby("d")["t"]
+            .nunique()
+            .reindex(np.arange(n), fill_value=0)
+            .to_numpy()
+        )
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "n_tokens": pa.array([len(t) for t in toks], pa.int64()),
+                "n_tokens": pa.array(n_tokens, pa.int64()),
                 "n_chars": pc.cast(pc.utf8_length(batch.column("text")), pa.int64()),
-                "n_distinct_tokens": pa.array(
-                    [len(set(t)) for t in toks], pa.int64()
-                ),
+                "n_distinct_tokens": pa.array(nd, pa.int64()),
             }
         )
 
@@ -76,15 +94,14 @@ def token_histogram(docs, limit: int = 100):
     from ray.data.aggregate import Sum
 
     def _combine(batch: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        for t in batch.column("text").to_pylist():
-            for tok in _tokens(t):
-                counts[tok] = counts.get(tok, 0) + 1
-        items = sorted(counts.items())
+        # all C-path: split -> flatten -> drop empties -> value_counts
+        flat = pc.list_flatten(pc.split_pattern(batch.column("text"), pattern=" "))
+        flat = flat.filter(pc.not_equal(flat, pa.scalar("")))
+        vc = pc.value_counts(flat)
         return pa.table(
             {
-                "token": pa.array([k for k, _ in items], pa.string()),
-                "n": pa.array([v for _, v in items], pa.int64()),
+                "token": pc.cast(vc.field("values"), pa.string()),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
             }
         )
 
