@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_filter_project": relational.q_filter_project,
         "q_revenue_by_nation": relational.q_revenue_by_nation,
         "q_rollup_revenue": relational.q_rollup_revenue,
+        "q_cube_revenue": relational.q_cube_revenue,
         "q_pivot_status": relational.q_pivot_status,
         "q_asof_shuffled": joins.q_asof_last_order_shuffled,
         "q_topk_customers": relational.q_topk_customers,
@@ -260,6 +261,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_vocab_merge": lambda sf: textstats.vocab_merge(_docs(sf)),
         "q_heavy_hitters": lambda sf: textstats.heavy_hitters(_docs(sf), k=20),
         "q_top_tfidf": lambda sf: textstats.top_tfidf_terms(_docs(sf)),
+        # same operator forced down the at-scale sharded-df path (df ships as
+        # a dataset; co-partitioned merge + per-doc argmax shuffle) — checked
+        # against the identical SQL oracle
+        "q_top_tfidf_distributed": lambda sf: textstats.top_tfidf_terms(
+            _docs(sf), broadcast_max_tokens=0
+        ),
+        "q_stratified_sample": lambda sf: textstats.stratified_sample(
+            _docs(sf).select_columns(["doc_id", "lang"]), stratum_col="lang", k=20
+        ),
         "q_sample_hash": lambda sf: textstats.deterministic_sample(
             _docs(sf).select_columns(["doc_id", "lang"])
         ).sort("doc_id"),
@@ -340,6 +350,15 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
                         JOIN nation ON c_nationkey = n_nationkey
             GROUP BY ROLLUP(n_name, o_orderpriority)
+            ORDER BY n_name NULLS LAST, o_orderpriority NULLS LAST
+        """,
+        "q_cube_revenue": """
+            SELECT n_name, o_orderpriority,
+                   CAST(SUM(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   COUNT(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY CUBE(n_name, o_orderpriority)
             ORDER BY n_name NULLS LAST, o_orderpriority NULLS LAST
         """,
         "q_range_join": """
@@ -500,6 +519,35 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY token ORDER BY n DESC, token LIMIT 100
         """,
         "q_top_tfidf": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+            ), tf AS (
+                SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token
+            ), df AS (
+                SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY token
+            ), ranked AS (
+                SELECT tf.doc_id, tf.token, tf.tf, df.df,
+                       tf.tf * 1000000 // df.df AS score,
+                       row_number() OVER (
+                           PARTITION BY tf.doc_id
+                           ORDER BY tf.tf * 1000000 // df.df DESC, tf.token
+                       ) AS rn
+                FROM tf JOIN df USING (token)
+            )
+            SELECT doc_id, token, tf, df, score FROM ranked WHERE rn = 1
+            ORDER BY doc_id
+        """,
+        "q_stratified_sample": """
+            SELECT lang AS stratum, doc_id FROM (
+                SELECT lang, doc_id,
+                       row_number() OVER (
+                           PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rn
+                FROM documents
+            ) WHERE rn <= 20 ORDER BY stratum, doc_id
+        """,
+        "q_top_tfidf_distributed": f"""
             WITH tok AS (
                 SELECT doc_id, unnest({_TOKS}) AS token FROM documents
             ), tf AS (

@@ -631,3 +631,84 @@ def test_bloom_prefilter_selectivity(ray_session):
     assert bits[_bloom_positions(members)].all(axis=0).all()  # zero false negatives
     fp = bits[_bloom_positions(non_members)].all(axis=0).mean()
     assert fp < 0.01, fp
+
+
+def test_top_tfidf_distributed_path_equals_broadcast(ray_session):
+    """Forcing the sharded-df path (broadcast_max_tokens=0) must reproduce
+    the broadcast-df result exactly — the at-scale tf-idf path is tested
+    code, not a comment."""
+    rd = _rd()
+
+    from unsupervised_ner_ray.stages.textstats import top_tfidf_terms
+
+    docs = rd.from_items(
+        [
+            {"doc_id": i, "text": t}
+            for i, t in enumerate(
+                [
+                    "alpha beta beta gamma",
+                    "alpha alpha delta",
+                    "gamma gamma gamma epsilon",
+                    "zeta",
+                    "beta delta delta epsilon epsilon epsilon",
+                ]
+            )
+        ]
+    )
+    bc = top_tfidf_terms(docs).to_pandas().reset_index(drop=True)
+    dist = (
+        top_tfidf_terms(docs, broadcast_max_tokens=0)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(bc, dist[bc.columns])
+
+
+def test_stratified_sample_deterministic(ray_session):
+    """Per-stratum top-k by md5 rank: deterministic across calls, respects
+    the per-stratum cap, and matches a local computation."""
+    import hashlib
+
+    rd = _rd()
+
+    from unsupervised_ner_ray.stages.textstats import stratified_sample
+
+    rows = [
+        {"doc_id": i, "lang": ["en", "de", "fr"][i % 3]} for i in range(90)
+    ]
+    docs = rd.from_items(rows)
+    out = stratified_sample(docs, stratum_col="lang", k=5)
+    assert list(out.columns) == ["stratum", "doc_id"]
+    assert (out.groupby("stratum").size() == 5).all()
+    # local reference
+    df = pd.DataFrame(rows).rename(columns={"lang": "stratum"})
+    df["h"] = [hashlib.md5(str(d).encode()).hexdigest() for d in df["doc_id"]]
+    exp = (
+        df.sort_values(["stratum", "h", "doc_id"], kind="mergesort")
+        .groupby("stratum", sort=False)
+        .head(5)[["stratum", "doc_id"]]
+        .sort_values(["stratum", "doc_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out.reset_index(drop=True), exp)
+    # determinism across calls
+    out2 = stratified_sample(docs, stratum_col="lang", k=5)
+    pd.testing.assert_frame_equal(out, out2)
+
+
+def test_cube_revenue_grouping_sets(ray_session):
+    """CUBE = fine + by-nation + by-priority + grand total, each set summing
+    to the same grand total."""
+    from unsupervised_ner_ray.stages.relational import q_cube_revenue
+
+    out = q_cube_revenue("/root/testdata/sf0.001")
+    fine = out[out["n_name"].notna() & out["o_orderpriority"].notna()]
+    by_n = out[out["n_name"].notna() & out["o_orderpriority"].isna()]
+    by_p = out[out["n_name"].isna() & out["o_orderpriority"].notna()]
+    grand = out[out["n_name"].isna() & out["o_orderpriority"].isna()]
+    assert len(grand) == 1
+    tot = int(grand["revenue_cents"].iloc[0])
+    assert int(fine["revenue_cents"].sum()) == tot
+    assert int(by_n["revenue_cents"].sum()) == tot
+    assert int(by_p["revenue_cents"].sum()) == tot
+    assert int(grand["n_orders"].iloc[0]) == int(fine["n_orders"].sum())

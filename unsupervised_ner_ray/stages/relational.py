@@ -185,6 +185,64 @@ def q_rollup_revenue(sf_dir: str):
     ).reset_index(drop=True)
 
 
+def q_cube_revenue(sf_dir: str):
+    """CUBE(n_name, o_orderpriority) over order revenue — all four grouping
+    sets.  Same shuffle discipline as ROLLUP (`q_rollup_revenue`): ONE
+    combiner groupby at the finest grain moves only pre-aggregated partials;
+    the three coarser sets (by nation, by priority, grand total) are derived
+    locally from that tiny aggregate, so the fact rows shuffle exactly once
+    regardless of how many grouping sets the cube has."""
+    lookup_ref = _broadcast_cust_nation(sf_dir)
+
+    class Joiner:
+        def __init__(self):
+            self.c2n_idx, self.names = ray.get(lookup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t.column("o_custkey").to_numpy()
+            return pa.table(
+                {
+                    "n_name": pc.take(self.names, pa.array(self.c2n_idx[keys])),
+                    "o_orderpriority": t.column("o_orderpriority"),
+                    "price_cents": _to_cents(t.column("o_totalprice")),
+                }
+            )
+
+    orders = read_sf(sf_dir, "orders", columns=["o_custkey", "o_orderpriority", "o_totalprice"])
+    fine = (
+        orders.map_batches(Joiner, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby(["n_name", "o_orderpriority"])
+        .aggregate(Sum("price_cents", alias_name="revenue_cents"), Count(alias_name="n_orders"))
+        .to_pandas()
+    )
+    by_nation = (
+        fine.groupby("n_name", as_index=False)[["revenue_cents", "n_orders"]]
+        .sum()
+        .assign(o_orderpriority=None)
+    )
+    by_prio = (
+        fine.groupby("o_orderpriority", as_index=False)[["revenue_cents", "n_orders"]]
+        .sum()
+        .assign(n_name=None)
+    )
+    grand = pd.DataFrame(
+        {
+            "n_name": [None],
+            "o_orderpriority": [None],
+            "revenue_cents": [fine["revenue_cents"].sum()],
+            "n_orders": [fine["n_orders"].sum()],
+        }
+    )
+    out = pd.concat([fine, by_nation, by_prio, grand], ignore_index=True)[
+        ["n_name", "o_orderpriority", "revenue_cents", "n_orders"]
+    ]
+    out["revenue_cents"] = out["revenue_cents"].astype("int64")
+    out["n_orders"] = out["n_orders"].astype("int64")
+    return out.sort_values(
+        ["n_name", "o_orderpriority"], na_position="last", kind="mergesort"
+    ).reset_index(drop=True)
+
+
 def q_pivot_status(sf_dir: str):
     """PIVOT (wide reshape): order counts by priority × status.  One C-path
     groupby over both keys (a few dozen cells), then the reshape is a local

@@ -111,18 +111,21 @@ def token_histogram(docs, limit: int = 100):
     return top
 
 
-def top_tfidf_terms(docs, scale: int = 1_000_000):
+def top_tfidf_terms(docs, scale: int = 1_000_000, broadcast_max_tokens: int = 5_000_000):
     """Per-document top term by an integer tf-idf variant:
     ``score = tf * scale // df`` (document frequency).  Integer arithmetic
     keeps ranking bit-exact across engines — float ``ln`` idf can flip an
     argmax at the last ulp between libm implementations, which would break
     the oracle hash (ties break by token asc on both sides).
 
-    Two stages: df via distinct (token, doc) pairs collapsed per batch then
-    one C-path Count groupby; scoring via a broadcast df map over a second
-    streaming pass (at vocabularies beyond broadcast size, ship df as a
-    dataset and reuse the hash-join path instead).
-    Output: doc_id, token, tf, df, score.
+    df is computed via distinct (token, doc) pairs collapsed per batch then
+    one C-path Count groupby.  Scoring has two equivalent paths chosen by
+    vocabulary size: below ``broadcast_max_tokens`` the df map broadcasts
+    (``ray.put`` once, read per actor) over a second streaming pass; above
+    it df ships as a DATASET and the scoring runs fully distributed —
+    co-partitioned union merge on token, then a per-doc argmax shuffle —
+    the 100 TB path, pinned equal to the broadcast path by a dedicated
+    test.  Output: doc_id, token, tf, df, score.
     """
     from ray.data.aggregate import Count
 
@@ -141,14 +144,17 @@ def top_tfidf_terms(docs, scale: int = 1_000_000):
             }
         )
 
-    df_pd = (
+    df_ds = (
         docs.map_batches(_pairs, batch_format="pyarrow")
         .groupby(["token", "doc_id"])
         .aggregate(Count(alias_name="_n"))
         .groupby("token")
         .aggregate(Count(alias_name="df"))
-        .to_pandas()
+        .materialize()
     )
+    if df_ds.count() > broadcast_max_tokens:
+        return _top_tfidf_distributed(docs, df_ds, scale)
+    df_pd = df_ds.to_pandas()
     df_map = dict(zip(df_pd["token"], df_pd["df"].astype(int)))
     df_ref = ray.put(df_map)
 
@@ -194,6 +200,122 @@ def top_tfidf_terms(docs, scale: int = 1_000_000):
     )
 
 
+def _top_tfidf_distributed(docs, df_ds, scale: int, num_parts: int = 32):
+    """At-scale tf-idf scoring when the vocabulary cannot broadcast: df rows
+    ship as a dataset and join (tf, df) by co-partitioned union merge on the
+    token hash — df is SHARDED across partitions, never replicated — then one
+    per-doc argmax shuffle.  Two bounded shuffles total over pre-combined
+    rows (tf rows are already one per distinct (doc, token))."""
+    import numpy as np
+
+    _PART = "__part"
+
+    def _tf_rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        tok_lists = pc.split_pattern(batch.column("text"), pattern=" ")
+        counts = pc.list_value_length(tok_lists).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(tok_lists)
+        ne = pc.not_equal(flat, pa.scalar("")).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(n), counts)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        tf = (
+            pd.DataFrame(
+                {
+                    "doc_id": ids[doc_idx[ne]],
+                    "token": flat.to_numpy(zero_copy_only=False)[ne],
+                }
+            )
+            .groupby(["doc_id", "token"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        tf["df"] = np.int64(0)
+        tf["is_df"] = np.int8(0)
+        return pa.Table.from_pandas(tf, preserve_index=False)
+
+    def _df_rows(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "token": pa.array([], pa.string()),
+                    "tf": pa.array([], pa.int64()),
+                    "df": pa.array([], pa.int64()),
+                    "is_df": pa.array([], pa.int8()),
+                }
+            )
+        k = len(t)
+        return pa.table(
+            {
+                "doc_id": pa.array(np.full(k, -1, dtype=np.int64)),
+                "token": pc.cast(t.column("token"), pa.string()),
+                "tf": pa.array(np.zeros(k, dtype=np.int64)),
+                "df": pc.cast(t.column("df"), pa.int64()),
+                "is_df": pa.array(np.ones(k, dtype=np.int8)),
+            }
+        )
+
+    def _tag_token(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df["token"], index=False)
+        df = df.copy()
+        df[_PART] = (h % num_parts).astype("int32")
+        return df
+
+    def _score_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=[_PART])
+        dfv = g[g["is_df"] == 1]
+        tfv = g[g["is_df"] == 0]
+        if tfv.empty or dfv.empty:
+            return pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "token": pd.Series([], dtype=object),
+                    "tf": pd.Series([], dtype="int64"),
+                    "df": pd.Series([], dtype="int64"),
+                    "score": pd.Series([], dtype="int64"),
+                }
+            )
+        m = tfv[["doc_id", "token", "tf"]].merge(
+            dfv[["token", "df"]], on="token", how="inner"
+        )
+        m["score"] = m["tf"].to_numpy() * scale // m["df"].to_numpy()
+        return m[["doc_id", "token", "tf", "df", "score"]]
+
+    def _tag_doc(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df["doc_id"], index=False)
+        df = df.copy()
+        df[_PART] = (h % num_parts).astype("int32")
+        return df
+
+    def _argmax_part(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=[_PART])
+        top = (
+            g.sort_values(
+                ["doc_id", "score", "token"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            .drop_duplicates("doc_id", keep="first")
+        )
+        for c in ("doc_id", "tf", "df", "score"):
+            top[c] = top[c].astype(np.int64)
+        return top[["doc_id", "token", "tf", "df", "score"]]
+
+    scored = (
+        docs.map_batches(_tf_rows, batch_format="pyarrow")
+        .union(df_ds.map_batches(_df_rows, batch_format="pyarrow"))
+        .map_batches(_tag_token, batch_format="pandas")
+        .groupby(_PART)
+        .map_groups(_score_part, batch_format="pandas")
+    )
+    return (
+        scored.map_batches(_tag_doc, batch_format="pandas")
+        .groupby(_PART)
+        .map_groups(_argmax_part, batch_format="pandas")
+        .sort("doc_id")
+    )
+
+
 def deterministic_sample(docs, hex_cutoff: str = "14"):
     """Deterministic, seedless row sampling by content hash: keep rows whose
     ``md5(doc_id)`` starts below ``hex_cutoff`` ("14" ~ 8%).  Unlike
@@ -211,6 +333,48 @@ def deterministic_sample(docs, hex_cutoff: str = "14"):
         return batch.filter(mask)
 
     return docs.map_batches(_f, batch_format="pyarrow")
+
+
+def stratified_sample(docs, stratum_col: str = "lang", k: int = 20):
+    """Deterministic stratified sampling: the ``k`` rows with the smallest
+    ``md5(doc_id)`` rank PER STRATUM (seedless, reproducible across engines —
+    the oracle is a ``row_number() OVER (PARTITION BY stratum ORDER BY
+    md5(id), id)`` window).
+
+    Scale shape: a per-batch partial top-k per stratum (combiner — at most
+    ``k × n_strata`` rows leave each block) followed by a driver merge of
+    those bounded partials; the fact rows never shuffle.  Strata counts are
+    assumed small (languages, sources, shards); for high-cardinality strata
+    swap the driver merge for ``partitioned_map_groups`` on the stratum key.
+    Output: (stratum, doc_id) sorted by (stratum, doc_id).
+    """
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "stratum": batch.column(stratum_col).to_pandas(),
+                "doc_id": batch.column("doc_id").to_pandas(),
+            }
+        )
+        df["h"] = [
+            hashlib.md5(str(d).encode()).hexdigest() for d in df["doc_id"]
+        ]
+        top = (
+            df.sort_values(["stratum", "h", "doc_id"], kind="mergesort")
+            .groupby("stratum", sort=False)
+            .head(k)
+        )
+        return pa.Table.from_pandas(top, preserve_index=False)
+
+    parts = docs.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    final = (
+        parts.sort_values(["stratum", "h", "doc_id"], kind="mergesort")
+        .groupby("stratum", sort=False)
+        .head(k)[["stratum", "doc_id"]]
+        .sort_values(["stratum", "doc_id"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    return final
 
 
 def heavy_hitters(docs, k: int = 20, cap: int = 4096):
