@@ -158,6 +158,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["resized"]
         )
 
+    def q_media_decode(sf_dir: str):
+        # REAL byte decode: synthesized PPM/BMP/WAV payloads (testdata has
+        # no binaries) -> stdlib+numpy decoders -> dims/samples/features
+        from unsupervised_ner_ray.stages.multimodal import (
+            decode_media,
+            synthesize_payloads,
+        )
+
+        return decode_media(
+            synthesize_payloads(extract_media_refs(_ner_corpus(sf_dir)))
+        )
+
     def q_minhash_neardup(sf_dir: str):
         return dedup.minhash_lsh_pairs(_docs(sf_dir), threshold=0.5)
 
@@ -297,6 +309,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_kg_pagerank": q_kg_pagerank,  # iterative: rows-only
         "q_media_features": q_media_features,
         "q_media_resize": q_media_resize,
+        "q_media_decode": q_media_decode,  # rows-only (real byte decode)
     }
 
 

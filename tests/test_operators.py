@@ -712,3 +712,63 @@ def test_cube_revenue_grouping_sets(ray_session):
     assert int(by_n["revenue_cents"].sum()) == tot
     assert int(by_p["revenue_cents"].sum()) == tot
     assert int(grand["n_orders"].iloc[0]) == int(fine["n_orders"].sum())
+
+
+def test_media_codecs_roundtrip():
+    """PPM/BMP/WAV encode->decode round-trips exactly (stdlib+numpy only)."""
+    from unsupervised_ner_ray.functions import media_codecs as mc
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (13, 7, 3)).astype(np.uint8)  # odd width: BMP row pad
+    assert np.array_equal(mc.decode_ppm(mc.encode_ppm(img)), img)
+    assert np.array_equal(mc.decode_bmp(mc.encode_bmp(img)), img)
+    # PPM with a header comment
+    commented = b"P6\n# a comment\n7 13\n255\n" + img.tobytes()
+    assert np.array_equal(mc.decode_ppm(commented), img)
+    samples = (rng.randn(777) * 8000).astype(np.int16)
+    dec, rate = mc.decode_wav(mc.encode_wav(samples, rate=8000))
+    assert rate == 8000
+    assert np.array_equal(dec[:, 0], samples)
+    # magic dispatch + compressed-format gate
+    assert np.array_equal(mc.decode_image(mc.encode_bmp(img)), img)
+    with pytest.raises(NotImplementedError):
+        mc.decode_image(b"\x89PNG\r\n\x1a\n....")
+
+
+def test_letterbox_resize_real_pixels():
+    """Nearest-neighbor letterbox: exact geometry and exact pixel provenance."""
+    from unsupervised_ner_ray.functions.media_codecs import letterbox_resize
+
+    img = np.zeros((10, 20, 3), dtype=np.uint8)
+    img[:, 10:, 0] = 255  # right half red
+    out, s = letterbox_resize(img, 8)
+    assert out.shape == (4, 8, 3) and abs(s - 0.4) < 1e-12
+    assert (out[:, :4, 0] == 0).all() and (out[:, 4:, 0] == 255).all()
+    # upscale path
+    up, s2 = letterbox_resize(img[:2, :2], 6)
+    assert up.shape == (6, 6, 3) and s2 == 3.0
+
+
+def test_media_decode_stage_end_to_end(ray_session):
+    """extract refs -> synthesize real format bytes -> decode stage: every
+    payload decodes, images carry dims, audio carries samples/rate, features
+    are fixed-dim."""
+    from unsupervised_ner_ray.pipelines.flagship import docs_dataset_synthetic
+    from unsupervised_ner_ray.stages.multimodal import (
+        decode_media,
+        extract_media_refs,
+        synthesize_payloads,
+    )
+
+    media = extract_media_refs(docs_dataset_synthetic(60, seed=3))
+    out = decode_media(synthesize_payloads(media)).to_pandas()
+    assert len(out) > 5
+    assert out["decoded_ok"].all()
+    imgs = out[out["kind"] == "image"]
+    auds = out[out["kind"] == "audio"]
+    assert (imgs["width"] > 0).all() and (imgs["height"] > 0).all()
+    if len(auds):
+        assert (auds["n_samples"] > 0).all() and (auds["sample_rate"] == 16000).all()
+    assert out["features"].map(len).eq(8).all()
+    # fmt mix actually exercises both image decoders
+    assert set(imgs["fmt"]) <= {"ppm", "bmp"} and len(set(imgs["fmt"])) >= 1

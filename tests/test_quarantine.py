@@ -95,3 +95,44 @@ def test_split_tagger_quarantines_per_model(ray_session):
     assert set(env["r"].keys()) == {"0"}  # good span tagged
     assert len(env["q"]) == 1 and env["q"][0]["span_idx"] == 1
     assert "RuntimeError" in env["q"][0]["error"] and env["q"][0]["error"].startswith("bio:")
+
+
+def test_sentence_cache_is_transparent():
+    """Cache on vs off produce byte-identical output on a batch with heavy
+    sentence repetition, and repeats actually hit the cache."""
+    import pyarrow as pa
+
+    from unsupervised_ner_ray.config import PipelineConfig
+    from unsupervised_ner_ray.stages.ner import NerTagger
+
+    span_t = pa.struct(
+        [
+            ("kind", pa.string()),
+            ("text", pa.large_string()),
+            ("media_ref", pa.string()),
+            ("offset", pa.int32()),
+        ]
+    )
+    sents = [
+        "Imatinib:__entity__ is a drug",
+        "cats and dogs are pets",  # unmarked -> POS fallback path
+        "Imatinib:__entity__ is a drug",  # repeat
+    ]
+    table = pa.table(
+        {
+            "doc_id": pa.array([f"d{i}" for i in range(6)], pa.string()),
+            "spans": pa.array(
+                [
+                    [{"kind": "text", "text": sents[i % 3], "media_ref": "", "offset": 0}]
+                    for i in range(6)
+                ],
+                pa.list_(span_t),
+            ),
+        }
+    )
+    cold = NerTagger(PipelineConfig(sentence_cache_size=0))(table)
+    warm_tagger = NerTagger(PipelineConfig(sentence_cache_size=100))
+    warm = warm_tagger(table)
+    assert cold.equals(warm)
+    # 6 spans but only 2 distinct sentences -> 2 cache entries, hits occurred
+    assert len(warm_tagger._cache) == 2

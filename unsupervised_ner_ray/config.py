@@ -26,6 +26,11 @@ class PipelineConfig:
     tagger_batch_size: int = 256
     tagger_concurrency: int = 8
     num_output_shards: int = 16
+    # per-actor LRU over tag_text results: tagging is a pure function of the
+    # sentence text, and web-scale corpora repeat boilerplate sentences
+    # heavily — a hit skips the full mask/score/ensemble pipeline.  Entries
+    # are ~1 KB; 0 disables.
+    sentence_cache_size: int = 65536
 
 
 DEFAULT_CONFIG = PipelineConfig()

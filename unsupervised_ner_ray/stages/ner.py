@@ -77,17 +77,35 @@ class NerTagger:
     """Actor-pool stage: interleaved documents -> tagged documents."""
 
     def __init__(self, config: PipelineConfig = DEFAULT_CONFIG):
+        from collections import OrderedDict
+
         self.config = config
         self.emap = build_entity_map()
         self.backends = default_backends(config.top_k_descs)
         self.servers_config = SERVERS_CONFIG
+        # tag_text is a pure function of the sentence text (backends/config
+        # are fixed per actor), so identical sentences — boilerplate repeats
+        # dominate web corpora — hit this per-actor LRU instead of re-running
+        # mask/score/ensemble.  Consumers only READ the cached dict.
+        self._cache: "OrderedDict[str, dict]" = OrderedDict()
+        self._cache_max = config.sentence_cache_size
 
     def tag_text(self, text: str) -> dict:
-        return ensemble_tag_sentence(
+        if self._cache_max:
+            hit = self._cache.get(text)
+            if hit is not None:
+                self._cache.move_to_end(text)
+                return hit
+        res = ensemble_tag_sentence(
             text, self.backends, self.emap,
             self.config.suppress_untagged, self.config.common_descs,
             self.servers_config, self.config.aggregation_variant,
         )
+        if self._cache_max:
+            self._cache[text] = res
+            if len(self._cache) > self._cache_max:
+                self._cache.popitem(last=False)
+        return res
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         spans_col = batch.column("spans").to_pylist()
