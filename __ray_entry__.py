@@ -250,6 +250,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_revenue_by_nation": relational.q_revenue_by_nation,
         "q_rollup_revenue": relational.q_rollup_revenue,
         "q_cube_revenue": relational.q_cube_revenue,
+        "q_left_join_customer_orders": relational.q_left_join_customer_orders,
+        "q_topk_orders_per_customer": relational.q_topk_orders_per_customer,
+        "q_ntile_customers": relational.q_ntile_customers,
         "q_pivot_status": relational.q_pivot_status,
         "q_asof_shuffled": joins.q_asof_last_order_shuffled,
         "q_topk_customers": relational.q_topk_customers,
@@ -373,6 +376,35 @@ def oracle_sql() -> dict[str, str]:
                         JOIN nation ON c_nationkey = n_nationkey
             GROUP BY CUBE(n_name, o_orderpriority)
             ORDER BY n_name NULLS LAST, o_orderpriority NULLS LAST
+        """,
+        "q_left_join_customer_orders": """
+            SELECT c.c_custkey, c.c_name,
+                   COALESCE(COUNT(o.o_orderkey), 0) AS n_orders,
+                   COALESCE(CAST(SUM(CAST(FLOOR(o.o_totalprice*100) AS BIGINT)) AS BIGINT), 0) AS total_cents
+            FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey, c.c_name ORDER BY c.c_custkey
+        """,
+        "q_topk_orders_per_customer": """
+            SELECT o_custkey, rank, o_orderkey, price_cents FROM (
+                SELECT o_custkey, o_orderkey,
+                       CAST(FLOOR(o_totalprice*100) AS BIGINT) AS price_cents,
+                       row_number() OVER (
+                           PARTITION BY o_custkey
+                           ORDER BY CAST(FLOOR(o_totalprice*100) AS BIGINT) DESC, o_orderkey
+                       ) AS rank
+                FROM orders
+            ) WHERE rank <= 3 ORDER BY o_custkey, rank
+        """,
+        "q_ntile_customers": """
+            SELECT c_nationkey, c_custkey, bal_cents, tile FROM (
+                SELECT c_nationkey, c_custkey,
+                       CAST(FLOOR(c_acctbal*100) AS BIGINT) AS bal_cents,
+                       CAST(ntile(4) OVER (
+                           PARTITION BY c_nationkey
+                           ORDER BY CAST(FLOOR(c_acctbal*100) AS BIGINT) DESC, c_custkey
+                       ) AS BIGINT) AS tile
+                FROM customer
+            ) ORDER BY c_nationkey, c_custkey
         """,
         "q_range_join": """
             SELECT e.event_id, e.user_id, COUNT(o.o_orderkey) AS n_orders_30d

@@ -678,3 +678,131 @@ def q_part_revenue_by_brand(sf_dir: str):
         .aggregate(Sum("rev_cents", alias_name="revenue_cents"), Count(alias_name="n_items"))
         .sort("p_brand")
     )
+
+
+def q_left_join_customer_orders(sf_dir: str):
+    """LEFT OUTER join: every customer row survives, order-side aggregates
+    fill with zero when absent (the ~hundred order-less customers).
+
+    Scale shape: the orders side is pre-aggregated to one row per custkey
+    with a combiner groupby (the only shuffle — over partials, not fact
+    rows), and that aggregate — orders of magnitude smaller than the order
+    table — broadcasts into a streaming pass over customer.  The unmatched
+    side is detected by lookup miss, never by a shuffled outer join."""
+    orders = read_sf(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "price_cents": _to_cents(t.column("o_totalprice")),
+            }
+        )
+
+    agg = (
+        orders.map_batches(_prep, batch_format="pyarrow")
+        .groupby("o_custkey")
+        .aggregate(Sum("price_cents", alias_name="total_cents"), Count(alias_name="n_orders"))
+        .to_pandas()
+    )
+    max_key = int(agg["o_custkey"].max()) if len(agg) else 0
+    totals = np.zeros(max_key + 1, dtype=np.int64)
+    counts = np.zeros(max_key + 1, dtype=np.int64)
+    totals[agg["o_custkey"].to_numpy()] = agg["total_cents"].to_numpy()
+    counts[agg["o_custkey"].to_numpy()] = agg["n_orders"].to_numpy()
+    lookup_ref = ray.put((totals, counts))
+
+    class LeftJoiner:
+        def __init__(self):
+            self.totals, self.counts = ray.get(lookup_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t.column("c_custkey").to_numpy()
+            safe = np.where(keys < len(self.totals), keys, 0)
+            in_range = keys < len(self.totals)
+            return pa.table(
+                {
+                    "c_custkey": t.column("c_custkey"),
+                    "c_name": t.column("c_name"),
+                    "n_orders": pa.array(
+                        np.where(in_range, self.counts[safe], 0), pa.int64()
+                    ),
+                    "total_cents": pa.array(
+                        np.where(in_range, self.totals[safe], 0), pa.int64()
+                    ),
+                }
+            )
+
+    cust = read_sf(sf_dir, "customer", columns=["c_custkey", "c_name"])
+    return cust.map_batches(
+        LeftJoiner, batch_format="pyarrow", concurrency=(1, 4)
+    ).sort("c_custkey")
+
+
+def q_topk_orders_per_customer(sf_dir: str, k: int = 3, num_parts: int = 32):
+    """Top-``k`` rows PER GROUP (each customer's k priciest orders) — the
+    grouped-top-k pattern: one coarse hash shuffle on the group key, then a
+    vectorized per-partition sort + head(k) per group; no global sort of the
+    fact table.  Ties break (o_totalprice desc, o_orderkey asc) so the
+    boundary is deterministic.  Output: custkey, rank, orderkey, cents."""
+    from .grouping import partitioned_map_groups
+
+    orders = read_sf(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_custkey": t.column("o_custkey"),
+                "o_orderkey": t.column("o_orderkey"),
+                "price_cents": _to_cents(t.column("o_totalprice")),
+            }
+        )
+
+    def _topk(g: pd.DataFrame) -> pd.DataFrame:
+        top = g.sort_values(
+            ["price_cents", "o_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(k)
+        top = top.assign(rank=np.arange(1, len(top) + 1, dtype=np.int64))
+        return top[["o_custkey", "rank", "o_orderkey", "price_cents"]]
+
+    prepped = orders.map_batches(_prep, batch_format="pyarrow")
+    return partitioned_map_groups(prepped, "o_custkey", _topk, num_parts=num_parts).sort(
+        ["o_custkey", "rank"]
+    )
+
+
+def q_ntile_customers(sf_dir: str, tiles: int = 4, num_parts: int = 16):
+    """NTILE(``tiles``) per nation over customer account balance — the
+    quantile-bucket window.  Same shape as the other window ops: one coarse
+    hash shuffle on the partition key, then each nation's tile assignment is
+    pure vectorized index math (SQL NTILE semantics: the first n % tiles
+    buckets get the extra row).  Ties break (c_acctbal desc, c_custkey asc)
+    to pin bucket boundaries.  Output: nationkey, custkey, bal_cents, tile."""
+    from .grouping import partitioned_map_groups
+
+    cust = read_sf(sf_dir, "customer", columns=["c_nationkey", "c_custkey", "c_acctbal"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_nationkey": t.column("c_nationkey"),
+                "c_custkey": t.column("c_custkey"),
+                "bal_cents": _to_cents(t.column("c_acctbal")),
+            }
+        )
+
+    def _ntile(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(
+            ["bal_cents", "c_custkey"], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        n = len(g)
+        base, rem = divmod(n, tiles)
+        sizes = np.full(tiles, base, dtype=np.int64)
+        sizes[:rem] += 1
+        g["tile"] = np.repeat(np.arange(1, tiles + 1, dtype=np.int64), sizes)[:n]
+        return g[["c_nationkey", "c_custkey", "bal_cents", "tile"]]
+
+    prepped = cust.map_batches(_prep, batch_format="pyarrow")
+    return partitioned_map_groups(prepped, "c_nationkey", _ntile, num_parts=num_parts).sort(
+        ["c_nationkey", "c_custkey"]
+    )
