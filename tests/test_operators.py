@@ -772,3 +772,26 @@ def test_media_decode_stage_end_to_end(ray_session):
     assert out["features"].map(len).eq(8).all()
     # fmt mix actually exercises both image decoders
     assert set(imgs["fmt"]) <= {"ppm", "bmp"} and len(set(imgs["fmt"])) >= 1
+
+
+def test_hll_by_group_accuracy(ray_session):
+    """Per-group HLL estimates stay within ~3% of exact per-group distinct
+    counts (p=14 -> ~0.8% typical standard error) and merging across many
+    blocks loses nothing (idempotent register max)."""
+    rd = _rd()
+
+    from unsupervised_ner_ray.stages.joins import hll_distinct_by_group
+
+    rng = np.random.default_rng(7)
+    rows = [
+        {"g": f"g{int(i % 3)}", "v": int(v)}
+        for i, v in enumerate(rng.integers(0, 5000, 30000))
+    ]
+    ds = rd.from_items(rows).repartition(8)
+    est = hll_distinct_by_group(ds, "g", "v").to_pandas().set_index("group")["estimate"]
+    df = pd.DataFrame(rows)
+    exact = df.groupby("g")["v"].nunique()
+    assert set(est.index) == set(exact.index)
+    for g in exact.index:
+        rel = abs(est[g] - exact[g]) / exact[g]
+        assert rel < 0.03, (g, est[g], exact[g], rel)

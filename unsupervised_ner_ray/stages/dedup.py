@@ -289,14 +289,28 @@ class SimHasher:
                 {"doc_id": batch.column("doc_id"), "simhash": pa.array([], pa.int64())}
             )
         tok_lists = pc.split_pattern(batch.column("text"), pattern=" ")
-        split = pc.list_flatten(tok_lists).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(tok_lists)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
         counts = pc.list_value_length(tok_lists).to_numpy(zero_copy_only=False)
         doc_idx = np.repeat(np.arange(n), counts)
-        keep = split != ""  # original filtered empty tokens
-        toks, doc_idx = split[keep], doc_idx[keep]
-        acc = np.zeros((n, 64), dtype=np.int64)
-        if len(toks):
-            uniq, codes = np.unique(toks, return_inverse=True)
+        keep = pc.not_equal(flat, pa.scalar(""))
+        doc_idx = doc_idx[keep.to_numpy(zero_copy_only=False)]
+        # token identity stays in Arrow: dictionary_encode is the C-path
+        # unique+codes (materializing the token column as Python/numpy object
+        # strings dominated the whole kernel — 1M tokens = 1M PyObjects);
+        # only the (small, cached) dictionary of DISTINCT tokens crosses
+        # into Python for hashing.
+        enc = pc.dictionary_encode(flat.filter(keep))
+        # sign(sum of +/-1 per bit) == (2 * ones_count > token_count): keep
+        # the bit matrix uint8 (0/1, 64 B per token) and segment-sum it with
+        # ONE np.add.reduceat per batch (doc_idx is sorted by construction)
+        # — np.add.at on a +/-1 int64 matrix was 8x the temp memory and an
+        # unbuffered scatter.
+        pos_bit = np.zeros((n, 64), dtype=bool)
+        if len(enc):
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            uniq = enc.dictionary.to_pylist()
             hashes = np.empty(len(uniq), dtype=np.uint64)
             cache = self._hash_cache
             for i, w in enumerate(uniq):
@@ -309,9 +323,14 @@ class SimHasher:
             raw = np.unpackbits(
                 hashes.astype("<u8").view(np.uint8).reshape(-1, 8), axis=1
             )
-            B = np.where(raw == 1, 1, -1).astype(np.int64)
-            np.add.at(acc, doc_idx, B[codes])
-        pos = (acc > 0).astype(np.uint64)
+            cnt = np.bincount(doc_idx, minlength=n)
+            nz = cnt > 0
+            offsets = np.concatenate(([0], np.cumsum(cnt)[:-1]))
+            ones = np.add.reduceat(
+                raw[codes], offsets[nz], axis=0, dtype=np.int64
+            )
+            pos_bit[nz] = 2 * ones > cnt[nz, None]
+        pos = pos_bit.astype(np.uint64)
         u = (pos << np.arange(64, dtype=np.uint64)).sum(axis=1, dtype=np.uint64)
         prints = (u ^ np.uint64(1 << 63)).view(np.int64)  # == sim - 2^63
         return pa.table(

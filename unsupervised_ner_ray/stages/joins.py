@@ -591,3 +591,64 @@ def hll_distinct(ds, col: str):
     if est <= 2.5 * m and zeros:
         est = m * float(np.log(m / zeros))
     return {"estimate": est, "n_sketches": len(sketches)}
+
+
+def hll_distinct_by_group(ds, group_col: str, col: str, num_parts: int = 16):
+    """Approximate COUNT(DISTINCT col) PER GROUP via mergeable HLL sketches —
+    the grouped face of :func:`hll_distinct`, for cardinalities/groups too
+    large for an exact distinct shuffle.
+
+    Per batch: ONE keyed vectorized hash over the value column, then every
+    group's registers update in a single ``np.maximum.at`` over a composite
+    (group, register) index — no Python per row or per group.  One sketch
+    row (2^p bytes) per group per batch leaves each block; sketches merge
+    per group with a register max (associative + idempotent) under one
+    coarse hash shuffle.  Output: (group, estimate float64).
+    """
+    from .grouping import partitioned_map_groups
+
+    m = 1 << _HLL_P
+
+    def _sketch(t: pa.Table) -> pa.Table:
+        vals = t.column(col).to_pandas()
+        groups = t.column(group_col).to_pandas()
+        if not len(vals):
+            return pa.table(
+                {
+                    "group": pa.array([], pa.string()),
+                    "registers": pa.array([], pa.list_(pa.int8())),
+                }
+            )
+        h = pd.util.hash_pandas_object(
+            vals, index=False, hash_key=_HLL_HASH_KEY
+        ).to_numpy()
+        idx = (h >> np.uint64(64 - _HLL_P)).astype(np.int64)
+        rest = (h & np.uint64((1 << (64 - _HLL_P)) - 1)).astype(np.float64)
+        bl = np.frexp(rest)[1]
+        rho = ((64 - _HLL_P) - bl + 1).astype(np.int8)
+        codes, uniques = pd.factorize(groups)
+        regs = np.zeros(len(uniques) * m, dtype=np.int8)
+        np.maximum.at(regs, codes * m + idx, rho)
+        regs2d = regs.reshape(len(uniques), m)
+        return pa.table(
+            {
+                "group": pa.array([str(u) for u in uniques], pa.string()),
+                "registers": pa.array([r.tolist() for r in regs2d], pa.list_(pa.int8())),
+            }
+        )
+
+    def _merge(g: pd.DataFrame) -> pd.DataFrame:
+        merged = np.maximum.reduce(
+            np.stack([np.asarray(r, dtype=np.int8) for r in g["registers"]])
+        )
+        alpha = 0.7213 / (1 + 1.079 / m)
+        est = alpha * m * m / float(np.sum(np.exp2(-merged.astype(np.float64))))
+        zeros = int(np.sum(merged == 0))
+        if est <= 2.5 * m and zeros:
+            est = m * float(np.log(m / zeros))
+        return pd.DataFrame({"group": [g["group"].iloc[0]], "estimate": [est]})
+
+    sketches = ds.map_batches(_sketch, batch_format="pyarrow")
+    return partitioned_map_groups(sketches, "group", _merge, num_parts=num_parts).sort(
+        "group"
+    )
