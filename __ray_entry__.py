@@ -202,6 +202,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # candidate/verify machinery non-trivially exercised
         return dedup.embedding_neardup_pairs(emb, threshold=0.35, planes=6)
 
+    def q_hll_users_by_day(sf_dir: str):
+        import pyarrow as pa
+        import pyarrow.compute as _pc
+
+        from unsupervised_ner_ray.sources.io import read_sf
+        from unsupervised_ner_ray.stages.joins import hll_distinct_by_group
+
+        ev = read_sf(sf_dir, "events", columns=["user_id", "ts"]).map_batches(
+            lambda t: t.append_column(
+                "day", _pc.cast(_pc.floor_temporal(t.column("ts"), unit="day"), pa.string())
+            ),
+            batch_format="pyarrow",
+        )
+        return hll_distinct_by_group(ev, "day", "user_id")
+
     def q_hll_users(sf_dir: str):
         import pandas as pd
 
@@ -245,6 +260,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_distinct_users": joins.q_distinct_users,
         "q_quantiles": joins.q_quantiles,
         "q_hll_users": q_hll_users,  # approximate: rows-only
+        "q_hll_users_by_day": q_hll_users_by_day,  # approximate: rows-only
         "q_tdigest_quantiles": q_tdigest_quantiles,  # approximate: rows-only
         "q_filter_project": relational.q_filter_project,
         "q_revenue_by_nation": relational.q_revenue_by_nation,
