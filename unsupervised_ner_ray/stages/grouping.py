@@ -56,3 +56,33 @@ def partitioned_map_groups(ds, keys, fn, num_parts: int = 64):
         .groupby(_PART_COL)
         .map_groups(_apply, batch_format="pandas")
     )
+
+
+def partitioned_apply(ds, keys, fn, num_parts: int = 64):
+    """Hash-partition on ``keys`` and call ``fn`` ONCE per partition with the
+    whole partition frame (all groups of a key land in one partition, like
+    :func:`partitioned_map_groups`, but with NO per-group Python dispatch at
+    all — ``fn`` must be vectorized across groups, e.g. groupby-aggregate /
+    sort + drop_duplicates).  This is the right tool when per-group work is
+    itself expressible as frame ops: ``partitioned_map_groups`` still pays
+    ~ms of pandas slicing per group, which dominates once groups number in
+    the tens of thousands (observed: canonicalization finalize 30 s -> 3 s
+    on 17k surface groups)."""
+    if isinstance(keys, str):
+        keys = [keys]
+    keys = list(keys)
+
+    def _tag(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[keys], index=False)
+        df = df.copy()
+        df[_PART_COL] = (h % num_parts).astype("int32")
+        return df
+
+    def _apply(part: pd.DataFrame) -> pd.DataFrame:
+        return fn(part.drop(columns=[_PART_COL]))
+
+    return (
+        ds.map_batches(_tag, batch_format="pandas")
+        .groupby(_PART_COL)
+        .map_groups(_apply, batch_format="pandas")
+    )

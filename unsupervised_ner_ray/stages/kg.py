@@ -604,45 +604,63 @@ def canonicalize_mentions(
         max(2, salt_buckets // 2)
     )
 
-    def _merge_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        out = (
-            g.groupby(["surface_norm", "etype", "surface"], sort=True)["n"]
+    def _merge_bucket(part: pd.DataFrame) -> pd.DataFrame:
+        # whole-partition merge: one pandas groupby collapses EVERY
+        # (norm, etype, surface) key in the partition at once — merging
+        # across salt buckets that hash-landed together is harmless (they
+        # would merge at finalize anyway) and the hash partition on
+        # (norm, salt) still bounds reducer skew for hot surfaces
+        return (
+            part.groupby(["surface_norm", "etype", "surface"], sort=True)["n"]
             .sum()
             .reset_index()
         )
-        return out
 
-    from .grouping import partitioned_map_groups
+    from .grouping import partitioned_apply
 
-    bucketed = partitioned_map_groups(
+    bucketed = partitioned_apply(
         partials, ["surface_norm", "salt"], _merge_bucket, num_parts=64
     )
 
-    def _finalize(g: pd.DataFrame) -> pd.DataFrame:
+    def _finalize(part: pd.DataFrame) -> pd.DataFrame:
+        # vectorized across ALL surface groups in the partition (a per-group
+        # Python fn paid ~ms × tens of thousands of groups — the old
+        # flagship bottleneck): majority votes via sort + drop_duplicates,
+        # deterministic at ties by (count desc, value asc)
         from ..functions.kg import entity_id
 
-        norm = g["surface_norm"].iloc[0]
-        n_total = int(g["n"].sum())
-        # deterministic majority votes: count desc, then lexicographic
+        if part.empty:
+            return pd.DataFrame(
+                {
+                    "eid": pd.Series([], dtype=object),
+                    "surface_norm": pd.Series([], dtype=object),
+                    "surface": pd.Series([], dtype=object),
+                    "etype": pd.Series([], dtype=object),
+                    "n_mentions": pd.Series([], dtype="int64"),
+                }
+            )
         et = (
-            g.groupby("etype")["n"].sum().reset_index()
-            .sort_values(["n", "etype"], ascending=[False, True])
+            part.groupby(["surface_norm", "etype"], sort=False)["n"].sum().reset_index()
+            .sort_values(["surface_norm", "n", "etype"], ascending=[True, False, True],
+                         kind="mergesort")
+            .drop_duplicates("surface_norm", keep="first")
         )
         sf = (
-            g.groupby("surface")["n"].sum().reset_index()
-            .sort_values(["n", "surface"], ascending=[False, True])
+            part.groupby(["surface_norm", "surface"], sort=False)["n"].sum().reset_index()
+            .sort_values(["surface_norm", "n", "surface"], ascending=[True, False, True],
+                         kind="mergesort")
+            .drop_duplicates("surface_norm", keep="first")
         )
-        return pd.DataFrame(
-            {
-                "eid": [entity_id(norm)],
-                "surface_norm": [norm],
-                "surface": [sf["surface"].iloc[0]],
-                "etype": [et["etype"].iloc[0]],
-                "n_mentions": [n_total],
-            }
+        tot = part.groupby("surface_norm", sort=True)["n"].sum().reset_index(name="n_mentions")
+        out = (
+            tot.merge(et[["surface_norm", "etype"]], on="surface_norm")
+            .merge(sf[["surface_norm", "surface"]], on="surface_norm")
         )
+        out["eid"] = [entity_id(s) for s in out["surface_norm"]]
+        out["n_mentions"] = out["n_mentions"].astype(np.int64)
+        return out[["eid", "surface_norm", "surface", "etype", "n_mentions"]]
 
-    return partitioned_map_groups(bucketed, "surface_norm", _finalize, num_parts=64)
+    return partitioned_apply(bucketed, "surface_norm", _finalize, num_parts=64)
 
 
 def token_mentions(docs):
@@ -731,23 +749,41 @@ def build_adjacency(triples, reduce_partitions: int = 8):
     cluster, not with the tiny per-run block count).
     """
 
-    def _adj(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["pred", "obj_id", "doc_id"], kind="mergesort")
-        neighbors = [
+    def _adj_part(part: pd.DataFrame) -> pd.DataFrame:
+        # whole-partition resolution: ONE sort orders every subject's
+        # neighbors at once, the struct rows are built in a single pass,
+        # and pandas' internal groupby-agg collects the lists — no
+        # per-group Python fn dispatch (the subject count is corpus-scale)
+        if part.empty:
+            return pd.DataFrame(
+                {
+                    "subj_id": pd.Series([], dtype=object),
+                    "subj_norm": pd.Series([], dtype=object),
+                    "degree": pd.Series([], dtype="int64"),
+                    "neighbors": pd.Series([], dtype=object),
+                }
+            )
+        part = part.sort_values(
+            ["subj_id", "pred", "obj_id", "doc_id"], kind="mergesort"
+        ).reset_index(drop=True)
+        part["_n"] = [
             {"pred": p, "obj_id": oi, "obj_norm": on}
-            for p, oi, on in zip(g["pred"], g["obj_id"], g["obj_norm"])
+            for p, oi, on in zip(part["pred"], part["obj_id"], part["obj_norm"])
         ]
-        return pd.DataFrame(
-            {
-                "subj_id": [g["subj_id"].iloc[0]],
-                "subj_norm": [g["subj_norm"].iloc[0]],
-                "degree": [len(neighbors)],
-                "neighbors": [neighbors],
-            }
+        out = (
+            part.groupby("subj_id", sort=True)
+            .agg(
+                subj_norm=("subj_norm", "first"),
+                degree=("pred", "size"),
+                neighbors=("_n", list),
+            )
+            .reset_index()
         )
+        out["degree"] = out["degree"].astype(np.int64)
+        return out[["subj_id", "subj_norm", "degree", "neighbors"]]
 
-    from .grouping import partitioned_map_groups
+    from .grouping import partitioned_apply
 
-    return partitioned_map_groups(
-        triples, "subj_id", _adj, num_parts=reduce_partitions
+    return partitioned_apply(
+        triples, "subj_id", _adj_part, num_parts=reduce_partitions
     )
