@@ -383,16 +383,24 @@ def q_window_rank(sf_dir: str, k: int = 2):
             }
         )
 
-    def _rank(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["total_cents", "o_orderkey"], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
+    def _rank_part(part: pd.DataFrame) -> pd.DataFrame:
+        # whole-partition window: ONE sort ranks every customer at once,
+        # rank = groupby cumcount (C path), then the top-k filter — no
+        # per-group Python dispatch
+        part = part.sort_values(
+            ["o_custkey", "total_cents", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        part["rank"] = part.groupby("o_custkey", sort=False).cumcount().to_numpy() + 1
+        part = part[part["rank"] <= k].reset_index(drop=True)
+        part["rank"] = part["rank"].astype(np.int64)
+        return part
 
-    from .grouping import partitioned_map_groups
+    from .grouping import partitioned_apply
 
-    return partitioned_map_groups(
-        orders.map_batches(_prep, batch_format="pyarrow"), "o_custkey", _rank
+    return partitioned_apply(
+        orders.map_batches(_prep, batch_format="pyarrow"), "o_custkey", _rank_part
     ).sort(["o_custkey", "rank"])
 
 
@@ -415,23 +423,34 @@ def q_lag_delta(sf_dir: str):
             }
         )
 
-    def _delta(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["ts_us", "event_id"], kind="mergesort")
-        v = g["value_micro"].to_numpy()
-        # a user's first event has no predecessor -> not emitted (matches
-        # the oracle's WHERE delta IS NOT NULL; avoids nullable-float hashing)
+    def _delta_part(part: pd.DataFrame) -> pd.DataFrame:
+        # whole-partition LAG: one sort over (user, ts, event); the delta is
+        # a single shifted subtraction and rows whose predecessor belongs to
+        # a different user are dropped (a user's first event has no
+        # predecessor -> not emitted, matching the oracle's WHERE delta IS
+        # NOT NULL and avoiding nullable-float hashing)
+        part = part.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        u = part["user_id"].to_numpy()
+        v = part["value_micro"].to_numpy()
+        same_user = np.zeros(len(part), dtype=bool)
+        if len(part) > 1:
+            same_user[1:] = u[1:] == u[:-1]
+        delta = np.empty(len(part), dtype=np.int64)
+        if len(part):
+            delta[0] = 0
+            delta[1:] = v[1:] - v[:-1]
         return pd.DataFrame(
             {
-                "event_id": g["event_id"].to_numpy()[1:],
-                "user_id": g["user_id"].to_numpy()[1:],
-                "delta_micro": (v[1:] - v[:-1]).astype(np.int64),
+                "event_id": part["event_id"].to_numpy()[same_user],
+                "user_id": u[same_user],
+                "delta_micro": delta[same_user],
             }
         )
 
-    from .grouping import partitioned_map_groups
+    from .grouping import partitioned_apply
 
-    return partitioned_map_groups(
-        ev.map_batches(_prep, batch_format="pyarrow"), "user_id", _delta
+    return partitioned_apply(
+        ev.map_batches(_prep, batch_format="pyarrow"), "user_id", _delta_part
     ).sort("event_id")
 
 

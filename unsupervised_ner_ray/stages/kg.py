@@ -459,8 +459,6 @@ def link_mentions_shuffled(mentions, vocab: dict | None = None, num_parts: int =
 
     from ray.data.aggregate import Count
 
-    from .grouping import partitioned_map_groups
-
     if vocab is None:
         from ..assets import build_vocab
 
@@ -538,21 +536,37 @@ def link_mentions_shuffled(mentions, vocab: dict | None = None, num_parts: int =
         .map_groups(_resolve, batch_format="pandas")
     )
 
-    def _pick(g: pd.DataFrame) -> pd.DataFrame:
-        hits = g[g["hit"]].sort_values("prio")
-        if len(hits):
-            tj = hits["types_joined"].iloc[0]
-            types = tj.split("/") if tj else []
-            linked = True
-        else:
-            types, linked = [], False
-        n = int(g["n_copies"].iloc[0])
-        base = {c: [g[c].iloc[0]] * n for c in ident}
-        base["linked_types"] = [types] * n
-        base["linked"] = [linked] * n
-        return pd.DataFrame(base)
+    def _pick_part(part: pd.DataFrame) -> pd.DataFrame:
+        # whole-partition pick: lowest-prio hit per mention via ONE sort +
+        # drop_duplicates, no-hit mentions kept by a left merge onto the
+        # distinct-mention base, duplicate multiplicity re-expanded with a
+        # single index.repeat — no per-mention Python dispatch
+        if part.empty:
+            base = {c: pd.Series([], dtype=object) for c in ident}
+            base["span_idx"] = pd.Series([], dtype="int64")
+            base["linked_types"] = pd.Series([], dtype=object)
+            base["linked"] = pd.Series([], dtype=bool)
+            return pd.DataFrame(base)
+        first_hit = (
+            part[part["hit"]]
+            .sort_values([*ident, "prio"], kind="mergesort")
+            .drop_duplicates(ident, keep="first")[[*ident, "types_joined"]]
+        )
+        base = part[[*ident, "n_copies"]].drop_duplicates(ident)
+        merged = base.merge(first_hit, on=ident, how="left")
+        merged["linked"] = merged["types_joined"].notna()
+        merged["linked_types"] = [
+            (tj.split("/") if tj else []) if isinstance(tj, str) else []
+            for tj in merged["types_joined"]
+        ]
+        out = merged.loc[
+            merged.index.repeat(merged["n_copies"].to_numpy())
+        ].reset_index(drop=True)
+        return out[[*ident, "linked_types", "linked"]]
 
-    return partitioned_map_groups(resolved, ident, _pick, num_parts=num_parts)
+    from .grouping import partitioned_apply
+
+    return partitioned_apply(resolved, ident, _pick_part, num_parts=num_parts)
 
 
 def canonicalize_mentions(

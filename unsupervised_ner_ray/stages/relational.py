@@ -618,23 +618,31 @@ def q_sessionize(sf_dir: str, gap_s: int = 1800):
         batch_format="pyarrow",
     )
 
-    def _sess(g: pd.DataFrame) -> pd.DataFrame:
-        # microsecond domain end-to-end (the SQL oracle uses epoch_us) so a
-        # sub-second component can never flip a gap comparison
-        ts = g["ts_us"].sort_values()
-        gaps = ts.diff().fillna(0)
-        n_sessions = int(1 + (gaps > gap_s * 1_000_000).sum()) if len(ts) else 0
-        return pd.DataFrame(
-            {
-                "user_id": [g["user_id"].iloc[0]],
-                "n_events": [len(g)],
-                "n_sessions": [n_sessions],
-            }
+    def _sess_part(part: pd.DataFrame) -> pd.DataFrame:
+        # whole-partition sessionize in the microsecond domain end-to-end
+        # (the SQL oracle uses epoch_us): one sort over (user, ts), gaps via
+        # a single shifted diff masked at user boundaries, session counts as
+        # a groupby sum of gap-break flags — no per-user Python dispatch
+        part = part.sort_values(["user_id", "ts_us"], kind="mergesort")
+        u = part["user_id"].to_numpy()
+        ts = part["ts_us"].to_numpy()
+        brk = np.zeros(len(part), dtype=np.int64)
+        if len(part) > 1:
+            same = u[1:] == u[:-1]
+            brk[1:] = (same & ((ts[1:] - ts[:-1]) > gap_s * 1_000_000)).astype(np.int64)
+        part = part.assign(_brk=brk)
+        out = (
+            part.groupby("user_id", sort=True)
+            .agg(n_events=("ts_us", "size"), _breaks=("_brk", "sum"))
+            .reset_index()
         )
+        out["n_sessions"] = (out["_breaks"] + 1).astype(np.int64)
+        out["n_events"] = out["n_events"].astype(np.int64)
+        return out[["user_id", "n_events", "n_sessions"]]
 
-    from .grouping import partitioned_map_groups
+    from .grouping import partitioned_apply
 
-    return partitioned_map_groups(ev, "user_id", _sess, num_parts=64).sort("user_id")
+    return partitioned_apply(ev, "user_id", _sess_part, num_parts=64).sort("user_id")
 
 
 def q_part_revenue_by_brand(sf_dir: str):
@@ -758,15 +766,23 @@ def q_topk_orders_per_customer(sf_dir: str, k: int = 3, num_parts: int = 32):
             }
         )
 
-    def _topk(g: pd.DataFrame) -> pd.DataFrame:
-        top = g.sort_values(
-            ["price_cents", "o_orderkey"], ascending=[False, True], kind="mergesort"
-        ).head(k)
-        top = top.assign(rank=np.arange(1, len(top) + 1, dtype=np.int64))
-        return top[["o_custkey", "rank", "o_orderkey", "price_cents"]]
+    def _topk_part(part: pd.DataFrame) -> pd.DataFrame:
+        # whole-partition grouped top-k: one sort, rank via C-path cumcount,
+        # filter — no per-customer Python dispatch
+        part = part.sort_values(
+            ["o_custkey", "price_cents", "o_orderkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        part["rank"] = part.groupby("o_custkey", sort=False).cumcount().to_numpy() + 1
+        part = part[part["rank"] <= k].reset_index(drop=True)
+        part["rank"] = part["rank"].astype(np.int64)
+        return part[["o_custkey", "rank", "o_orderkey", "price_cents"]]
 
     prepped = orders.map_batches(_prep, batch_format="pyarrow")
-    return partitioned_map_groups(prepped, "o_custkey", _topk, num_parts=num_parts).sort(
+    from .grouping import partitioned_apply
+
+    return partitioned_apply(prepped, "o_custkey", _topk_part, num_parts=num_parts).sort(
         ["o_custkey", "rank"]
     )
 

@@ -570,13 +570,21 @@ def vocab_merge(docs):
 
     partials = docs.map_batches(_combine, batch_format="pyarrow")
 
-    def _merge(g: pd.DataFrame) -> pd.DataFrame:
-        langs = sorted(set(g["lang"]))
-        return pd.DataFrame(
-            {"token": [g["token"].iloc[0]], "langs": ["/".join(langs)],
-             "n_langs": [len(langs)]}
+    def _merge_part(part: pd.DataFrame) -> pd.DataFrame:
+        # whole-partition merge: dedupe (token, lang) pairs, presort so the
+        # per-token join order is lexicographic, then one str-join agg
+        part = (
+            part.drop_duplicates(["token", "lang"])
+            .sort_values(["token", "lang"], kind="mergesort")
         )
+        out = (
+            part.groupby("token", sort=True)["lang"]
+            .agg(langs="/".join, n_langs="size")
+            .reset_index()
+        )
+        out["n_langs"] = out["n_langs"].astype(np.int64)
+        return out
 
-    from .grouping import partitioned_map_groups
+    from .grouping import partitioned_apply
 
-    return partitioned_map_groups(partials, "token", _merge, num_parts=64)
+    return partitioned_apply(partials, "token", _merge_part, num_parts=64)
