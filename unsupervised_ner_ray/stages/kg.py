@@ -38,24 +38,34 @@ class EntityLinker:
         self.vocab = ray.get(vocab_ref) if vocab_ref is not None else build_vocab()
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        surfaces = batch.column("surface_norm").to_pylist()
-        linked_types, linked = [], []
-        for s in surfaces:
-            hit = self.vocab.get(s)
+        # vectorized on the common path: ONE dict lookup per DISTINCT surface
+        # in the batch (mention streams repeat surfaces heavily), broadcast
+        # back through the dictionary codes; the multi-word fallback loop
+        # only ever touches distinct misses that contain a space.
+        import pyarrow.compute as pc
+
+        enc = pc.dictionary_encode(batch.column("surface_norm").combine_chunks())
+        uniq = enc.dictionary.to_pylist()
+        vocab = self.vocab
+        u_types: list[list[str]] = []
+        u_linked = np.zeros(len(uniq), dtype=bool)
+        for i, s in enumerate(uniq):
+            hit = vocab.get(s)
             if hit is None and " " in s:
                 for w in s.split():
-                    hit = self.vocab.get(w)
+                    hit = vocab.get(w)
                     if hit is not None:
                         break
             if hit is None:
-                linked_types.append([])
-                linked.append(False)
+                u_types.append([])
             else:
-                linked_types.append(hit[0])
-                linked.append(True)
+                u_types.append(hit[0])
+                u_linked[i] = True
+        codes = enc.indices.to_numpy(zero_copy_only=False)
+        linked_types = [u_types[c] for c in codes]
         return batch.append_column(
             "linked_types", pa.array(linked_types, pa.list_(pa.string()))
-        ).append_column("linked", pa.array(linked, pa.bool_()))
+        ).append_column("linked", pa.array(u_linked[codes]))
 
 
 def link_mentions(mentions, vocab_ref=None, concurrency: int = 4):
