@@ -269,6 +269,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_left_join_customer_orders": relational.q_left_join_customer_orders,
         "q_topk_orders_per_customer": relational.q_topk_orders_per_customer,
         "q_ntile_customers": relational.q_ntile_customers,
+        "q_revenue_by_month": relational.q_revenue_by_month,
+        "q_except_users": relational.q_except_users,
+        "q_above_avg_orders": relational.q_above_avg_orders,
+        "q_string_funcs": relational.q_string_funcs,
         "q_pivot_status": relational.q_pivot_status,
         "q_asof_shuffled": joins.q_asof_last_order_shuffled,
         "q_topk_customers": relational.q_topk_customers,
@@ -421,6 +425,38 @@ def oracle_sql() -> dict[str, str]:
                        ) AS BIGINT) AS tile
                 FROM customer
             ) ORDER BY c_nationkey, c_custkey
+        """,
+        "q_revenue_by_month": """
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   CAST(SUM(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   COUNT(*) AS n_orders
+            FROM orders GROUP BY month ORDER BY month
+        """,
+        "q_except_users": """
+            SELECT DISTINCT o_custkey AS user_id FROM orders
+            EXCEPT
+            SELECT DISTINCT user_id FROM events
+            ORDER BY user_id
+        """,
+        "q_above_avg_orders": """
+            SELECT o.o_orderkey, o.o_custkey,
+                   CAST(FLOOR(o.o_totalprice*100) AS BIGINT) AS price_cents
+            FROM orders o
+            JOIN (
+                SELECT o_custkey,
+                       CAST(SUM(CAST(FLOOR(o_totalprice*100) AS BIGINT)) AS BIGINT) AS s,
+                       COUNT(*) AS n
+                FROM orders GROUP BY o_custkey
+            ) a ON a.o_custkey = o.o_custkey
+            WHERE CAST(FLOOR(o.o_totalprice*100) AS BIGINT) * a.n > a.s
+            ORDER BY o.o_orderkey
+        """,
+        "q_string_funcs": """
+            SELECT doc_id,
+                   upper(substr(text, 1, 5)) AS head5,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS n_vowels
+            FROM documents ORDER BY doc_id
         """,
         "q_range_join": """
             SELECT e.event_id, e.user_id, COUNT(o.o_orderkey) AS n_orders_30d

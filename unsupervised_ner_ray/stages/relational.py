@@ -822,3 +822,133 @@ def q_ntile_customers(sf_dir: str, tiles: int = 4, num_parts: int = 16):
     return partitioned_map_groups(prepped, "c_nationkey", _ntile, num_parts=num_parts).sort(
         ["c_nationkey", "c_custkey"]
     )
+
+
+def q_revenue_by_month(sf_dir: str):
+    """Temporal bucketing: order revenue per calendar month.  The month key
+    is derived per batch with Arrow's C-path ``strftime`` (no Python dates),
+    then one combiner groupby over ~tens of month keys."""
+    orders = read_sf(sf_dir, "orders", columns=["o_orderdate", "o_totalprice"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "month": pc.strftime(t.column("o_orderdate"), format="%Y-%m"),
+                "price_cents": _to_cents(t.column("o_totalprice")),
+            }
+        )
+
+    return (
+        orders.map_batches(_prep, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(Sum("price_cents", alias_name="revenue_cents"), Count(alias_name="n_orders"))
+        .sort("month")
+    )
+
+
+def q_except_users(sf_dir: str):
+    """EXCEPT set op: customers who placed orders but have NO events.  Both
+    sides reduce to distinct keys with C-path groupbys; the (smaller) event
+    side broadcasts as a numpy membership mask — the big side streams, the
+    same shape as the anti joins."""
+    from ray.data.aggregate import Count as _Count
+
+    ev_users = (
+        read_sf(sf_dir, "events", columns=["user_id"])
+        .groupby("user_id")
+        .aggregate(_Count(alias_name="_n"))
+        .to_pandas()["user_id"]
+        .to_numpy()
+    )
+    max_u = int(ev_users.max()) if len(ev_users) else 0
+    mask = np.zeros(max_u + 1, dtype=bool)
+    mask[ev_users] = True
+    mask_ref = ray.put(mask)
+
+    class ExceptFilter:
+        def __init__(self):
+            self.mask = ray.get(mask_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t.column("o_custkey").to_numpy()
+            in_events = (keys < len(self.mask)) & self.mask[
+                np.minimum(keys, len(self.mask) - 1)
+            ]
+            return pa.table({"user_id": pa.array(keys[~in_events], pa.int64())})
+
+    return (
+        read_sf(sf_dir, "orders", columns=["o_custkey"])
+        .map_batches(ExceptFilter, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("user_id")
+        .aggregate(_Count(alias_name="_n"))
+        .select_columns(["user_id"])
+        .sort("user_id")
+    )
+
+
+def q_above_avg_orders(sf_dir: str):
+    """Correlated-subquery shape (each order vs ITS customer's average):
+    one combiner groupby builds the per-customer (n, sum) table, which
+    broadcasts as two dense arrays; the comparison streams over orders as
+    pure integer math — ``price > sum/n`` is evaluated as
+    ``price * n > sum`` so no float division can perturb the oracle hash."""
+    orders = read_sf(sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "price_cents": _to_cents(t.column("o_totalprice")),
+            }
+        )
+
+    prepped = orders.map_batches(_prep, batch_format="pyarrow")
+    agg = (
+        prepped.groupby("o_custkey")
+        .aggregate(Sum("price_cents", alias_name="s"), Count(alias_name="n"))
+        .to_pandas()
+    )
+    size = int(agg["o_custkey"].max()) + 1 if len(agg) else 1
+    s_arr = np.zeros(size, dtype=np.int64)
+    n_arr = np.ones(size, dtype=np.int64)
+    s_arr[agg["o_custkey"].to_numpy()] = agg["s"].to_numpy()
+    n_arr[agg["o_custkey"].to_numpy()] = agg["n"].to_numpy()
+    ref = ray.put((s_arr, n_arr))
+
+    class AboveAvg:
+        def __init__(self):
+            self.s, self.n = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            keys = t.column("o_custkey").to_numpy()
+            price = t.column("price_cents").to_numpy()
+            keep = price * self.n[keys] > self.s[keys]
+            return t.filter(pa.array(keep))
+
+    return prepped.map_batches(AboveAvg, batch_format="pyarrow", concurrency=(1, 4)).sort(
+        "o_orderkey"
+    )
+
+
+def q_string_funcs(sf_dir: str):
+    """Scan-level string kernels, all Arrow C-path: upper-cased head slice,
+    codeunit length, vowel count via regex-strip length delta."""
+    docs = read_sf(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _f(t: pa.Table) -> pa.Table:
+        text = t.column("text")
+        n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+        stripped = pc.replace_substring_regex(text, pattern="[aeiou]", replacement="")
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "head5": pc.utf8_upper(pc.utf8_slice_codeunits(text, 0, 5)),
+                "n_chars": n_chars,
+                "n_vowels": pc.subtract(
+                    n_chars, pc.cast(pc.utf8_length(stripped), pa.int64())
+                ),
+            }
+        )
+
+    return docs.map_batches(_f, batch_format="pyarrow").sort("doc_id")
