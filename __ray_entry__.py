@@ -259,6 +259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_lag_delta": joins.q_lag_delta,
         "q_distinct_users": joins.q_distinct_users,
         "q_quantiles": joins.q_quantiles,
+        "q_quantiles_disc": joins.q_quantiles_disc,
         "q_hll_users": q_hll_users,  # approximate: rows-only
         "q_hll_users_by_day": q_hll_users_by_day,  # approximate: rows-only
         "q_tdigest_quantiles": q_tdigest_quantiles,  # approximate: rows-only
@@ -457,6 +458,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(length(text) AS BIGINT) AS n_chars,
                    CAST(length(text) - length(regexp_replace(text, '[aeiou]', '', 'g')) AS BIGINT) AS n_vowels
             FROM documents ORDER BY doc_id
+        """,
+        "q_quantiles_disc": """
+            SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.25) AS BIGINT) AS p25,
+                   CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.5) AS BIGINT) AS p50,
+                   CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.9) AS BIGINT) AS p90
+            FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
         """,
         "q_range_join": """
             SELECT e.event_id, e.user_id, COUNT(o.o_orderkey) AS n_orders_30d
