@@ -319,6 +319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_embedding_neardup": q_embedding_neardup,  # rows-only
         # similarity search
         "q_embedding_topk": q_embedding_topk,
+        "q_embedding_centroid": lambda sf: similarity.embedding_centroids(sf),
         "q_ivf_topk": q_ivf_topk,  # rows-only (approximate)
         # NER / KG (non-SQL: rows-only)
         "q_ner_tags": q_ner_tags,
@@ -670,6 +671,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, token, tf, df, score FROM ranked WHERE rn = 1
             ORDER BY doc_id
+        """,
+        "q_embedding_centroid": """
+            WITH e AS (
+                SELECT d.lang,
+                       CAST(generate_subscripts(em.embedding, 1) AS BIGINT) AS dim,
+                       CAST(FLOOR(CAST(unnest(em.embedding) AS DOUBLE) * 1000000) AS BIGINT) AS xm
+                FROM embeddings em JOIN documents d ON d.doc_id = em.vec_id
+            )
+            SELECT lang, dim, CAST(SUM(xm) AS BIGINT) AS sum_micro, COUNT(*) AS n
+            FROM e GROUP BY lang, dim ORDER BY lang, dim
         """,
         "q_sample_hash": """
             SELECT doc_id, lang FROM documents

@@ -140,3 +140,79 @@ def ivf_topk(embeds, queries: np.ndarray, codebook: np.ndarray, k: int = 10, npr
 
     pruned = embeds.map_batches(_assign_filter, batch_format="pyarrow")
     return brute_force_topk(pruned, q, k)
+
+
+def embedding_centroids(sf_dir: str, scale: int = 1_000_000):
+    """Per-language embedding centroid PARTIALS: (lang, dim, sum_micro, n).
+
+    The vector-column aggregation every embedding pipeline needs (class
+    centroids, cluster updates, mean-pooling) in its scale shape: the lang
+    lookup broadcasts as a dense doc_id-indexed code array, each batch
+    flattens its list column zero-copy and accumulates per-(lang, dim)
+    partial sums with ONE np.add.at over a composite index, and the final
+    combine is a C-path groupby over |langs| x dim rows — the fact vectors
+    never shuffle.  Sums are int64 micro-units (floor(x*1e6)) so the oracle
+    hash cannot be perturbed by float summation order.
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Count, Sum
+
+    from ..sources.io import read_sf
+
+    docs = read_sf(sf_dir, "documents", columns=["doc_id", "lang"]).to_pandas()
+    langs = sorted(docs["lang"].unique())
+    lang_idx = {v: i for i, v in enumerate(langs)}
+    size = int(docs["doc_id"].max()) + 1
+    codes = np.full(size, -1, dtype=np.int32)
+    codes[docs["doc_id"].to_numpy()] = docs["lang"].map(lang_idx).to_numpy()
+    ref = ray.put((codes, langs))
+
+    class Partials:
+        def __init__(self):
+            self.codes, self.langs = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            n = len(t)
+            if n == 0:
+                return pa.table(
+                    {
+                        "lang": pa.array([], pa.string()),
+                        "dim": pa.array([], pa.int64()),
+                        "sum_micro": pa.array([], pa.int64()),
+                        "n": pa.array([], pa.int64()),
+                    }
+                )
+            flat = (
+                pc.list_flatten(t.column("embedding"))
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+            )
+            dim = flat.size // n
+            M = np.floor(flat * scale).astype(np.int64).reshape(n, dim)
+            vec_ids = t.column("vec_id").to_numpy()
+            lcodes = self.codes[vec_ids]
+            keep = lcodes >= 0
+            M, lcodes = M[keep], lcodes[keep]
+            nl = len(self.langs)
+            acc = np.zeros(nl * dim, dtype=np.int64)
+            np.add.at(acc, (lcodes[:, None] * dim + np.arange(dim)[None, :]).ravel(), M.ravel())
+            cnt = np.bincount(lcodes, minlength=nl)
+            present = cnt > 0
+            li = np.repeat(np.arange(nl)[present], dim)
+            return pa.table(
+                {
+                    "lang": pa.array([self.langs[i] for i in li], pa.string()),
+                    "dim": pa.array(np.tile(np.arange(1, dim + 1, dtype=np.int64), int(present.sum()))),
+                    "sum_micro": pa.array(acc.reshape(nl, dim)[present].ravel(), pa.int64()),
+                    "n": pa.array(np.repeat(cnt[present], dim), pa.int64()),
+                }
+            )
+
+    emb = read_sf(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    return (
+        emb.map_batches(Partials, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby(["lang", "dim"])
+        .aggregate(Sum("sum_micro", alias_name="sum_micro"), Sum("n", alias_name="n"))
+        .sort(["lang", "dim"])
+    )
