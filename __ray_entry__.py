@@ -217,6 +217,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return hll_distinct_by_group(ev, "day", "user_id")
 
+    def q_kmeans(sf_dir: str):
+        from unsupervised_ner_ray.sources.io import read_sf
+
+        emb = read_sf(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        _, assigns = similarity.kmeans_distributed(emb, k=8, iters=4)
+        return assigns.sort("vec_id")
+
     def q_hll_users(sf_dir: str):
         import pandas as pd
 
@@ -320,6 +327,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "q_embedding_topk": q_embedding_topk,
         "q_embedding_centroid": lambda sf: similarity.embedding_centroids(sf),
+        "q_kmeans": q_kmeans,  # iterative: rows-only
         "q_ivf_topk": q_ivf_topk,  # rows-only (approximate)
         # NER / KG (non-SQL: rows-only)
         "q_ner_tags": q_ner_tags,

@@ -795,3 +795,40 @@ def test_hll_by_group_accuracy(ray_session):
     for g in exact.index:
         rel = abs(est[g] - exact[g]) / exact[g]
         assert rel < 0.03, (g, est[g], exact[g], rel)
+
+
+def test_kmeans_distributed_matches_local(ray_session):
+    """Distributed Lloyd's == local Lloyd's from the same deterministic
+    init: identical assignments, centroids equal to ~1e-9 (per-batch
+    partial sums reassociate float adds)."""
+    rd = _rd()
+
+    from unsupervised_ner_ray.stages.similarity import kmeans_distributed
+
+    rng = np.random.default_rng(13)
+    X = np.concatenate(
+        [rng.normal(c, 0.3, (40, 8)) for c in (0.0, 3.0, -3.0)]
+    )
+    rows = [
+        {"vec_id": i, "embedding": [float(v) for v in X[i]]} for i in range(len(X))
+    ]
+    ds = rd.from_items(rows).repartition(6)
+    cent, assigns = kmeans_distributed(ds, k=3, iters=4)
+    got = assigns.to_pandas().sort_values("vec_id")["cluster"].to_numpy()
+
+    # local reference with the same init (k lowest vec_ids) and tie rule
+    C = X[:3].astype(np.float64).copy()
+    for _ in range(4):
+        d = (X**2).sum(1)[:, None] - 2.0 * X @ C.T + (C**2).sum(1)[None, :]
+        a = d.argmin(1)
+        for c in range(3):
+            m = a == c
+            if m.any():
+                C[c] = X[m].mean(0)
+    d = (X**2).sum(1)[:, None] - 2.0 * X @ C.T + (C**2).sum(1)[None, :]
+    ref_assign = d.argmin(1)
+    assert np.array_equal(got, ref_assign)
+    assert np.allclose(cent, C, atol=1e-9)
+    # three true clusters recovered: each true block maps to one cluster id
+    for blk in range(3):
+        assert len(set(got[blk * 40 : (blk + 1) * 40])) == 1

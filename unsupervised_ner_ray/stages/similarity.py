@@ -216,3 +216,109 @@ def embedding_centroids(sf_dir: str, scale: int = 1_000_000):
         .aggregate(Sum("sum_micro", alias_name="sum_micro"), Sum("n", alias_name="n"))
         .sort(["lang", "dim"])
     )
+
+
+def kmeans_distributed(
+    embeds, k: int = 8, iters: int = 5, tol: float = 0.0, scale: int = 1_000_000
+):
+    """Fully distributed Lloyd's k-means over an embedding Dataset — the
+    iterative-training loop shape (same as a distributed SGD epoch): per
+    iteration the k x dim centroid matrix broadcasts via ``ray.put``, each
+    batch assigns its vectors with one matmul (||x||² - 2x·c + ||c||²,
+    ties to the LOWEST centroid index for determinism) and emits
+    pre-combined (cluster, dim, partial_sum, count) rows, and a C-path
+    groupby reduces k x dim rows — the fact vectors never leave their
+    blocks and nothing node-sized lives on the driver.
+
+    Init is deterministic: the k vectors with the lowest vec_id.
+    Returns (centroids ndarray (k, dim) float64, assignments Dataset
+    (vec_id, cluster)).  Distributed/local equivalence is pinned by test
+    (per-batch partial sums reassociate float adds, so centroids match a
+    local Lloyd's run to ~1e-9, with identical assignments).
+    """
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    from ..sources.io import read_sf  # noqa: F401  (callers pass a Dataset)
+
+    seed_rows = embeds.sort("vec_id").limit(k).to_pandas()
+    centroids = np.stack(
+        [np.asarray(v, dtype=np.float64) for v in seed_rows["embedding"]]
+    )
+    dim = centroids.shape[1]
+
+    def _batch_mat(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        flat = (
+            pc.list_flatten(t.column("embedding"))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        X = flat.reshape(len(t), dim)
+        ids = t.column("vec_id").to_numpy()
+        return ids, X
+
+    for _ in range(iters):
+        c_ref = ray.put(centroids)
+
+        def _partials(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return pa.table(
+                    {
+                        "cluster": pa.array([], pa.int64()),
+                        "dim": pa.array([], pa.int64()),
+                        "s": pa.array([], pa.float64()),
+                        "n": pa.array([], pa.int64()),
+                    }
+                )
+            C = ray.get(c_ref)
+            _, X = _batch_mat(t)
+            d = (X**2).sum(1)[:, None] - 2.0 * X @ C.T + (C**2).sum(1)[None, :]
+            assign = d.argmin(1)  # numpy argmin takes the FIRST (lowest) min
+            kk = C.shape[0]
+            acc = np.zeros((kk, dim), dtype=np.float64)
+            np.add.at(acc, assign, X)
+            cnt = np.bincount(assign, minlength=kk)
+            present = cnt > 0
+            ci = np.arange(kk)[present]
+            return pa.table(
+                {
+                    "cluster": pa.array(np.repeat(ci, dim), pa.int64()),
+                    "dim": pa.array(np.tile(np.arange(dim, dtype=np.int64), len(ci))),
+                    "s": pa.array(acc[present].ravel(), pa.float64()),
+                    "n": pa.array(np.repeat(cnt[present], dim), pa.int64()),
+                }
+            )
+
+        agg = (
+            embeds.map_batches(_partials, batch_format="pyarrow")
+            .groupby(["cluster", "dim"])
+            .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n"))
+            .to_pandas()  # k x dim rows — constant-size, never data-sized
+        )
+        new = centroids.copy()
+        piv = agg.pivot(index="cluster", columns="dim", values="s")
+        cnts = agg.groupby("cluster")["n"].first()
+        for c in piv.index:
+            if cnts[c] > 0:
+                new[int(c)] = piv.loc[c].to_numpy() / cnts[c]
+        shift = float(np.abs(new - centroids).max())
+        centroids = new
+        if shift <= tol:
+            break
+
+    c_ref = ray.put(centroids)
+
+    def _assign(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {"vec_id": pa.array([], pa.int64()), "cluster": pa.array([], pa.int64())}
+            )
+        C = ray.get(c_ref)
+        ids, X = _batch_mat(t)
+        d = (X**2).sum(1)[:, None] - 2.0 * X @ C.T + (C**2).sum(1)[None, :]
+        return pa.table(
+            {"vec_id": pa.array(ids), "cluster": pa.array(d.argmin(1).astype(np.int64))}
+        )
+
+    return centroids, embeds.map_batches(_assign, batch_format="pyarrow")
