@@ -9,8 +9,8 @@
   resolved with ``np.searchsorted`` per batch (no shuffle).  For a
   large-large as-of, bucket both sides by key hash and ``pd.merge_asof``
   per bucket inside ``map_groups`` — same semantics, documented seam.
-* ``q_window_rank`` — top-2 orders per customer (windowed rank via
-  groupby.map_groups).
+* ``q_window_rank`` — top-2 orders per customer (whole-partition windowed
+  rank: one sort + C-path cumcount per coarse hash partition).
 * ``q_range_join`` / ``q_range_join_bucketed`` — RANGE (interval) join: per
   event, count of the same user's orders in the trailing 30-day window.
   Broadcast variant ships per-key sorted date arrays once (``ray.put``) and
@@ -371,7 +371,8 @@ def q_range_join_bucketed(
 
 def q_window_rank(sf_dir: str, k: int = 2):
     """Top-k orders per customer by (totalprice desc, orderkey asc) with a
-    rank column — windowed rank via groupby.map_groups."""
+    rank column — one coarse hash shuffle, then the whole partition is
+    ranked with a single sort + C-path groupby cumcount."""
     orders = read_sf(sf_dir, "orders", columns=["o_custkey", "o_orderkey", "o_totalprice"])
 
     def _prep(t: pa.Table) -> pa.Table:

@@ -8,8 +8,9 @@ Shuffle discipline (SURVEY.md §7):
                     counts, a salt column splits head surfaces across
                     reducers, then a small groupby merges partials.  The raw
                     mention stream is never shuffled.
-* adjacency       — one groupby on subj_id (the only unavoidable wide op),
-                    feeding map_groups that emits one adjacency row per
+* adjacency       — one coarse hash shuffle on subj_id (the only
+                    unavoidable wide op); each partition is resolved with a
+                    single sort + groupby-agg emitting one adjacency row per
                     entity, neighbors sorted deterministically.
 """
 
