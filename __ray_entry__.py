@@ -281,6 +281,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_except_users": relational.q_except_users,
         "q_above_avg_orders": relational.q_above_avg_orders,
         "q_string_funcs": relational.q_string_funcs,
+        "q_regex_extract": relational.q_regex_extract,
+        "q_first_last_value": relational.q_first_last_value,
         "q_pivot_status": relational.q_pivot_status,
         "q_asof_shuffled": joins.q_asof_last_order_shuffled,
         "q_topk_customers": relational.q_topk_customers,
@@ -474,6 +476,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.5) AS BIGINT) AS p50,
                    CAST(quantile_disc(CAST(l_quantity AS BIGINT), 0.9) AS BIGINT) AS p90
             FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
+        "q_regex_extract": """
+            SELECT doc_id, regexp_extract(text, '[0-9]+') AS first_num
+            FROM documents ORDER BY doc_id
+        """,
+        "q_first_last_value": """
+            WITH r AS (
+                SELECT user_id, CAST(FLOOR(value*1000000) AS BIGINT) AS vm,
+                       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn_a,
+                       row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn_d,
+                       COUNT(*) OVER (PARTITION BY user_id) AS n_events
+                FROM events
+            )
+            SELECT a.user_id, a.vm AS first_value_micro, d.vm AS last_value_micro,
+                   CAST(a.n_events AS BIGINT) AS n_events
+            FROM r a JOIN r d ON d.user_id = a.user_id AND d.rn_d = 1
+            WHERE a.rn_a = 1 ORDER BY a.user_id
         """,
         "q_range_join": """
             SELECT e.event_id, e.user_id, COUNT(o.o_orderkey) AS n_orders_30d

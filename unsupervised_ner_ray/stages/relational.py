@@ -952,3 +952,50 @@ def q_string_funcs(sf_dir: str):
         )
 
     return docs.map_batches(_f, batch_format="pyarrow").sort("doc_id")
+
+
+def q_regex_extract(sf_dir: str):
+    """Scan-level regex extraction: first number in each document, C-path
+    ``pc.extract_regex`` (missing matches normalized to '' to align with
+    SQL regexp_extract's empty-string convention)."""
+    docs = read_sf(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def _f(t: pa.Table) -> pa.Table:
+        m = pc.extract_regex(t.column("text"), pattern="(?P<num>[0-9]+)")
+        num = pc.coalesce(pc.struct_field(m, "num"), pa.scalar(""))
+        return pa.table({"doc_id": t.column("doc_id"), "first_num": num})
+
+    return docs.map_batches(_f, batch_format="pyarrow").sort("doc_id")
+
+
+def q_first_last_value(sf_dir: str, num_parts: int = 32):
+    """FIRST_VALUE / LAST_VALUE window per user over event time (ties by
+    event_id): one coarse hash shuffle, then each partition resolves every
+    user with a single sort + two drop_duplicates — no per-group Python."""
+    from .grouping import partitioned_apply
+
+    ev = read_sf(sf_dir, "events", columns=["event_id", "user_id", "ts", "value"]).map_batches(
+        lambda t: pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "event_id": t.column("event_id"),
+                "ts_us": pc.cast(t.column("ts"), pa.int64()),
+                "value_micro": pc.cast(
+                    pc.floor(pc.multiply(t.column("value"), pa.scalar(1e6))), pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+    )
+
+    def _fl(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["user_id", "ts_us", "event_id"], kind="mergesort")
+        first = part.drop_duplicates("user_id", keep="first")
+        last = part.drop_duplicates("user_id", keep="last")
+        out = first[["user_id"]].copy()
+        out["first_value_micro"] = first["value_micro"].to_numpy()
+        out["last_value_micro"] = last["value_micro"].to_numpy()
+        out["n_events"] = part.groupby("user_id", sort=True).size().to_numpy().astype(np.int64)
+        return out
+
+    return partitioned_apply(ev, "user_id", _fl, num_parts=num_parts).sort("user_id")
