@@ -107,6 +107,18 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         return brute_force_topk(emb, q, k=10).to_pandas()
 
     timed("q_embedding_topk", _topk)
+    timed(
+        "q_topk_per_customer",
+        lambda: relational.q_topk_orders_per_customer(sf_dir).to_pandas(),
+    )
+    timed("q_left_join", lambda: relational.q_left_join_customer_orders(sf_dir).to_pandas())
+    timed("q_string_funcs", lambda: relational.q_string_funcs(sf_dir).to_pandas())
+    timed(
+        "q_embedding_centroid",
+        lambda: __import__(
+            "unsupervised_ner_ray.stages.similarity", fromlist=["embedding_centroids"]
+        ).embedding_centroids(sf_dir).to_pandas(),
+    )
 
     return {
         "metric": "flagship_ner_kg",
