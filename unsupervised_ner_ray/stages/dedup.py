@@ -14,6 +14,7 @@ import hashlib
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _MERSENNE = (1 << 61) - 1
 
@@ -185,7 +186,8 @@ def minhash_lsh_pairs(
             {"band_hash": pa.array(keys, pa.int64()), "n": pa.array(cnt, pa.int64())}
         )
 
-    if buckets.count() <= driver_merge_max_rows:
+    small_regime = buckets.count() <= driver_merge_max_rows
+    if small_regime:
         part = buckets.map_batches(_partial_counts, batch_format="pyarrow").to_pandas()
         tot = part.groupby("band_hash", sort=False)["n"].sum()
         dup_keys = tot.index.to_numpy()[tot.to_numpy() >= 2]
@@ -221,11 +223,17 @@ def minhash_lsh_pairs(
 
         return t.filter(pc.is_in(t.column("band_hash"), value_set=dup_set))
 
-    # the surviving band rows are only the actual near-dup buckets — a sliver
-    # of the corpus — so pair generation is a local pandas groupby on the
-    # driver.  (If survivors were ever huge: same _pairs per group via
-    # .groupby("band_hash").map_groups — the distributed form of this step.)
-    surv = buckets.map_batches(_keep_dup, batch_format="pyarrow").to_pandas()
+    surv_ds = buckets.map_batches(_keep_dup, batch_format="pyarrow")
+    if not small_regime:
+        # the 100 TB regime: pair generation AND verification stay
+        # distributed — the driver never sees band rows, candidate pairs, or
+        # signatures (same threshold as the bucket-count path; pinned equal
+        # to the driver path by the forced-path equivalence test)
+        return _minhash_verify_distributed(surv_ds, sigs, threshold)
+    # small regime: the surviving band rows are only the actual near-dup
+    # buckets — a sliver of the corpus — so pair generation is a local pandas
+    # groupby on the driver
+    surv = surv_ds.to_pandas()
     pair_rows: list[tuple] = []
     for _, g in surv.groupby("band_hash", sort=False):
         ids = sorted(set(g["doc_id"]))
@@ -263,6 +271,110 @@ def minhash_lsh_pairs(
     import ray.data as rd
 
     return rd.from_pandas(cand)
+
+
+def _minhash_verify_distributed(surv_ds, sigs, threshold: float, num_parts: int = 64):
+    """At-scale MinHash candidate pair generation + verification.
+
+    Pair generation: hash-partition surviving band rows on ``band_hash`` (a
+    bucket never splits across partitions) and resolve every bucket in one
+    vectorized self-merge per PARTITION; global pair dedup is a C-path Count
+    groupby over (a, b) — pairs, not band rows, shuffle.
+
+    Verification: a co-partitioned hash join of pair-side rows against the
+    signature table on doc key (signatures are SHARDED across partitions,
+    never broadcast and never collected), then one pair-key shuffle where
+    each pair's two signatures meet; the estimated Jaccard is a single
+    matrix comparison per partition.  est = (#equal lanes)/num_hashes is an
+    exact binary fraction, so both regimes agree bit-for-bit.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Count
+
+    from .grouping import partitioned_apply
+
+    _EMPTY = pd.DataFrame(
+        {
+            "a": pd.Series([], dtype="int64"),
+            "b": pd.Series([], dtype="int64"),
+            "est_jaccard": pd.Series([], dtype="float64"),
+        }
+    )
+
+    def _gen(part: pd.DataFrame) -> pd.DataFrame:
+        d = part.drop_duplicates(["band_hash", "doc_id"])[["band_hash", "doc_id"]]
+        m = d.merge(d, on="band_hash")
+        m = m[m["doc_id_x"] < m["doc_id_y"]]
+        out = m.rename(columns={"doc_id_x": "a", "doc_id_y": "b"})
+        return out[["a", "b"]].drop_duplicates()
+
+    pairs = (
+        partitioned_apply(surv_ds, "band_hash", _gen, num_parts=num_parts)
+        .groupby(["a", "b"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+        .materialize()
+    )
+    if pairs.count() == 0:
+        return rd.from_pandas(_EMPTY)
+
+    # union-merge: each pair emits one row per side keyed by that side's doc
+    # id; signature rows carry the real payload.  Schemas line up so the two
+    # streams co-partition on "key" in a single shuffle.
+    def _sides(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.concat(
+            [df.assign(key=df["a"]), df.assign(key=df["b"])], ignore_index=True
+        )
+        out["minhash"] = [[]] * len(out)
+        out["is_sig"] = np.int8(0)
+        return out[["key", "a", "b", "minhash", "is_sig"]]
+
+    def _sig_rows(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "key": df["doc_id"].to_numpy(),
+                "a": np.full(len(df), -1, dtype=np.int64),
+                "b": np.full(len(df), -1, dtype=np.int64),
+                "minhash": df["minhash"].to_numpy(),
+                "is_sig": np.full(len(df), 1, dtype=np.int8),
+            }
+        )
+        return out
+
+    def _attach(part: pd.DataFrame) -> pd.DataFrame:
+        side = part[part["is_sig"] == 0]
+        sig = part[part["is_sig"] == 1]
+        m = side[["key", "a", "b"]].merge(
+            sig[["key", "minhash"]], on="key", how="inner"
+        )
+        return m[["a", "b", "minhash"]]
+
+    def _est(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return _EMPTY
+        part = part.sort_values(["a", "b"], kind="mergesort").reset_index(drop=True)
+        av = part["a"].to_numpy()
+        bv = part["b"].to_numpy()
+        # every pair carries exactly two signature rows (one per side)
+        assert len(part) % 2 == 0 and (av[0::2] == av[1::2]).all() and (
+            bv[0::2] == bv[1::2]
+        ).all(), "pair missing a signature side"
+        mat = np.vstack([np.asarray(s, dtype=np.uint64) for s in part["minhash"]])
+        est = (mat[0::2] == mat[1::2]).mean(axis=1)
+        out = pd.DataFrame(
+            {"a": av[0::2].astype(np.int64), "b": bv[0::2].astype(np.int64), "est_jaccard": est}
+        )
+        return out[out["est_jaccard"] >= threshold]
+
+    attached = partitioned_apply(
+        pairs.map_batches(_sides, batch_format="pandas").union(
+            sigs.map_batches(_sig_rows, batch_format="pandas")
+        ),
+        "key",
+        _attach,
+        num_parts=num_parts,
+    )
+    return partitioned_apply(attached, ["a", "b"], _est, num_parts=num_parts)
 
 
 class SimHasher:
@@ -387,55 +499,124 @@ def simhash_pairs(docs, max_hamming: int = 3, concurrency: int = 4):
     return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
-def ngram_jaccard_verify(docs, candidate_pairs, shingle_k: int = 3):
-    """Exact n-gram Jaccard for candidate pairs.
+def ngram_jaccard_verify(
+    docs, candidate_pairs, shingle_k: int = 3, broadcast_max_pairs: int = 5_000_000
+):
+    """Exact n-gram Jaccard for candidate pairs — fully distributed.
 
-    The candidate set (from LSH) is small relative to the corpus; shingle
-    sets for exactly the candidate doc ids are joined to the pairs via two
-    hash joins keyed on doc id — never a full cross product.
-    Output: (a, b, jaccard).
+    Each pair emits one side row per doc key; shingle-set rows for candidate
+    docs join the sides via a co-partitioned union merge on doc key (no
+    driver shingle map), then one pair-key shuffle brings each pair's two
+    shingle sets together and a vectorized explode+groupby computes
+    |intersection| / |union| per partition.  Below ``broadcast_max_pairs``
+    the candidate id set broadcasts so the shingle pass PRUNES at the read
+    (``pc.is_in`` — the common LSH case); above it every doc is shingled in
+    one streaming pass (the prune itself would need a join).
+    Output: (a, b, jaccard); pairs whose docs are missing/empty get 0.0.
     """
-    import ray.data  # noqa: F401
-
-    cand_pd = candidate_pairs.to_pandas()
-    if len(cand_pd) == 0:
-        return ray.data.from_pandas(
-            pd.DataFrame({"a": [], "b": [], "jaccard": []})
-        )
-
-    need = set(cand_pd["a"]) | set(cand_pd["b"])
-
-    def _sets(batch: pa.Table) -> pa.Table:
-        out_id, out_set = [], []
-        for doc_id, text in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            if doc_id in need:
-                out_id.append(doc_id)
-                out_set.append(sorted(set(_shingles(text, shingle_k))))
-        return pa.table(
-            {
-                "doc_id": pa.array(out_id),
-                "shingles": pa.array(out_set, pa.list_(pa.string())),
-            }
-        )
-
-    sets_pd = docs.map_batches(_sets, batch_format="pyarrow").to_pandas()
-    smap = dict(zip(sets_pd["doc_id"], sets_pd["shingles"]))
-    rows = []
-    for _, r in cand_pd.iterrows():
-        sa, sb = set(smap.get(r["a"], [])), set(smap.get(r["b"], []))
-        union = len(sa | sb)
-        rows.append(
-            {
-                "a": r["a"],
-                "b": r["b"],
-                "jaccard": (len(sa & sb) / union) if union else 0.0,
-            }
-        )
     import ray.data as rd
 
-    return rd.from_pandas(pd.DataFrame(rows))
+    from .grouping import partitioned_apply
+
+    cands = candidate_pairs.select_columns(["a", "b"]).materialize()
+    n_pairs = cands.count()
+    _EMPTY = pd.DataFrame(
+        {
+            "a": pd.Series([], dtype="int64"),
+            "b": pd.Series([], dtype="int64"),
+            "jaccard": pd.Series([], dtype="float64"),
+        }
+    )
+    if n_pairs == 0:
+        return rd.from_pandas(_EMPTY)
+
+    if n_pairs <= broadcast_max_pairs:
+        cand_ids = cands.to_pandas()
+        need_arr = pa.array(
+            np.unique(np.concatenate([cand_ids["a"].to_numpy(), cand_ids["b"].to_numpy()]))
+        )
+    else:
+        need_arr = None
+
+    def _sets(batch: pa.Table) -> pa.Table:
+        if need_arr is not None:
+            batch = batch.filter(pc.is_in(batch.column("doc_id"), value_set=need_arr))
+        texts = batch.column("text").to_pylist()
+        sh = [sorted(set(_shingles(t, shingle_k))) for t in texts]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "shingles": pa.array(sh, pa.list_(pa.string())),
+            }
+        )
+
+    def _sides(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.concat(
+            [df.assign(key=df["a"]), df.assign(key=df["b"])], ignore_index=True
+        )
+        out["shingles"] = [[]] * len(out)
+        out["is_doc"] = np.int8(0)
+        return out[["key", "a", "b", "shingles", "is_doc"]]
+
+    def _doc_rows(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["doc_id"].to_numpy(),
+                "a": np.full(len(df), -1, dtype=np.int64),
+                "b": np.full(len(df), -1, dtype=np.int64),
+                "shingles": df["shingles"].to_numpy(),
+                "is_doc": np.full(len(df), 1, dtype=np.int8),
+            }
+        )
+
+    def _attach(part: pd.DataFrame) -> pd.DataFrame:
+        side = part[part["is_doc"] == 0]
+        doc = part[part["is_doc"] == 1]
+        # LEFT merge: a pair whose doc is missing keeps its side row (with
+        # an empty set), so it still reaches the output with jaccard 0.0
+        m = side[["key", "a", "b"]].merge(
+            doc[["key", "shingles"]], on="key", how="left"
+        )
+        miss = m["shingles"].isna()
+        if miss.any():
+            m.loc[miss, "shingles"] = pd.Series(
+                [[]] * int(miss.sum()), index=m.index[miss]
+            )
+        return m[["a", "b", "shingles"]]
+
+    def _jaccard(part: pd.DataFrame) -> pd.DataFrame:
+        if part.empty:
+            return _EMPTY
+        anchor = part[["a", "b"]].drop_duplicates()
+        ex = part.explode("shingles").dropna(subset=["shingles"])
+        if ex.empty:
+            out = anchor.copy()
+            out["jaccard"] = 0.0
+            return out
+        # per (pair, shingle): appears in 1 doc -> union only, in 2 -> also
+        # intersection (shingle lists are per-doc distinct by construction)
+        cnt = ex.groupby(["a", "b", "shingles"], sort=False).size().reset_index(name="k")
+        cnt["is2"] = (cnt["k"] == 2).astype(np.int64)
+        stats = (
+            cnt.groupby(["a", "b"], sort=False)
+            .agg(union=("k", "size"), inter=("is2", "sum"))
+            .reset_index()
+        )
+        stats["jaccard"] = stats["inter"].to_numpy() / stats["union"].to_numpy()
+        out = anchor.merge(stats[["a", "b", "jaccard"]], on=["a", "b"], how="left")
+        out["jaccard"] = out["jaccard"].fillna(0.0)
+        return out
+
+    attached = partitioned_apply(
+        cands.map_batches(_sides, batch_format="pandas").union(
+            docs.map_batches(_sets, batch_format="pyarrow").map_batches(
+                _doc_rows, batch_format="pandas"
+            )
+        ),
+        "key",
+        _attach,
+    )
+    return partitioned_apply(attached, ["a", "b"], _jaccard)
 
 
 def ngram_jaccard_adjacent(docs, shingle_k: int = 3):
@@ -453,6 +634,12 @@ def ngram_jaccard_adjacent(docs, shingle_k: int = 3):
     """
 
     def _rep(batch: pa.Table) -> pa.Table:
+        # pair keys are doc_id arithmetic (d-1/d): integer ids only — a
+        # string id column would silently produce garbage pairs
+        assert pa.types.is_integer(batch.column("doc_id").type), (
+            "ngram_jaccard_adjacent requires integer doc_id; got "
+            f"{batch.column('doc_id').type}"
+        )
         ids = batch.column("doc_id").to_numpy()
         texts = batch.column("text").to_pylist()
         sh = [sorted(set(_shingles(t, shingle_k))) for t in texts]

@@ -111,6 +111,38 @@ def token_histogram(docs, limit: int = 100):
     return top
 
 
+def _tf_pairs(batch: pa.Table) -> pa.Table:
+    """Vectorized (doc_id, token, tf) rows — one per DISTINCT (doc, token).
+
+    All hot work on the C path: ``pc.split_pattern`` -> ``list_flatten`` ->
+    empty-token mask -> one pandas hash groupby over the flattened rows.
+    Because every document is a single input row (never split across
+    batches), the emitted pairs are globally distinct, so a single
+    ``groupby(token).Count`` over them IS the document frequency — no
+    distinct-pair pre-shuffle needed.
+    """
+    n = len(batch)
+    tok_lists = pc.split_pattern(batch.column("text"), pattern=" ")
+    counts = pc.list_value_length(tok_lists).to_numpy(zero_copy_only=False)
+    flat = pc.list_flatten(tok_lists)
+    ne = pc.not_equal(flat, pa.scalar("")).to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(n), counts)
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    tf = (
+        pd.DataFrame(
+            {
+                "doc_id": ids[doc_idx[ne]],
+                "token": flat.to_numpy(zero_copy_only=False)[ne],
+            }
+        )
+        .groupby(["doc_id", "token"], sort=False)
+        .size()
+        .reset_index(name="tf")
+    )
+    tf["tf"] = tf["tf"].astype(np.int64)
+    return pa.Table.from_pandas(tf, preserve_index=False)
+
+
 def top_tfidf_terms(docs, scale: int = 1_000_000, broadcast_max_tokens: int = 5_000_000):
     """Per-document top term by an integer tf-idf variant:
     ``score = tf * scale // df`` (document frequency).  Integer arithmetic
@@ -118,36 +150,21 @@ def top_tfidf_terms(docs, scale: int = 1_000_000, broadcast_max_tokens: int = 5_
     argmax at the last ulp between libm implementations, which would break
     the oracle hash (ties break by token asc on both sides).
 
-    df is computed via distinct (token, doc) pairs collapsed per batch then
-    one C-path Count groupby.  Scoring has two equivalent paths chosen by
-    vocabulary size: below ``broadcast_max_tokens`` the df map broadcasts
-    (``ray.put`` once, read per actor) over a second streaming pass; above
-    it df ships as a DATASET and the scoring runs fully distributed —
-    co-partitioned union merge on token, then a per-doc argmax shuffle —
-    the 100 TB path, pinned equal to the broadcast path by a dedicated
-    test.  Output: doc_id, token, tf, df, score.
+    df is computed from the vectorized ``_tf_pairs`` kernel (one row per
+    distinct (doc, token)) with a SINGLE C-path Count groupby.  Scoring has
+    two equivalent paths chosen by vocabulary size: below
+    ``broadcast_max_tokens`` the df map broadcasts (``ray.put`` once, read
+    per actor) over a second streaming pass that scores with a pandas
+    token->df map + whole-batch argmax (docs never span batches, so the
+    argmax is batch-local); above it df ships as a DATASET and the scoring
+    runs fully distributed — co-partitioned union merge on token, then a
+    per-doc argmax shuffle — the 100 TB path, pinned equal to the broadcast
+    path by a dedicated test.  Output: doc_id, token, tf, df, score.
     """
     from ray.data.aggregate import Count
 
-    def _pairs(batch: pa.Table) -> pa.Table:
-        seen = set()
-        for d, t in zip(
-            batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-        ):
-            for tok in set(_tokens(t)):
-                seen.add((tok, d))
-        items = sorted(seen)
-        return pa.table(
-            {
-                "token": pa.array([a for a, _ in items], pa.string()),
-                "doc_id": pa.array([b for _, b in items]),
-            }
-        )
-
     df_ds = (
-        docs.map_batches(_pairs, batch_format="pyarrow")
-        .groupby(["token", "doc_id"])
-        .aggregate(Count(alias_name="_n"))
+        docs.map_batches(_tf_pairs, batch_format="pyarrow")
         .groupby("token")
         .aggregate(Count(alias_name="df"))
         .materialize()
@@ -155,44 +172,36 @@ def top_tfidf_terms(docs, scale: int = 1_000_000, broadcast_max_tokens: int = 5_
     if df_ds.count() > broadcast_max_tokens:
         return _top_tfidf_distributed(docs, df_ds, scale)
     df_pd = df_ds.to_pandas()
-    df_map = dict(zip(df_pd["token"], df_pd["df"].astype(int)))
-    df_ref = ray.put(df_map)
+    df_series = pd.Series(
+        df_pd["df"].to_numpy(dtype=np.int64), index=df_pd["token"]
+    )
+    df_ref = ray.put(df_series)
 
     class Scorer:
         def __init__(self):
             self.df = ray.get(df_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            out = {"doc_id": [], "token": [], "tf": [], "df": [], "score": []}
-            for d, t in zip(
-                batch.column("doc_id").to_pylist(), batch.column("text").to_pylist()
-            ):
-                counts: dict[str, int] = {}
-                for tok in _tokens(t):
-                    counts[tok] = counts.get(tok, 0) + 1
-                best = None
-                for tok in counts:
-                    dfv = self.df[tok]
-                    sc = counts[tok] * scale // dfv
-                    cand = (-sc, tok)
-                    if best is None or cand < best:
-                        best = cand
-                if best is None:
-                    continue
-                tok = best[1]
-                out["doc_id"].append(d)
-                out["token"].append(tok)
-                out["tf"].append(counts[tok])
-                out["df"].append(self.df[tok])
-                out["score"].append(-best[0])
-            return pa.table(
-                {
-                    "doc_id": pa.array(out["doc_id"]),
-                    "token": pa.array(out["token"], pa.string()),
-                    "tf": pa.array(out["tf"], pa.int64()),
-                    "df": pa.array(out["df"], pa.int64()),
-                    "score": pa.array(out["score"], pa.int64()),
-                }
+            tf = _tf_pairs(batch).to_pandas()
+            if tf.empty:
+                return pa.table(
+                    {
+                        "doc_id": pa.array([], pa.int64()),
+                        "token": pa.array([], pa.string()),
+                        "tf": pa.array([], pa.int64()),
+                        "df": pa.array([], pa.int64()),
+                        "score": pa.array([], pa.int64()),
+                    }
+                )
+            tf["df"] = tf["token"].map(self.df).astype(np.int64)
+            tf["score"] = tf["tf"].to_numpy() * scale // tf["df"].to_numpy()
+            top = tf.sort_values(
+                ["doc_id", "score", "token"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            ).drop_duplicates("doc_id", keep="first")
+            return pa.Table.from_pandas(
+                top[["doc_id", "token", "tf", "df", "score"]], preserve_index=False
             )
 
     return docs.map_batches(Scorer, batch_format="pyarrow", concurrency=(1, 4)).sort(
@@ -211,24 +220,7 @@ def _top_tfidf_distributed(docs, df_ds, scale: int, num_parts: int = 32):
     _PART = "__part"
 
     def _tf_rows(batch: pa.Table) -> pa.Table:
-        n = len(batch)
-        tok_lists = pc.split_pattern(batch.column("text"), pattern=" ")
-        counts = pc.list_value_length(tok_lists).to_numpy(zero_copy_only=False)
-        flat = pc.list_flatten(tok_lists)
-        ne = pc.not_equal(flat, pa.scalar("")).to_numpy(zero_copy_only=False)
-        doc_idx = np.repeat(np.arange(n), counts)
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        tf = (
-            pd.DataFrame(
-                {
-                    "doc_id": ids[doc_idx[ne]],
-                    "token": flat.to_numpy(zero_copy_only=False)[ne],
-                }
-            )
-            .groupby(["doc_id", "token"], sort=False)
-            .size()
-            .reset_index(name="tf")
-        )
+        tf = _tf_pairs(batch).to_pandas()
         tf["df"] = np.int64(0)
         tf["is_df"] = np.int8(0)
         return pa.Table.from_pandas(tf, preserve_index=False)
