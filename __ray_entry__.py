@@ -22,15 +22,31 @@ SF0001 = "/root/testdata/sf0.001"
 _STOP_SQL = "['the','a','of','and','to','in','is','on','for','with']"
 _TOKS = "list_filter(string_split(text, ' '), x -> x <> '')"
 
+# SQL-side regexes must mirror stages/textstats.{BPE_TOKEN_RE,EMAIL_RE,URL_RE}
+# (RE2 on both engines; parity checked by tests/test_operators tests)
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+_EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z][A-Za-z]+"
+_URL_RE = r"https?://[^\s]+"
+
 
 def entry() -> Any:
     """Flagship pipeline on /root/testdata/sf0.001; returns the tagged docs
-    Dataset (doc_id, spans passthrough, ner, triples, mentions, harvest)."""
+    Dataset (doc_id, spans passthrough, ner, triples, mentions, harvest).
+
+    The corpus is two shapes tagged in ONE pass: the interleaved adapter
+    docs (markers + pool sentences + media spans) plus a plain-text-only
+    slice (the reference's sample_test.txt shape) so the driver-timed run
+    exercises the POS-fallback span path, not just marker-driven spans."""
     from unsupervised_ner_ray.config import PipelineConfig
-    from unsupervised_ner_ray.pipelines.entry_corpus import corpus_from_sf
+    from unsupervised_ner_ray.pipelines.entry_corpus import (
+        corpus_from_sf,
+        plain_corpus_from_sf,
+    )
     from unsupervised_ner_ray.pipelines.flagship import run_tagging
 
-    docs = corpus_from_sf(SF0001, limit=200)
+    docs = corpus_from_sf(SF0001, limit=200).union(
+        plain_corpus_from_sf(SF0001, limit=200)
+    )
     cfg = PipelineConfig(tagger_concurrency=4, tagger_batch_size=64)
     return run_tagging(docs, cfg)
 
@@ -62,6 +78,80 @@ def _tagged(sf_dir: str):
         cfg = PipelineConfig(tagger_concurrency=4, tagger_batch_size=64)
         _TAGGED_CACHE[sf_dir] = run_tagging(_ner_corpus(sf_dir), cfg).materialize()
     return _TAGGED_CACHE[sf_dir]
+
+
+_DUMP_ROOT = "/tmp/uner_oracle_dumps"
+_NER_DUMP_CACHE: dict[str, dict[str, str]] = {}
+
+
+def _ner_dumps(sf_dir: str) -> dict[str, str]:
+    """Write the engine's NER outputs (token tags / mentions / triples) to
+    parquet dumps that BOTH sides of the correctness gate read: the Ray
+    queries re-aggregate the dump with distributed groupbys while the DuckDB
+    oracles run the equivalent SQL over ``read_parquet`` of the same files.
+    That hash-pins the flagship's own outputs plus the downstream
+    explode/groupby/adjacency machinery (the tag assignments themselves are
+    pinned by the reference-golden tests and the sequential-oracle parity
+    test in tests/).  Dumps are keyed by the documents row count — distinct
+    per sf dir — and carry it as ``n_docs_total`` so the static oracle SQL
+    can select the dump matching whichever sf it runs against."""
+    if sf_dir in _NER_DUMP_CACHE:
+        return _NER_DUMP_CACHE[sf_dir]
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+
+    from unsupervised_ner_ray.sources.io import read_sf
+    from unsupervised_ner_ray.stages.ner import explode_mentions, explode_triples
+
+    n_total = read_sf(sf_dir, "documents", columns=["doc_id"]).count()
+    tagged = _tagged(sf_dir)
+    paths: dict[str, str] = {}
+
+    def _stamp(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "n_docs_total", pa.array(np.full(len(t), n_total, dtype=np.int64))
+        )
+
+    def _write(name: str, ds) -> None:
+        path = f"{_DUMP_ROOT}/{name}_{n_total}"
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+        ds.map_batches(_stamp, batch_format="pyarrow").write_parquet(path)
+        paths[name] = path
+
+    def _tok_rows(batch: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "span_idx": [], "tok_idx": [], "tag": []}
+        for doc_id, ner in zip(
+            batch.column("doc_id").to_pylist(), batch.column("ner").to_pylist()
+        ):
+            for s in ner or []:
+                for i, tag in enumerate(s["tags"]):
+                    out["doc_id"].append(doc_id)
+                    out["span_idx"].append(s["span_idx"])
+                    out["tok_idx"].append(i)
+                    out["tag"].append(tag)
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.string()),
+                "span_idx": pa.array(out["span_idx"], pa.int32()),
+                "tok_idx": pa.array(out["tok_idx"], pa.int32()),
+                "tag": pa.array(out["tag"], pa.string()),
+            }
+        )
+
+    _write("tags", tagged.map_batches(_tok_rows, batch_format="pyarrow"))
+    _write("mentions", explode_mentions(tagged))
+    _write(
+        "triples",
+        explode_triples(tagged).select_columns(
+            ["doc_id", "subj_id", "subj_norm", "pred", "obj_id", "obj_norm"]
+        ),
+    )
+    _NER_DUMP_CACHE[sf_dir] = paths
+    return paths
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
@@ -99,32 +189,91 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return similarity.ivf_topk(emb, queries_m, codebook, k=10, nprobe=3)
 
     def q_ner_tags(sf_dir: str):
-        tagged = _tagged(sf_dir)
+        # oracle-backed via the token-tag dump: per-(doc, span) token count
+        # and B_-prefix entity count, one distributed C-path groupby; DuckDB
+        # runs the identical aggregation over the same dump files
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
+        from ray.data.aggregate import Count, Sum
 
-        def _flat(batch):
-            import pyarrow as pa
+        path = _ner_dumps(sf_dir)["tags"]
+        ds = rd.read_parquet(path, columns=["doc_id", "span_idx", "tag"])
 
-            out = {"doc_id": [], "span_idx": [], "n_tokens": [], "n_entities": []}
-            for doc_id, ner in zip(
-                batch.column("doc_id").to_pylist(), batch.column("ner").to_pylist()
-            ):
-                for s in ner or []:
-                    out["doc_id"].append(doc_id)
-                    out["span_idx"].append(s["span_idx"])
-                    out["n_tokens"].append(len(s["tokens"]))
-                    out["n_entities"].append(
-                        sum(1 for t in s["tags"] if t.startswith("B_"))
-                    )
+        def _prep(t: pa.Table) -> pa.Table:
             return pa.table(
                 {
-                    "doc_id": pa.array(out["doc_id"], pa.string()),
-                    "span_idx": pa.array(out["span_idx"], pa.int32()),
-                    "n_tokens": pa.array(out["n_tokens"], pa.int64()),
-                    "n_entities": pa.array(out["n_entities"], pa.int64()),
+                    "doc_id": t.column("doc_id"),
+                    "span_idx": t.column("span_idx"),
+                    "is_b": pc.cast(
+                        pc.starts_with(t.column("tag"), "B_"), pa.int64()
+                    ),
                 }
             )
 
-        return tagged.map_batches(_flat, batch_format="pyarrow")
+        def _fix_types(t: pa.Table) -> pa.Table:
+            # groupby promotes the int32 key to int64; cast back so engine
+            # and oracle schemas agree exactly
+            return t.set_column(
+                t.schema.get_field_index("span_idx"),
+                "span_idx",
+                pc.cast(t.column("span_idx"), pa.int32()),
+            )
+
+        return (
+            ds.map_batches(_prep, batch_format="pyarrow")
+            .groupby(["doc_id", "span_idx"])
+            .aggregate(
+                Count(alias_name="n_tokens"), Sum("is_b", alias_name="n_entities")
+            )
+            .map_batches(_fix_types, batch_format="pyarrow")
+        )
+
+    def q_ner_mention_groups(sf_dir: str):
+        # oracle-backed via the mention dump: per entity type, mention count
+        # plus distinct-doc and distinct-surface counts (each distinct count
+        # is a two-level groupby — pre-collapse to distinct pairs, then a
+        # C-path Count — the scalable COUNT(DISTINCT) shape)
+        import ray.data as rd
+        from ray.data.aggregate import Count
+
+        path = _ner_dumps(sf_dir)["mentions"]
+        ds = rd.read_parquet(path, columns=["etype", "doc_id", "surface_norm"])
+        total = ds.groupby("etype").aggregate(Count(alias_name="n_mentions")).to_pandas()
+        n_docs = (
+            ds.select_columns(["etype", "doc_id"])
+            .groupby(["etype", "doc_id"])
+            .aggregate(Count(alias_name="_n"))
+            .groupby("etype")
+            .aggregate(Count(alias_name="n_docs"))
+            .to_pandas()
+        )
+        n_surfaces = (
+            ds.select_columns(["etype", "surface_norm"])
+            .groupby(["etype", "surface_norm"])
+            .aggregate(Count(alias_name="_n"))
+            .groupby("etype")
+            .aggregate(Count(alias_name="n_surfaces"))
+            .to_pandas()
+        )
+        out = (
+            total.merge(n_docs, on="etype")
+            .merge(n_surfaces, on="etype")
+            .sort_values("etype")
+            .reset_index(drop=True)
+        )
+        return out[["etype", "n_mentions", "n_docs", "n_surfaces"]]
+
+    def q_kg_adjacency_ner(sf_dir: str):
+        # oracle-backed via the triple dump: build_adjacency (the flagship's
+        # graph-materialize shuffle) over the engine's own NER triples, with
+        # the degree counts recomputed in SQL over the same dump
+        import ray.data as rd
+
+        path = _ner_dumps(sf_dir)["triples"]
+        tri = rd.read_parquet(path).drop_columns(["n_docs_total"])
+        adj = build_adjacency(tri, reduce_partitions=16)
+        return adj.select_columns(["subj_id", "subj_norm", "degree"]).sort("subj_norm")
 
     def q_ner_triples(sf_dir: str):
         return explode_triples(_tagged(sf_dir))
@@ -271,7 +420,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # still verified every round by tools/check_oracles.py.
     return {
         # ---- engine core: NER / KG (flagship) ----
-        "q_ner_tags": q_ner_tags,
+        "q_ner_tags": q_ner_tags,  # SQL-checked over the token-tag dump
+        "q_ner_mention_groups": q_ner_mention_groups,  # SQL-checked (dump)
+        "q_kg_adjacency_ner": q_kg_adjacency_ner,  # SQL-checked (dump)
         "q_ner_triples": q_ner_triples,
         "q_kg_entities": q_kg_entities,
         "q_kg_adjacency": q_kg_adjacency,
@@ -306,6 +457,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_vocab_merge": lambda sf: textstats.vocab_merge(_docs(sf)),
         "q_heavy_hitters": lambda sf: textstats.heavy_hitters(_docs(sf), k=20),
         "q_top_tfidf": lambda sf: textstats.top_tfidf_terms(_docs(sf)),
+        "q_token_counts": lambda sf: textstats.token_counts(_docs(sf)),
+        "q_scrub_pii": lambda sf: textstats.scrub_pii(_docs(sf)),
+        "q_repetition": lambda sf: textstats.repetition_stats(_docs(sf)),
         "q_stratified_sample": lambda sf: textstats.stratified_sample(
             _docs(sf).select_columns(["doc_id", "lang"]), stratum_col="lang", k=20
         ),
@@ -329,13 +483,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pivot_status": relational.q_pivot_status,
         "q_anti_join_customers": relational.q_anti_join_customers,
         "q_semi_join_customers": relational.q_semi_join_customers,
+        # ================= driver window ends here (50) =================
+        # relational (oracle-backed; driver-hash-exact in r02)
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q_union_distinct_names": relational.q_union_distinct_names,
         "q_events_window": relational.q_events_tumbling_window,
         "q_sessionize": relational.q_sessionize,
         "q_part_revenue_by_brand": relational.q_part_revenue_by_brand,
-        # ================= driver window ends here (50) =================
-        # relational (oracle-backed; driver-hash-exact in r02)
+        # engine-new fast-hash dedup variant (no SQL twin: 64-bit
+        # hash_pandas_object key; pinned to q_exact_dedup's md5 groups by a
+        # dedicated equivalence test)
+        "q_exact_dedup_fast": lambda sf: dedup.exact_dedup_fast(_docs(sf)),
         "q_cube_revenue": relational.q_cube_revenue,
         "q_ntile_customers": relational.q_ntile_customers,
         "q_revenue_by_month": relational.q_revenue_by_month,
@@ -369,7 +527,72 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # The three q_ner_* / q_kg_*_ner oracles aggregate the engine's own NER
+    # output dumps (written by the matching queries() callable before the SQL
+    # runs — queries run first in both the driver gate and
+    # tools/check_oracles).  The WHERE n_docs_total clause selects the dump
+    # belonging to the sf dir the SQL is running against, since the SQL
+    # string itself is static.
     return {
+        "q_ner_tags": f"""
+            SELECT doc_id, span_idx, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN starts_with(tag, 'B_') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_entities
+            FROM read_parquet('{_DUMP_ROOT}/tags_*/*.parquet')
+            WHERE n_docs_total = (SELECT COUNT(*) FROM documents)
+            GROUP BY doc_id, span_idx
+        """,
+        "q_ner_mention_groups": f"""
+            SELECT etype, CAST(COUNT(*) AS BIGINT) AS n_mentions,
+                   CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+                   CAST(COUNT(DISTINCT surface_norm) AS BIGINT) AS n_surfaces
+            FROM read_parquet('{_DUMP_ROOT}/mentions_*/*.parquet')
+            WHERE n_docs_total = (SELECT COUNT(*) FROM documents)
+            GROUP BY etype ORDER BY etype
+        """,
+        "q_kg_adjacency_ner": f"""
+            SELECT subj_id, subj_norm, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM read_parquet('{_DUMP_ROOT}/triples_*/*.parquet')
+            WHERE n_docs_total = (SELECT COUNT(*) FROM documents)
+            GROUP BY subj_id, subj_norm ORDER BY subj_norm
+        """,
+        "q_token_counts": f"""
+            SELECT doc_id,
+                   CAST(len({_TOKS}) AS BIGINT) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT)
+                       AS n_bpe_tokens
+            FROM documents
+        """,
+        "q_scrub_pii": f"""
+            WITH nu AS (
+                SELECT doc_id, text,
+                       regexp_replace(text, '{_URL_RE}', '[URL]', 'g') AS no_url
+                FROM documents
+            )
+            SELECT doc_id,
+                   regexp_replace(no_url, '{_EMAIL_RE}', '[EMAIL]', 'g') AS clean_text,
+                   CAST(len(regexp_extract_all(no_url, '{_EMAIL_RE}')) AS BIGINT)
+                       AS n_emails,
+                   CAST(len(regexp_extract_all(text, '{_URL_RE}')) AS BIGINT) AS n_urls
+            FROM nu
+        """,
+        "q_repetition": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+            ), tf AS (
+                SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+            ), tot AS (
+                SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens FROM tf GROUP BY 1
+            ), top AS (
+                SELECT doc_id, token AS top_token, CAST(tf AS BIGINT) AS max_tf,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY tf DESC, token) AS rn
+                FROM tf
+            )
+            SELECT t.doc_id, tot.n_tokens, t.top_token, t.max_tf,
+                   CAST(t.max_tf * 1000000 // tot.n_tokens AS BIGINT) AS rep_ppm
+            FROM top t JOIN tot ON tot.doc_id = t.doc_id WHERE t.rn = 1
+        """,
         "q1_lineitem_agg": f"""
             SELECT l_returnflag, l_linestatus,
                    CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,

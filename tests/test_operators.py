@@ -729,10 +729,13 @@ def test_media_codecs_roundtrip():
     dec, rate = mc.decode_wav(mc.encode_wav(samples, rate=8000))
     assert rate == 8000
     assert np.array_equal(dec[:, 0], samples)
-    # magic dispatch + compressed-format gate
+    # PNG: a genuinely COMPRESSED format, stdlib zlib only
+    assert np.array_equal(mc.decode_png(mc.encode_png(img)), img)
+    # magic dispatch + still-gated formats (JPEG)
     assert np.array_equal(mc.decode_image(mc.encode_bmp(img)), img)
+    assert np.array_equal(mc.decode_image(mc.encode_png(img)), img)
     with pytest.raises(NotImplementedError):
-        mc.decode_image(b"\x89PNG\r\n\x1a\n....")
+        mc.decode_image(b"\xff\xd8\xff\xe0....")
 
 
 def test_letterbox_resize_real_pixels():
@@ -770,8 +773,8 @@ def test_media_decode_stage_end_to_end(ray_session):
     if len(auds):
         assert (auds["n_samples"] > 0).all() and (auds["sample_rate"] == 16000).all()
     assert out["features"].map(len).eq(8).all()
-    # fmt mix actually exercises both image decoders
-    assert set(imgs["fmt"]) <= {"ppm", "bmp"} and len(set(imgs["fmt"])) >= 1
+    # fmt mix actually exercises the image decoders incl. compressed PNG
+    assert set(imgs["fmt"]) <= {"ppm", "bmp", "png"} and len(set(imgs["fmt"])) >= 2
 
 
 def test_hll_by_group_accuracy(ray_session):
@@ -832,3 +835,116 @@ def test_kmeans_distributed_matches_local(ray_session):
     # three true clusters recovered: each true block maps to one cluster id
     for blk in range(3):
         assert len(set(got[blk * 40 : (blk + 1) * 40])) == 1
+
+
+def test_exact_dedup_fast_matches_md5_groups(docs_small):
+    """The vectorized-hash dedup must produce the identical group structure
+    (keep_id, n_dups multiset) as the md5-keyed oracle path."""
+    from unsupervised_ner_ray.stages.dedup import exact_dedup, exact_dedup_fast
+
+    md5 = exact_dedup(docs_small).to_pandas()
+    fast = exact_dedup_fast(docs_small).to_pandas()
+    a = sorted(map(tuple, md5[["keep_id", "n_dups"]].itertuples(index=False)))
+    b = sorted(map(tuple, fast[["keep_id", "n_dups"]].itertuples(index=False)))
+    assert a == b and len(a) == 3
+
+
+def test_token_counts_scrub_repetition(ray_session):
+    """BPE-ish token counting, PII/URL scrubbing, repetition ratio — and
+    cross-engine RE2 parity with the DuckDB formulations used as oracles."""
+    import duckdb
+
+    from unsupervised_ner_ray.stages.textstats import (
+        BPE_TOKEN_RE,
+        EMAIL_RE,
+        URL_RE,
+        repetition_stats,
+        scrub_pii,
+        token_counts,
+    )
+
+    rd = _rd()
+    docs = rd.from_items(
+        [
+            {"doc_id": 1, "text": "mail bob@foo.org or see https://ex.com/a?x=c@d.io now"},
+            {"doc_id": 2, "text": "aa aa aa bb"},
+            {"doc_id": 3, "text": ""},
+        ]
+    )
+    tc = token_counts(docs).to_pandas().set_index("doc_id")
+    assert tc.loc[1, "n_ws_tokens"] == 6
+    con = duckdb.connect()
+    for t in ["mail bob@foo.org or see https://ex.com/a?x=c@d.io now", "aa aa aa bb"]:
+        n = con.execute(
+            "SELECT len(regexp_extract_all(?, ?))", [t, BPE_TOKEN_RE]
+        ).fetchone()[0]
+        eng = int(tc.loc[1 if "mail" in t else 2, "n_bpe_tokens"])
+        assert eng == n
+
+    sc = scrub_pii(docs).to_pandas().set_index("doc_id")
+    assert sc.loc[1, "n_emails"] == 1  # the in-URL email belongs to the URL
+    assert sc.loc[1, "n_urls"] == 1
+    assert "[EMAIL]" in sc.loc[1, "clean_text"] and "[URL]" in sc.loc[1, "clean_text"]
+    assert sc.loc[2, "clean_text"] == "aa aa aa bb"
+
+    rep = repetition_stats(docs).to_pandas().set_index("doc_id")
+    assert 3 not in rep.index  # empty doc has no mode
+    assert rep.loc[2, "top_token"] == "aa" and rep.loc[2, "max_tf"] == 3
+    assert rep.loc[2, "rep_ppm"] == 750_000
+
+
+def test_png_decode_all_filters_and_color_types():
+    """Hand-encode PNGs with every scanline filter (0-4) and color types
+    gray/RGB/RGBA; decode_png must reproduce the pixels exactly."""
+    import struct
+    import zlib
+
+    from unsupervised_ner_ray.functions.media_codecs import (
+        _PNG_SIG,
+        _png_chunk,
+        decode_png,
+    )
+
+    rng = np.random.RandomState(11)
+
+    def build(h, w, ch, ctype, filters, px):
+        ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+        rows = []
+        out = np.zeros((h, w * ch), np.int32)
+        for y in range(h):
+            f = filters[y % len(filters)]
+            cur = px[y].reshape(-1).astype(np.int32)
+            prev = out[y - 1] if y else np.zeros(w * ch, np.int32)
+            enc = np.zeros(w * ch, np.int32)
+            for i in range(w * ch):
+                a = cur[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                if f == 0:
+                    pred = 0
+                elif f == 1:
+                    pred = a
+                elif f == 2:
+                    pred = b
+                elif f == 3:
+                    pred = (a + b) // 2
+                else:
+                    pp = a + b - c
+                    pa_, pb_, pc_ = abs(pp - a), abs(pp - b), abs(pp - c)
+                    pred = a if pa_ <= pb_ and pa_ <= pc_ else (b if pb_ <= pc_ else c)
+                enc[i] = (cur[i] - pred) % 256
+            out[y] = cur
+            rows.append(bytes([f]) + enc.astype(np.uint8).tobytes())
+        idat = zlib.compress(b"".join(rows))
+        return (
+            _PNG_SIG
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", idat)
+            + _png_chunk(b"IEND", b"")
+        )
+
+    for ctype, ch in [(0, 1), (2, 3), (6, 4)]:
+        px = rng.randint(0, 256, (9, 7, ch)).astype(np.uint8)
+        dec = decode_png(build(9, 7, ch, ctype, [0, 1, 2, 3, 4], px))
+        exp = np.repeat(px, 3, axis=2) if ch == 1 else px[:, :, :3]
+        assert np.array_equal(dec, exp), f"color type {ctype}"

@@ -21,6 +21,7 @@ from __future__ import annotations
 import io
 import struct
 import wave
+import zlib
 
 import numpy as np
 
@@ -129,6 +130,108 @@ def decode_wav(buf: bytes) -> tuple[np.ndarray, int]:
     return data, rate
 
 
+# ------------------------------------------------------------------- PNG
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + tag
+        + data
+        + struct.pack(">I", zlib.crc32(tag + data))
+    )
+
+
+def encode_png(arr: np.ndarray) -> bytes:
+    """8-bit RGB (h, w, 3) -> PNG bytes (color type 2, filter 0, zlib).
+
+    A COMPRESSED format produced with stdlib zlib only — no PIL needed; pairs
+    with :func:`decode_png` so the compressed-image path is real, tested code
+    rather than an environment-gated stub."""
+    h, w, _ = arr.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    rows = np.zeros((h, 1 + w * 3), dtype=np.uint8)
+    rows[:, 1:] = arr.reshape(h, w * 3)
+    idat = zlib.compress(rows.tobytes(), 6)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def decode_png(buf: bytes) -> np.ndarray:
+    """PNG bytes -> (h, w, 3) uint8.  Pure zlib + numpy: 8-bit depth,
+    non-interlaced, color types 0 (gray, expanded), 2 (RGB) and 6 (RGBA,
+    alpha dropped); all five scanline filters.  None/Up are whole-row
+    vectorized; Sub is a per-channel modular cumsum; Average/Paeth fall back
+    to a per-pixel loop (rare in practice — our encoder emits filter 0)."""
+    if not buf.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    pos, idat, meta = 8, [], None
+    while pos + 8 <= len(buf):
+        (ln,) = struct.unpack(">I", buf[pos : pos + 4])
+        tag = buf[pos + 4 : pos + 8]
+        data = buf[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, ctype, _comp, _filt, inter = struct.unpack(">IIBBBBB", data)
+            if depth != 8 or inter != 0:
+                raise NotImplementedError("only 8-bit non-interlaced PNG")
+            ch = {0: 1, 2: 3, 6: 4}.get(ctype)
+            if ch is None:
+                raise NotImplementedError(f"PNG color type {ctype}")
+            meta = (w, h, ch)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, ch = meta
+    stride = w * ch
+    raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    raw = raw.reshape(h, 1 + stride)
+    filters = raw[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        cur = raw[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        f = filters[y]
+        if f == 0:
+            row = cur
+        elif f == 1:  # Sub: modular prefix sum per channel
+            px = cur.reshape(w, ch).astype(np.int64)
+            row = (px.cumsum(axis=0) % 256).reshape(stride)
+        elif f == 2:  # Up
+            row = (cur + prev) % 256
+        elif f in (3, 4):  # Average / Paeth: sequential recurrence
+            row = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = row[i - ch] if i >= ch else 0
+                b = prev[i]
+                if f == 3:
+                    row[i] = (cur[i] + (a + b) // 2) % 256
+                else:
+                    c = prev[i - ch] if i >= ch else 0
+                    pp = a + b - c
+                    pa_, pb_, pc_ = abs(pp - a), abs(pp - b), abs(pp - c)
+                    pred = a if pa_ <= pb_ and pa_ <= pc_ else (b if pb_ <= pc_ else c)
+                    row[i] = (cur[i] + pred) % 256
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = row.astype(np.uint8)
+    img = out.reshape(h, w, ch)
+    if ch == 1:
+        return np.repeat(img, 3, axis=2)
+    if ch == 4:
+        return np.ascontiguousarray(img[:, :, :3])
+    return img
+
+
 # ------------------------------------------------------------------ dispatch
 
 def decode_image(buf: bytes) -> np.ndarray:
@@ -137,9 +240,11 @@ def decode_image(buf: bytes) -> np.ndarray:
         return decode_ppm(buf)
     if buf.startswith(b"BM"):
         return decode_bmp(buf)
+    if buf.startswith(_PNG_SIG):
+        return decode_png(buf)
     raise NotImplementedError(
-        "compressed image formats need PIL/cv2 (absent in this container); "
-        "supported here: P6 PPM, 24-bit BMP"
+        "JPEG/GIF/WebP need PIL/cv2 (absent in this container); "
+        "supported here: P6 PPM, 24-bit BMP, 8-bit PNG"
     )
 
 

@@ -73,3 +73,29 @@ def corpus_from_sf(sf_dir: str, limit: int | None = None):
     if limit:
         ds = ds.limit(limit)
     return ds.map_batches(interleave_batch, batch_format="pyarrow")
+
+
+def plain_corpus_from_sf(sf_dir: str, limit: int | None = None):
+    """Plain-text-only corpus: one UNMARKED text span per doc — no pool
+    sentences, no media spans.  This is the reference's ``sample_test.txt``
+    use case (/root/reference/main_NER.py:225-230): raw prose in, so span
+    detection must go through the POS fallback rather than explicit
+    ``entity__`` markers."""
+
+    def _plain(batch: pa.Table) -> pa.Table:
+        ids = [f"plain-{d:08d}" for d in batch.column("doc_id").to_pylist()]
+        spans = [
+            [{"kind": "text", "text": t, "media_ref": "", "offset": 0}]
+            for t in batch.column("text").to_pylist()
+        ]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, pa.string()),
+                "spans": pa.array(spans, pa.list_(SPAN_TYPE)),
+            }
+        )
+
+    ds = read_sf(sf_dir, "documents", columns=["doc_id", "text"])
+    if limit:
+        ds = ds.limit(limit)
+    return ds.map_batches(_plain, batch_format="pyarrow")

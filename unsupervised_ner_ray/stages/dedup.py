@@ -57,6 +57,35 @@ def exact_dedup(docs, key_col: str = "text", id_col: str = "doc_id"):
     )
 
 
+def exact_dedup_fast(docs, key_col: str = "text", id_col: str = "doc_id"):
+    """Exact dedup keyed by a vectorized 64-bit content hash
+    (``pd.util.hash_pandas_object`` — one C pass per batch) instead of the
+    per-row-md5 of :func:`exact_dedup`.  Same downstream shape (hash
+    groupby, Min/Count).  No SQL twin — the hash isn't SQL-expressible — so
+    it is pinned to the md5 path by an equivalence test on group structure.
+    A 64-bit key collides around ~4e9 distinct docs (birthday bound); at
+    10^12-doc scale widen to two hash columns with different keys.
+    Output: content_key (int64), keep_id (min id), n_dups."""
+    from ray.data.aggregate import Count, Min
+
+    def _hash(batch: pa.Table) -> pa.Table:
+        h = pd.util.hash_pandas_object(
+            batch.column(key_col).to_pandas(), index=False
+        )
+        return pa.table(
+            {
+                "content_key": pa.array(h.to_numpy().view(np.int64)),
+                id_col: batch.column(id_col),
+            }
+        )
+
+    return (
+        docs.map_batches(_hash, batch_format="pyarrow")
+        .groupby("content_key")
+        .aggregate(Min(id_col, alias_name="keep_id"), Count(alias_name="n_dups"))
+    )
+
+
 class MinHasher:
     """MinHash signatures (actor: permutation constants built once).
 

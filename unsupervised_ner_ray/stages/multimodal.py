@@ -170,7 +170,7 @@ def sample_frames(media, concurrency: int = 2):
     )
 
 
-def synthesize_payloads(media, formats: tuple = ("ppm", "bmp", "wav")):
+def synthesize_payloads(media, formats: tuple = ("ppm", "bmp", "png")):
     """media table -> + (payload: binary, fmt) with REAL encoded bytes,
     deterministically derived from each media_ref (the testdata carries no
     binaries; a production run replaces this stage with a blob-store fetch).
@@ -196,10 +196,13 @@ def synthesize_payloads(media, formats: tuple = ("ppm", "bmp", "wav")):
                 h = 16 + seed % 48
                 w = 16 + (seed >> 8) % 48
                 img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
-                fmt = formats[seed % 2]  # ppm or bmp
-                payloads.append(
-                    mc.encode_ppm(img) if fmt == "ppm" else mc.encode_bmp(img)
-                )
+                fmt = formats[seed % len(formats)]  # ppm / bmp / png
+                enc = {
+                    "ppm": mc.encode_ppm,
+                    "bmp": mc.encode_bmp,
+                    "png": mc.encode_png,
+                }[fmt]
+                payloads.append(enc(img))
                 fmts.append(fmt)
         return batch.append_column("payload", pa.array(payloads, pa.binary())).append_column(
             "fmt", pa.array(fmts, pa.string())

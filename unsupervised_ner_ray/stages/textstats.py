@@ -580,3 +580,117 @@ def vocab_merge(docs):
     from .grouping import partitioned_apply
 
     return partitioned_apply(partials, "token", _merge_part, num_parts=64)
+
+
+# ---------------------------------------------------------------------------
+# token counting (whitespace + BPE-ish regex), PII/URL scrubbing, repetition
+# — all pure C-path pyarrow.compute regex kernels, zero Python in the batch
+# ---------------------------------------------------------------------------
+
+# BPE-ish pre-tokenizer classes (RE2-safe: no lookahead, identical semantics
+# in pyarrow/RE2 and DuckDB/RE2): letter runs | digit runs | single symbol
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+EMAIL_RE = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z][A-Za-z]+"
+URL_RE = r"https?://[^\s]+"
+
+
+def token_counts(docs):
+    """Per-doc token counts under BOTH tokenizations a training-data
+    pipeline budget needs: whitespace tokens and BPE-ish subword-piece
+    classes (letter runs / digit runs / single symbols).  Streaming
+    map_batches; counts via ``pc.count_substring_regex`` (one RE2 scan per
+    batch column, no Python loop).  Output: doc_id, n_ws_tokens,
+    n_bpe_tokens."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        toks = pc.split_pattern(text, pattern=" ")
+        flat_ne = pc.not_equal(pc.list_flatten(toks), pa.scalar(""))
+        n = len(batch)
+        counts = pc.list_value_length(toks).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(n), counts)
+        ws = np.zeros(n, dtype=np.int64)
+        np.add.at(ws, doc_idx, flat_ne.to_numpy(zero_copy_only=False).astype(np.int64))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_ws_tokens": pa.array(ws),
+                "n_bpe_tokens": pc.cast(
+                    pc.count_substring_regex(text, pattern=BPE_TOKEN_RE), pa.int64()
+                ),
+            }
+        )
+
+    return docs.map_batches(_f, batch_format="pyarrow")
+
+
+def scrub_pii(docs):
+    """PII/boilerplate scrub: replace emails with [EMAIL] and URLs with
+    [URL]; emit the scrubbed text plus per-doc match counts.  All three
+    kernels (two counts + chained replace) are single RE2 passes.
+    URL replacement runs FIRST so an email-shaped substring inside a URL
+    query string counts as part of the URL on both engines.
+    Output: doc_id, clean_text, n_emails, n_urls."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        no_url = pc.replace_substring_regex(text, pattern=URL_RE, replacement="[URL]")
+        clean = pc.replace_substring_regex(
+            no_url, pattern=EMAIL_RE, replacement="[EMAIL]"
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "clean_text": pc.cast(clean, pa.string()),
+                "n_emails": pc.cast(
+                    pc.count_substring_regex(no_url, pattern=EMAIL_RE), pa.int64()
+                ),
+                "n_urls": pc.cast(
+                    pc.count_substring_regex(text, pattern=URL_RE), pa.int64()
+                ),
+            }
+        )
+
+    return docs.map_batches(_f, batch_format="pyarrow")
+
+
+def repetition_stats(docs):
+    """Gopher-style repetition signal: fraction of the doc taken by its most
+    frequent token, as integer parts-per-million (float division would be
+    oracle-hash-fragile; ``max_tf * 1e6 // n`` is bit-exact on both
+    engines).  Reuses the vectorized ``_tf_pairs`` kernel; top token ties
+    break lexicographically.  Output: doc_id, n_tokens, top_token, max_tf,
+    rep_ppm — docs with zero tokens are omitted (no mode exists)."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        tf = _tf_pairs(batch).to_pandas()
+        if tf.empty:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], batch.column("doc_id").type),
+                    "n_tokens": pa.array([], pa.int64()),
+                    "top_token": pa.array([], pa.string()),
+                    "max_tf": pa.array([], pa.int64()),
+                    "rep_ppm": pa.array([], pa.int64()),
+                }
+            )
+        totals = tf.groupby("doc_id", sort=False)["tf"].sum()
+        top = (
+            tf.sort_values(["doc_id", "tf", "token"], ascending=[True, False, True],
+                           kind="mergesort")
+            .drop_duplicates("doc_id", keep="first")
+            .set_index("doc_id")
+        )
+        out = pd.DataFrame(
+            {
+                "n_tokens": totals,
+                "top_token": top["token"],
+                "max_tf": top["tf"],
+            }
+        ).reset_index()
+        out["rep_ppm"] = out["max_tf"].to_numpy() * 1_000_000 // out["n_tokens"].to_numpy()
+        for c in ("n_tokens", "max_tf", "rep_ppm"):
+            out[c] = out[c].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return docs.map_batches(_f, batch_format="pyarrow")
