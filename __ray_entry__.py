@@ -319,6 +319,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             synthesize_payloads(extract_media_refs(_ner_corpus(sf_dir)))
         )
 
+    def q_dataprep(sf_dir: str):
+        from unsupervised_ner_ray.pipelines.dataprep import run_dataprep
+
+        return run_dataprep(_docs(sf_dir))
+
     def q_minhash_neardup(sf_dir: str):
         return dedup.minhash_lsh_pairs(_docs(sf_dir), threshold=0.5)
 
@@ -437,6 +442,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_simhash_neardup": q_simhash_neardup,  # rows-only
         "q_ngram_jaccard": q_ngram_jaccard,  # rows-only (LSH candidates)
         "q_jaccard_adjacent": q_jaccard_adjacent,  # SQL-checked exact Jaccard
+        # connected-components keep/drop over SQL-expressible edges (DuckDB
+        # recomputes the components with a recursive closure CTE)
+        "q_dedup_resolve_runs": lambda sf: dedup.dedup_resolve_runs(_docs(sf)),
         "q_embedding_neardup": q_embedding_neardup,  # rows-only
         # ---- similarity search ----
         "q_embedding_topk": q_embedding_topk,
@@ -458,6 +466,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_heavy_hitters": lambda sf: textstats.heavy_hitters(_docs(sf), k=20),
         "q_top_tfidf": lambda sf: textstats.top_tfidf_terms(_docs(sf)),
         "q_token_counts": lambda sf: textstats.token_counts(_docs(sf)),
+        # composite end-to-end data-prep pipeline (quality -> scrub -> dedup
+        # -> distributed-prefix-sum token budget), ONE oracle for the whole
+        # composition
+        "q_dataprep": q_dataprep,
         "q_scrub_pii": lambda sf: textstats.scrub_pii(_docs(sf)),
         "q_repetition": lambda sf: textstats.repetition_stats(_docs(sf)),
         "q_stratified_sample": lambda sf: textstats.stratified_sample(
@@ -481,10 +493,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_left_join_customer_orders": relational.q_left_join_customer_orders,
         "q_topk_orders_per_customer": relational.q_topk_orders_per_customer,
         "q_pivot_status": relational.q_pivot_status,
-        "q_anti_join_customers": relational.q_anti_join_customers,
-        "q_semi_join_customers": relational.q_semi_join_customers,
         # ================= driver window ends here (50) =================
+        "q_anti_join_customers": relational.q_anti_join_customers,
         # relational (oracle-backed; driver-hash-exact in r02)
+        "q_semi_join_customers": relational.q_semi_join_customers,
         "q3_shipping_priority": relational.q3_shipping_priority,
         "q_union_distinct_names": relational.q_union_distinct_names,
         "q_events_window": relational.q_events_tumbling_window,
@@ -494,6 +506,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # hash_pandas_object key; pinned to q_exact_dedup's md5 groups by a
         # dedicated equivalence test)
         "q_exact_dedup_fast": lambda sf: dedup.exact_dedup_fast(_docs(sf)),
+        # components over MinHash-LSH edges (edges not SQL-derivable: rows
+        # only; the union-find vs label-propagation regimes are pinned equal
+        # by a forced-path test)
+        "q_dedup_resolve": lambda sf: dedup.dedup_resolve(
+            dedup.minhash_lsh_pairs(_docs(sf), threshold=0.5)
+        ),
         "q_cube_revenue": relational.q_cube_revenue,
         "q_ntile_customers": relational.q_ntile_customers,
         "q_revenue_by_month": relational.q_revenue_by_month,
@@ -1011,6 +1029,67 @@ def oracle_sql() -> dict[str, str]:
                    END AS jaccard
             FROM sh a JOIN sh b ON b.doc_id = a.doc_id + 1
             ORDER BY a
+        """,
+        "q_dedup_resolve_runs": """
+            WITH RECURSIVE l AS (
+                SELECT doc_id,
+                       lag(doc_id) OVER (ORDER BY doc_id) AS prev_id,
+                       lag(lang) OVER (ORDER BY doc_id) AS prev_lang,
+                       lang
+                FROM documents
+            ), e AS (
+                SELECT prev_id AS a, doc_id AS b FROM l
+                WHERE prev_id = doc_id - 1 AND prev_lang = lang
+            ), ud AS (
+                SELECT a AS x, b AS y FROM e UNION SELECT b AS x, a AS y FROM e
+            ), r AS (
+                SELECT x AS node, x AS lbl FROM ud
+                UNION
+                SELECT ud.y AS node, r.lbl FROM r JOIN ud ON ud.x = r.node
+            )
+            SELECT CAST(node AS BIGINT) AS doc_id,
+                   CAST(MIN(lbl) AS BIGINT) AS component,
+                   (node = MIN(lbl)) AS keep
+            FROM r GROUP BY node ORDER BY doc_id
+        """,
+        "q_dataprep": f"""
+            WITH RECURSIVE l AS (
+                SELECT doc_id,
+                       lag(doc_id) OVER (ORDER BY doc_id) AS prev_id,
+                       lag(lang) OVER (ORDER BY doc_id) AS prev_lang,
+                       lang
+                FROM documents
+            ), e AS (
+                SELECT prev_id AS a, doc_id AS b FROM l
+                WHERE prev_id = doc_id - 1 AND prev_lang = lang
+            ), ud AS (
+                SELECT a AS x, b AS y FROM e UNION SELECT b AS x, a AS y FROM e
+            ), r AS (
+                SELECT x AS node, x AS lbl FROM ud
+                UNION
+                SELECT ud.y AS node, r.lbl FROM r JOIN ud ON ud.x = r.node
+            ), comp AS (
+                SELECT node, MIN(lbl) AS component FROM r GROUP BY node
+            ), q AS (
+                SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+                FROM documents
+            ), s AS (
+                SELECT doc_id, lang,
+                       regexp_replace(regexp_replace(text, '{_URL_RE}', '[URL]', 'g'),
+                                      '{_EMAIL_RE}', '[EMAIL]', 'g') AS clean_text
+                FROM documents
+            ), kept AS (
+                SELECT s.doc_id, s.lang, s.clean_text, q.n_tokens
+                FROM s JOIN q ON q.doc_id = s.doc_id
+                WHERE q.n_tokens >= 5
+                  AND s.doc_id NOT IN (SELECT node FROM comp WHERE node <> component)
+            ), cum AS (
+                SELECT kept.*, SUM(n_tokens) OVER (ORDER BY doc_id) AS cum_tokens
+                FROM kept
+            )
+            SELECT doc_id, lang, clean_text, n_tokens,
+                   CAST(cum_tokens AS BIGINT) AS cum_tokens
+            FROM cum WHERE cum_tokens <= 5000 ORDER BY doc_id
         """,
         "q_canonicalize_tokens": f"""
             WITH tok AS (

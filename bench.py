@@ -113,6 +113,13 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     )
     timed("q_left_join", lambda: relational.q_left_join_customer_orders(sf_dir).to_pandas())
     timed("q_string_funcs", lambda: relational.q_string_funcs(sf_dir).to_pandas())
+    timed("q_top_tfidf", lambda: textstats.top_tfidf_terms(docs_tbl).to_pandas())
+    timed("q_scrub_pii", lambda: textstats.scrub_pii(docs_tbl).to_pandas())
+    timed("q_token_counts", lambda: textstats.token_counts(docs_tbl).to_pandas())
+    timed(
+        "q_dedup_resolve_runs",
+        lambda: dedup.dedup_resolve_runs(docs_tbl).to_pandas(),
+    )
     timed(
         "q_embedding_centroid",
         lambda: __import__(

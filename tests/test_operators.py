@@ -948,3 +948,56 @@ def test_png_decode_all_filters_and_color_types():
         dec = decode_png(build(9, 7, ch, ctype, [0, 1, 2, 3, 4], px))
         exp = np.repeat(px, 3, axis=2) if ch == 1 else px[:, :, :3]
         assert np.array_equal(dec, exp), f"color type {ctype}"
+
+
+def test_dedup_resolve_components(ray_session):
+    """Union-find over a pair list: transitive closure, min-id survivor, and
+    the forced distributed label-propagation path is byte-identical."""
+    from unsupervised_ner_ray.stages.dedup import dedup_resolve
+
+    rd = _rd()
+    # components: {1,2,3,9} via chain, {5,6}; 7 absent from any pair
+    pairs = rd.from_items(
+        [
+            {"a": 1, "b": 2},
+            {"a": 2, "b": 3},
+            {"a": 9, "b": 3},
+            {"a": 5, "b": 6},
+        ]
+    )
+    out = dedup_resolve(pairs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    got = dict(zip(out["doc_id"], out["component"]))
+    assert got == {1: 1, 2: 1, 3: 1, 9: 1, 5: 5, 6: 5}
+    assert set(out[out["keep"]]["doc_id"]) == {1, 5}
+    dist = (
+        dedup_resolve(pairs, driver_max_pairs=0)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, dist)
+
+
+def test_token_budget_filter_prefix_sum(ray_session):
+    """Distributed two-phase prefix sum == serial cumsum take-while,
+    including across bucket boundaries and with gaps in the id space."""
+    from unsupervised_ner_ray.pipelines.dataprep import token_budget_filter
+
+    rd = _rd()
+    rng = np.random.RandomState(3)
+    ids = np.sort(rng.choice(10_000, size=400, replace=False))
+    w = rng.randint(1, 50, size=400)
+    ds = rd.from_items(
+        [{"doc_id": int(i), "n_tokens": int(x)} for i, x in zip(ids, w)]
+    ).repartition(8)
+    budget = int(w.sum() // 3)
+    out = (
+        token_budget_filter(ds, budget=budget, bucket=64)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    cum = np.cumsum(w)
+    keep = cum <= budget
+    assert out["doc_id"].tolist() == ids[keep].tolist()
+    assert out["cum_tokens"].tolist() == cum[keep].tolist()

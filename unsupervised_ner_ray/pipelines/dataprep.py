@@ -1,0 +1,123 @@
+"""Composite training-data preparation pipeline (driver mandate: what a
+100 TB corpus actually runs end to end) — quality filter -> PII/URL scrub ->
+near-dup resolution -> token-budget cut — composed entirely from the
+engine's stages and hash-checked END TO END by one DuckDB oracle
+(q_dataprep): every stage here is SQL-expressible, so the driver certifies
+the whole composition, not just its pieces.
+
+The token-budget cut is a distributed SEGMENTED PREFIX SUM
+(:func:`token_budget_filter`): per-bucket partial sums (a few scalars per
+id-range bucket) come to the driver, the bucket offsets are cumsummed there
+(scalars only, never rows) and broadcast back, then each bucket resolves its
+local running total independently — the classic two-phase scan, so a global
+"take docs in id order until N tokens" needs one tiny driver vector instead
+of a serial pass over the corpus.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+
+def token_budget_filter(
+    ds,
+    budget: int,
+    order_col: str = "doc_id",
+    weight_col: str = "n_tokens",
+    bucket: int = 1024,
+):
+    """Keep rows, in ascending ``order_col`` order, while the running sum of
+    ``weight_col`` stays <= ``budget`` (SQL: SUM(w) OVER (ORDER BY id) <= b).
+
+    Distributed two-phase prefix sum: bucket ids by ``order_col // bucket``,
+    reduce per-bucket totals (driver sees one scalar per bucket), cumsum the
+    offsets on the driver, broadcast, then each bucket computes its exact
+    local running totals in one partition-local vectorized pass.  Adds a
+    ``cum_tokens`` column (the inclusive running sum)."""
+    from ray.data.aggregate import Sum
+
+    from ..stages.grouping import partitioned_apply
+
+    _B = "__bucket"
+
+    def _tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df[_B] = (df[order_col].to_numpy() // bucket).astype(np.int64)
+        return df
+
+    tagged = ds.map_batches(_tag, batch_format="pandas").materialize()
+    part = (
+        tagged.groupby(_B)
+        .aggregate(Sum(weight_col, alias_name="_w"))
+        .to_pandas()
+        .sort_values(_B)
+    )
+    offsets = dict(
+        zip(part[_B], np.concatenate([[0], part["_w"].to_numpy().cumsum()[:-1]]))
+    )
+    off_ref = ray.put(offsets)
+
+    def _cut(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        g = g.sort_values(order_col, kind="mergesort").copy()
+        base = np.array([off[b] for b in g[_B]], dtype=np.int64)
+        # ray.get is cheap (plasma-shared); per-bucket local cumsum + offset
+        local = g.groupby(_B, sort=False)[weight_col].cumsum().to_numpy()
+        g["cum_tokens"] = base + local
+        g = g[g["cum_tokens"] <= budget]
+        return g.drop(columns=[_B])
+
+    return partitioned_apply(tagged, _B, _cut)
+
+
+def run_dataprep(
+    docs,
+    min_tokens: int = 5,
+    budget: int = 5_000,
+):
+    """quality filter (>= min_tokens whitespace tokens) -> scrub emails/URLs
+    -> drop near-dup non-survivors (same-lang consecutive-run components;
+    the SQL-checkable face of dedup resolution) -> token-budget cut in
+    doc_id order.  Output: doc_id, lang, clean_text, n_tokens, cum_tokens,
+    sorted by doc_id."""
+    from ..stages.dedup import dedup_resolve_runs
+    from ..stages.textstats import quality_scores, scrub_pii
+
+    q = quality_scores(docs).select_columns(["doc_id", "n_tokens"])
+    s = scrub_pii(docs).select_columns(["doc_id", "clean_text"])
+    langs = docs.select_columns(["doc_id", "lang"])
+    drop = dedup_resolve_runs(docs)
+
+    def _drop_rows(df: pd.DataFrame) -> pd.DataFrame:
+        keep = df[~df["keep"]]
+        return pd.DataFrame({"doc_id": keep["doc_id"].to_numpy().astype(np.int64)})
+
+    dropped = drop.map_batches(_drop_rows, batch_format="pandas")
+
+    base = langs.join(q, join_type="inner", num_partitions=8, on=("doc_id",)).join(
+        s, join_type="inner", num_partitions=8, on=("doc_id",)
+    )
+    # anti-join the dedup losers via left join + null filter
+    survivors = base.join(
+        dropped.map_batches(
+            lambda df: df.assign(_dup=np.int8(1)), batch_format="pandas"
+        ),
+        join_type="left_outer",
+        num_partitions=8,
+        on=("doc_id",),
+    )
+
+    def _filter(df: pd.DataFrame) -> pd.DataFrame:
+        out = df[(df["_dup"].isna()) & (df["n_tokens"] >= min_tokens)].copy()
+        out = out.drop(columns=["_dup"])
+        out["n_tokens"] = out["n_tokens"].astype(np.int64)
+        return out
+
+    kept = survivors.map_batches(_filter, batch_format="pandas")
+    cut = token_budget_filter(kept, budget=budget)
+    return cut.sort("doc_id").select_columns(
+        ["doc_id", "lang", "clean_text", "n_tokens", "cum_tokens"]
+    )

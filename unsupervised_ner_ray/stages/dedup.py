@@ -762,3 +762,210 @@ def embedding_neardup_pairs(embeds, threshold: float = 0.95, planes: int = 16, s
     from .grouping import partitioned_map_groups
 
     return partitioned_map_groups(bucketed, "bucket", _pairs)
+
+
+def dedup_resolve(pairs, driver_max_pairs: int = 5_000_000, max_iters: int = 50):
+    """Near-dup pairs -> keep/drop decisions via connected components.
+
+    A pair list alone doesn't dedup a corpus: transitive near-dups (a~b,
+    b~c) must collapse to ONE survivor even when (a, c) was never a
+    candidate.  Components get the min doc id as label; that doc is kept,
+    every other member dropped.
+
+    Two regimes by pair count: below ``driver_max_pairs`` a driver-side
+    union-find with path compression (exact, O(pairs * alpha)); above it
+    distributed min-label propagation — each round co-partitions the
+    (node, nbr) edge rows with the current labels on node, ships
+    (nbr, label) proposals through one C-path Min groupby, and converges
+    when the monotone label sum stops decreasing (a driver SCALAR per
+    round, never the label table).  Rounds needed = component diameter,
+    which for near-dup clusters is small.  Paths are pinned equal by a
+    forced-path test.
+
+    Output: (doc_id, component, keep) for every doc appearing in a pair;
+    docs in no pair are trivially their own component and are omitted.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Min
+
+    from .grouping import partitioned_apply
+
+    _EMPTY = pd.DataFrame(
+        {
+            "doc_id": pd.Series([], dtype="int64"),
+            "component": pd.Series([], dtype="int64"),
+            "keep": pd.Series([], dtype="bool"),
+        }
+    )
+    pairs = pairs.select_columns(["a", "b"]).materialize()
+    n_pairs = pairs.count()
+    if n_pairs == 0:
+        return rd.from_pandas(_EMPTY)
+
+    if n_pairs <= driver_max_pairs:
+        pp = pairs.to_pandas()
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.setdefault(r, r) != r:
+                r = parent[r]
+            while parent[x] != r:
+                parent[x], x = r, parent[x]
+            return r
+
+        for a, b in zip(pp["a"], pp["b"]):
+            ra, rb = find(int(a)), find(int(b))
+            if ra != rb:
+                # union by min: smaller id becomes the root
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        out = pd.DataFrame(
+            {
+                "doc_id": np.array(sorted(parent), dtype=np.int64),
+            }
+        )
+        out["component"] = np.array(
+            [find(int(d)) for d in out["doc_id"]], dtype=np.int64
+        )
+        out["keep"] = out["doc_id"].to_numpy() == out["component"].to_numpy()
+        return rd.from_pandas(out)
+
+    # ---- distributed min-label propagation ----
+    def _undirect(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "node": np.concatenate([df["a"].to_numpy(), df["b"].to_numpy()]).astype(np.int64),
+                "nbr": np.concatenate([df["b"].to_numpy(), df["a"].to_numpy()]).astype(np.int64),
+            }
+        )
+
+    edges = pairs.map_batches(_undirect, batch_format="pandas").materialize()
+    # init: label(x) = min(x, min neighbor)
+    labels = (
+        edges.union(
+            edges.map_batches(
+                lambda df: pd.DataFrame(
+                    {"node": df["node"].to_numpy(), "nbr": df["node"].to_numpy()}
+                ),
+                batch_format="pandas",
+            )
+        )
+        .groupby("node")
+        .aggregate(Min("nbr", alias_name="label"))
+        .materialize()
+    )
+
+    def _lab_sum(ds) -> int:
+        from ray.data.aggregate import Sum
+
+        row = ds.aggregate(Sum("label", alias_name="s"))
+        return int(row["s"])
+
+    prev_sum = _lab_sum(labels)
+    for _ in range(max_iters):
+        ed = edges.map_batches(
+            lambda df: df.assign(label=np.int64(-1), is_lab=np.int8(0)),
+            batch_format="pandas",
+        )
+        lb = labels.map_batches(
+            lambda df: pd.DataFrame(
+                {
+                    "node": df["node"].to_numpy(),
+                    "nbr": np.full(len(df), -1, dtype=np.int64),
+                    "label": df["label"].to_numpy(),
+                    "is_lab": np.full(len(df), 1, dtype=np.int8),
+                }
+            ),
+            batch_format="pandas",
+        )
+
+        def _propose(part: pd.DataFrame) -> pd.DataFrame:
+            lab = part[part["is_lab"] == 1][["node", "label"]]
+            edge = part[part["is_lab"] == 0][["node", "nbr"]]
+            # a node proposes its label to every neighbor AND re-proposes it
+            # to itself (labels only ever decrease)
+            m = edge.merge(lab, on="node", how="inner")
+            prop = pd.DataFrame(
+                {
+                    "node": np.concatenate(
+                        [m["nbr"].to_numpy(), lab["node"].to_numpy()]
+                    ),
+                    "label": np.concatenate(
+                        [m["label"].to_numpy(), lab["label"].to_numpy()]
+                    ),
+                }
+            )
+            return prop
+
+        labels = (
+            partitioned_apply(ed.union(lb), "node", _propose)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        cur = _lab_sum(labels)
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+
+    def _finish(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame(
+            {
+                "doc_id": df["node"].to_numpy().astype(np.int64),
+                "component": df["label"].to_numpy().astype(np.int64),
+            }
+        )
+        out["keep"] = out["doc_id"].to_numpy() == out["component"].to_numpy()
+        return out
+
+    return labels.map_batches(_finish, batch_format="pandas").sort("doc_id")
+
+
+def dedup_resolve_runs(docs):
+    """Oracle-checkable face of :func:`dedup_resolve`: the edge set links
+    CONSECUTIVE doc ids that share a lang, so components are the maximal
+    same-lang id runs — deterministic, non-trivial transitive chains that
+    DuckDB recomputes with a recursive closure CTE (real near-dup edges come
+    from MinHash, which isn't SQL-derivable; that variant is rows-only and
+    pinned by the forced-path test).
+
+    Edge derivation is distribution-safe: each doc replicates to its two
+    flanking pair keys (the :func:`ngram_jaccard_adjacent` pattern), one
+    hash shuffle, and a vectorized per-partition side merge — no assumption
+    that neighbors share a block.  Output (doc_id, component, keep)."""
+    from .grouping import partitioned_apply
+
+    def _rep(batch: pa.Table) -> pa.Table:
+        assert pa.types.is_integer(batch.column("doc_id").type)
+        ids = batch.column("doc_id").to_numpy()
+        langs = batch.column("lang").to_numpy(zero_copy_only=False)
+        n = len(ids)
+        return pa.table(
+            {
+                "pair_id": pa.array(np.concatenate([ids, ids - 1]), pa.int64()),
+                "side": pa.array(
+                    np.concatenate(
+                        [np.zeros(n, dtype=np.int8), np.ones(n, dtype=np.int8)]
+                    )
+                ),
+                "lang": pa.array(np.concatenate([langs, langs]), pa.string()),
+            }
+        )
+
+    def _edges_part(part: pd.DataFrame) -> pd.DataFrame:
+        s0 = part[part["side"] == 0][["pair_id", "lang"]]
+        s1 = part[part["side"] == 1][["pair_id", "lang"]]
+        m = s0.merge(s1, on="pair_id")
+        m = m[m["lang_x"] == m["lang_y"]]
+        return pd.DataFrame(
+            {
+                "a": m["pair_id"].to_numpy().astype(np.int64),
+                "b": (m["pair_id"].to_numpy() + 1).astype(np.int64),
+            }
+        )
+
+    pairs = partitioned_apply(
+        docs.map_batches(_rep, batch_format="pyarrow"), "pair_id", _edges_part
+    )
+    return dedup_resolve(pairs)

@@ -389,21 +389,26 @@ def heavy_hitters(docs, k: int = 20, cap: int = 4096):
     _TOTAL = ""  # reserved key (never a token: _tokens drops empty strings)
 
     def _mg(batch: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        n = 0
-        for t in batch.column("text").to_pylist():
-            for tok in _tokens(t):
-                n += 1
-                counts[tok] = counts.get(tok, 0) + 1
-        if len(counts) > cap:
-            kth = sorted(counts.values(), reverse=True)[cap]
-            counts = {t: c - kth for t, c in counts.items() if c > kth}
-        counts[_TOTAL] = n
-        items = sorted(counts.items())
+        # vectorized Misra-Gries: C-path value_counts, then one sort to find
+        # the (cap+1)-th count and a mask-subtract — identical summary to the
+        # per-token dict loop it replaces
+        flat = pc.list_flatten(pc.split_pattern(batch.column("text"), pattern=" "))
+        flat = flat.filter(pc.not_equal(flat, pa.scalar("")))
+        n = len(flat)
+        vc = pc.value_counts(flat)
+        toks = vc.field("values").to_numpy(zero_copy_only=False)
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(toks) > cap:
+            kth = np.sort(cnts)[::-1][cap]
+            keep = cnts > kth
+            toks, cnts = toks[keep], cnts[keep] - kth
+        toks = np.concatenate([toks.astype(object), np.array([_TOTAL], dtype=object)])
+        cnts = np.concatenate([cnts, np.array([n], dtype=np.int64)])
+        order = np.argsort(toks)
         return pa.table(
             {
-                "token": pa.array([t for t, _ in items], pa.string()),
-                "c": pa.array([c for _, c in items], pa.int64()),
+                "token": pa.array(toks[order], pa.string()),
+                "c": pa.array(cnts[order], pa.int64()),
             }
         )
 
@@ -451,15 +456,26 @@ def quality_scores(docs):
     rounding, so the DuckDB oracle hashes identically)."""
 
     def _f(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pylist()
-        n_tok, n_stop, sum_len = [], [], []
-        for t in texts:
-            toks = _tokens(t)
-            n_tok.append(len(toks))
-            n_stop.append(sum(1 for w in toks if w in STOPWORDS))
-            sum_len.append(sum(len(w) for w in toks))
-        n_tok_a = np.array(n_tok, dtype=np.int64)
-        n_stop_a = np.array(n_stop, dtype=np.int64)
+        # fully vectorized: split/flatten on the C path, then three segment
+        # reductions (token count, stopword hits via pc.is_in, codepoint
+        # lengths via pc.utf8_length — identical to Python len()) over the
+        # flattened rows
+        n = len(batch)
+        tok_lists = pc.split_pattern(batch.column("text"), pattern=" ")
+        counts = pc.list_value_length(tok_lists).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(tok_lists)
+        ne = pc.not_equal(flat, pa.scalar("")).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(n), counts)
+        n_tok_a = np.zeros(n, dtype=np.int64)
+        np.add.at(n_tok_a, doc_idx, ne.astype(np.int64))
+        stop = pc.is_in(flat, value_set=pa.array(list(STOPWORDS))).to_numpy(
+            zero_copy_only=False
+        )
+        n_stop_a = np.zeros(n, dtype=np.int64)
+        np.add.at(n_stop_a, doc_idx, (stop & ne).astype(np.int64))
+        ln = pc.utf8_length(flat).to_numpy(zero_copy_only=False)
+        sum_len = np.zeros(n, dtype=np.int64)
+        np.add.at(sum_len, doc_idx, np.where(ne, ln, 0).astype(np.int64))
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
@@ -546,18 +562,27 @@ def vocab_merge(docs):
     merges — same shuffle discipline as token_histogram."""
 
     def _combine(batch: pa.Table) -> pa.Table:
-        pairs: set[tuple[str, str]] = set()
-        for t, lang in zip(
-            batch.column("text").to_pylist(), batch.column("lang").to_pylist()
-        ):
-            for tok in _tokens(t):
-                pairs.add((tok, lang))
-        items = sorted(pairs)
-        return pa.table(
-            {
-                "token": pa.array([k for k, _ in items], pa.string()),
-                "lang": pa.array([v for _, v in items], pa.string()),
-            }
+        # vectorized distinct (token, lang): flatten tokens, repeat langs by
+        # per-doc token counts, one pandas drop_duplicates
+        n = len(batch)
+        tok_lists = pc.split_pattern(batch.column("text"), pattern=" ")
+        counts = pc.list_value_length(tok_lists).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(tok_lists)
+        ne = pc.not_equal(flat, pa.scalar("")).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(n), counts)
+        langs = batch.column("lang").to_numpy(zero_copy_only=False)
+        pairs = (
+            pd.DataFrame(
+                {
+                    "token": flat.to_numpy(zero_copy_only=False)[ne],
+                    "lang": langs[doc_idx[ne]],
+                }
+            )
+            .drop_duplicates()
+            .sort_values(["token", "lang"], kind="mergesort")
+        )
+        return pa.Table.from_pandas(pairs, preserve_index=False).cast(
+            pa.schema([("token", pa.string()), ("lang", pa.string())])
         )
 
     partials = docs.map_batches(_combine, batch_format="pyarrow")
