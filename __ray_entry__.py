@@ -324,6 +324,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return run_dataprep(_docs(sf_dir))
 
+    def q_mixture_sample(sf_dir: str):
+        from unsupervised_ner_ray.sources.io import read_sf
+
+        return textstats.mixture_sample(
+            read_sf(sf_dir, "documents", columns=["doc_id", "lang", "source"])
+        )
+
+    def q_pack_sequences(sf_dir: str):
+        from unsupervised_ner_ray.pipelines.dataprep import pack_sequences
+
+        return pack_sequences(
+            textstats.token_counts(_docs(sf_dir)).select_columns(
+                ["doc_id", "n_ws_tokens"]
+            ),
+            pack_budget=512,
+            weight_col="n_ws_tokens",
+        ).sort("doc_id").select_columns(["doc_id", "n_ws_tokens", "pack_id"])
+
     def q_minhash_neardup(sf_dir: str):
         return dedup.minhash_lsh_pairs(_docs(sf_dir), threshold=0.5)
 
@@ -541,6 +559,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hll_users_by_day": q_hll_users_by_day,
         "q_tdigest_quantiles": q_tdigest_quantiles,
         "q_langid": lambda sf: textstats.langid(_docs(sf)),  # heuristic: rows-only
+        # round 3: benchmark decontamination, sub-doc chunk dedup, weighted
+        # source mixture, sequence packing (all SQL-oracled; past the
+        # driver's 50-entry window by design — the core stays in front)
+        "q_decontaminate": lambda sf: dedup.decontaminate(_docs(sf)),
+        "q_chunk_dedup": lambda sf: dedup.chunk_dedup(_docs(sf)),
+        "q_mixture_sample": q_mixture_sample,
+        "q_pack_sequences": q_pack_sequences,
+        "q_full_outer_join": relational.q_full_outer_join,
+        "q_running_revenue": relational.q_running_revenue,
     }
 
 
@@ -1151,5 +1178,78 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT query_idx, vec_id, cosine, CAST(rank AS BIGINT) AS rank
             FROM ranked WHERE rank <= 10
+        """,
+        # round 3: decontamination / chunk dedup / mixture / packing.
+        # DuckDB recomputes shingles and chunks from the raw text; the Ray
+        # side matches modulo 64-bit polynomial hash collisions (~n^2/2^64).
+        "q_decontaminate": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), sh AS (
+                SELECT doc_id, array_to_string(toks[i:i+7], ' ') AS shingle
+                FROM t, UNNEST(range(1, len(toks) - 8 + 2)) AS u(i)
+            ), bench AS (
+                SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+            ), hits AS (
+                SELECT s.doc_id, COUNT(DISTINCT s.shingle) AS n_hits
+                FROM sh s JOIN bench b USING (shingle)
+                WHERE s.doc_id % 97 <> 0 GROUP BY s.doc_id
+            )
+            SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
+            FROM documents d LEFT JOIN hits h USING (doc_id)
+            WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id
+        """,
+        "q_chunk_dedup": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), ch AS (
+                SELECT doc_id, i - 1 AS pos,
+                       array_to_string(toks[(i-1)*10+1:i*10], ' ') AS chunk
+                FROM t,
+                     UNNEST(range(1, CAST(ceil(len(toks) / 10.0) AS BIGINT) + 1))
+                         AS u(i)
+            )
+            SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                   CAST(CASE WHEN ROW_NUMBER() OVER (
+                                  PARTITION BY chunk ORDER BY doc_id, pos) = 1
+                             THEN 1 ELSE 0 END AS BIGINT) AS is_first
+            FROM ch ORDER BY doc_id, pos
+        """,
+        "q_mixture_sample": """
+            SELECT doc_id, lang, source FROM documents
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+                  CASE CAST(substr(source, 4) AS INT) % 4
+                       WHEN 0 THEN 'ff' WHEN 1 THEN '80'
+                       WHEN 2 THEN '40' ELSE '14' END
+            ORDER BY doc_id
+        """,
+        "q_pack_sequences": f"""
+            WITH t AS (
+                SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_ws_tokens
+                FROM documents
+            )
+            SELECT doc_id, n_ws_tokens,
+                   CAST((SUM(n_ws_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_ws_tokens) // 512
+                        AS BIGINT) AS pack_id
+            FROM t ORDER BY doc_id
+        """,
+        "q_full_outer_join": """
+            WITH a AS (
+                SELECT o_custkey AS id, COUNT(*) AS n_orders FROM orders GROUP BY 1
+            ), b AS (
+                SELECT user_id AS id, COUNT(*) AS n_events FROM events GROUP BY 1
+            )
+            SELECT id, CAST(COALESCE(a.n_orders, 0) AS BIGINT) AS n_orders,
+                   CAST(COALESCE(b.n_events, 0) AS BIGINT) AS n_events
+            FROM a FULL OUTER JOIN b USING (id) ORDER BY id
+        """,
+        "q_running_revenue": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) OVER (
+                        PARTITION BY o_custkey
+                        ORDER BY o_orderdate, o_orderkey
+                        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+            FROM orders ORDER BY o_orderkey
         """,
     }

@@ -120,6 +120,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         "q_dedup_resolve_runs",
         lambda: dedup.dedup_resolve_runs(docs_tbl).to_pandas(),
     )
+    timed("q_decontaminate", lambda: dedup.decontaminate(docs_tbl).to_pandas())
+    timed("q_chunk_dedup", lambda: dedup.chunk_dedup(docs_tbl).to_pandas())
     timed(
         "q_embedding_centroid",
         lambda: __import__(

@@ -1001,3 +1001,92 @@ def test_token_budget_filter_prefix_sum(ray_session):
     keep = cum <= budget
     assert out["doc_id"].tolist() == ids[keep].tolist()
     assert out["cum_tokens"].tolist() == cum[keep].tolist()
+
+
+# --- round 3: decontamination / chunk dedup / mixture / packing ------------
+
+
+def test_decontaminate_flags_shingle_overlap(ray_session):
+    rd = _rd()
+    # doc 0 is benchmark (0 % 5 == 0); doc 1 copies 8 consecutive benchmark
+    # tokens; doc 2 shares < 8 consecutive tokens; doc 5 is also benchmark
+    bench_text = "a b c d e f g h i j"
+    ds = rd.from_items(
+        [
+            {"doc_id": 0, "text": bench_text},
+            {"doc_id": 1, "text": "x y a b c d e f g h z"},
+            {"doc_id": 2, "text": "a b c d e q r s t u"},
+            {"doc_id": 5, "text": "unrelated benchmark row two"},
+            {"doc_id": 6, "text": ""},
+        ]
+    )
+    from unsupervised_ner_ray.stages.dedup import decontaminate
+
+    out = decontaminate(ds, bench_mod=5, shingle_k=8).to_pandas()
+    got = dict(zip(out["doc_id"], out["n_hits"]))
+    # benchmark docs (0, 5) are not scored; doc 1 contains exactly one
+    # distinct benchmark 8-shingle ("a b c d e f g h"); docs 2 and 6 clean
+    assert got == {1: 1, 2: 0, 6: 0}
+
+
+def test_chunk_dedup_marks_first_occurrence(ray_session):
+    rd = _rd()
+    # chunk size 3: doc 1 = [abc][def], doc 2 = [abc][xyz], doc 3 = [de]
+    ds = rd.from_items(
+        [
+            {"doc_id": 1, "text": "a b c d e f"},
+            {"doc_id": 2, "text": "a b c x y z"},
+            {"doc_id": 3, "text": "d e"},
+        ]
+    )
+    from unsupervised_ner_ray.stages.dedup import chunk_dedup
+
+    out = chunk_dedup(ds, chunk_tokens=3).to_pandas()
+    got = {(r.doc_id, r.pos): r.is_first for r in out.itertuples()}
+    assert got == {
+        (1, 0): 1,  # "a b c" first
+        (1, 1): 1,  # "d e f"
+        (2, 0): 0,  # "a b c" again
+        (2, 1): 1,  # "x y z"
+        (3, 0): 1,  # "d e" (partial chunk; prefix of "d e f" but distinct)
+    }
+
+
+def test_mixture_sample_predicate_matches_md5(ray_session):
+    import hashlib
+
+    rd = _rd()
+    rows = [
+        {"doc_id": i, "lang": "en", "source": f"src{i % 6}"} for i in range(200)
+    ]
+    ds = rd.from_items(rows)
+    from unsupervised_ner_ray.stages.textstats import mixture_sample
+
+    out = mixture_sample(ds).to_pandas()
+    cutoffs = ("ff", "80", "40", "14")
+    expect = [
+        r["doc_id"]
+        for r in rows
+        if hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:2]
+        < cutoffs[int(r["source"][3:]) % 4]
+    ]
+    assert out["doc_id"].tolist() == expect
+    # the mixture is actually weighted: src0 (ff) keeps more than src3 (14)
+    kept = out["source"].value_counts()
+    assert kept.get("src0", 0) > kept.get("src3", 0)
+
+
+def test_pack_sequences_prefix_sum(ray_session):
+    rd = _rd()
+    rows = [{"doc_id": i, "n_tokens": w} for i, w in enumerate([5, 5, 5, 5, 5])]
+    ds = rd.from_items(rows)
+    from unsupervised_ner_ray.pipelines.dataprep import pack_sequences
+
+    out = (
+        pack_sequences(ds, pack_budget=12, bucket=2)
+        .to_pandas()
+        .sort_values("doc_id")
+    )
+    # exclusive prefix sums: 0,5,10,15,20 -> packs 0,0,0,1,1
+    assert out["pack_id"].tolist() == [0, 0, 0, 1, 1]
+    assert out["cum_tokens"].tolist() == [5, 10, 15, 20, 25]

@@ -22,21 +22,20 @@ import pyarrow as pa
 import ray
 
 
-def token_budget_filter(
+def _with_running_sum(
     ds,
-    budget: int,
-    order_col: str = "doc_id",
-    weight_col: str = "n_tokens",
-    bucket: int = 1024,
+    order_col: str,
+    weight_col: str,
+    bucket: int,
+    finish,
 ):
-    """Keep rows, in ascending ``order_col`` order, while the running sum of
-    ``weight_col`` stays <= ``budget`` (SQL: SUM(w) OVER (ORDER BY id) <= b).
-
-    Distributed two-phase prefix sum: bucket ids by ``order_col // bucket``,
-    reduce per-bucket totals (driver sees one scalar per bucket), cumsum the
-    offsets on the driver, broadcast, then each bucket computes its exact
-    local running totals in one partition-local vectorized pass.  Adds a
-    ``cum_tokens`` column (the inclusive running sum)."""
+    """Distributed two-phase prefix sum shared by :func:`token_budget_filter`
+    and :func:`pack_sequences`: bucket ids by ``order_col // bucket``, reduce
+    per-bucket totals (driver sees one scalar per bucket), cumsum the offsets
+    on the driver, broadcast, then each bucket computes its exact local
+    running totals in one partition-local vectorized pass.  ``finish(g)``
+    receives each partition frame with the inclusive running sum in
+    ``cum_tokens`` and returns the partition's output rows."""
     from ray.data.aggregate import Sum
 
     from ..stages.grouping import partitioned_apply
@@ -60,17 +59,55 @@ def token_budget_filter(
     )
     off_ref = ray.put(offsets)
 
-    def _cut(g: pd.DataFrame) -> pd.DataFrame:
+    def _resolve(g: pd.DataFrame) -> pd.DataFrame:
         off = ray.get(off_ref)
         g = g.sort_values(order_col, kind="mergesort").copy()
         base = np.array([off[b] for b in g[_B]], dtype=np.int64)
         # ray.get is cheap (plasma-shared); per-bucket local cumsum + offset
         local = g.groupby(_B, sort=False)[weight_col].cumsum().to_numpy()
-        g["cum_tokens"] = base + local
-        g = g[g["cum_tokens"] <= budget]
-        return g.drop(columns=[_B])
+        g["cum_tokens"] = (base + local).astype(np.int64)
+        return finish(g).drop(columns=[_B])
 
-    return partitioned_apply(tagged, _B, _cut)
+    return partitioned_apply(tagged, _B, _resolve)
+
+
+def token_budget_filter(
+    ds,
+    budget: int,
+    order_col: str = "doc_id",
+    weight_col: str = "n_tokens",
+    bucket: int = 1024,
+):
+    """Keep rows, in ascending ``order_col`` order, while the running sum of
+    ``weight_col`` stays <= ``budget`` (SQL: SUM(w) OVER (ORDER BY id) <= b).
+    Adds a ``cum_tokens`` column (the inclusive running sum)."""
+    return _with_running_sum(
+        ds, order_col, weight_col, bucket, lambda g: g[g["cum_tokens"] <= budget]
+    )
+
+
+def pack_sequences(
+    ds,
+    pack_budget: int = 512,
+    order_col: str = "doc_id",
+    weight_col: str = "n_tokens",
+    bucket: int = 1024,
+):
+    """Fixed-boundary sequence packing: assign every doc, in ascending
+    ``order_col`` order, to the training pack (context-window bin) its
+    running token offset falls in — ``pack_id = (exclusive_prefix_sum //
+    pack_budget)`` (SQL: (SUM(w) OVER (ORDER BY id) - w) // budget).  Docs
+    may straddle a boundary (the loader truncates/continues); what matters
+    at 100 TB is that pack assignment is a two-phase prefix sum — per-bucket
+    scalar totals to the driver, offsets broadcast back — never a serial
+    scan.  Adds ``cum_tokens`` (inclusive) and ``pack_id``."""
+
+    def _assign(g: pd.DataFrame) -> pd.DataFrame:
+        w = g[weight_col].to_numpy().astype(np.int64)
+        g["pack_id"] = (g["cum_tokens"].to_numpy() - w) // pack_budget
+        return g
+
+    return _with_running_sum(ds, order_col, weight_col, bucket, _assign)
 
 
 def run_dataprep(

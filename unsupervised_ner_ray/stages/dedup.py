@@ -969,3 +969,192 @@ def dedup_resolve_runs(docs):
         docs.map_batches(_rep, batch_format="pyarrow"), "pair_id", _edges_part
     )
     return dedup_resolve(pairs)
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination + sub-document (chunk) dedup
+# ---------------------------------------------------------------------------
+
+_POLY_P = np.uint64(0x100000001B3)  # FNV-1a prime, used as polynomial base
+
+
+def _flat_token_hashes(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_idx, token_hash) for every non-empty whitespace token of a batch,
+    in document order.  Tokens never become per-row Python strings:
+    ``dictionary_encode`` is the C-path unique+codes, so only the (small)
+    DISTINCT vocabulary crosses into Python for blake2b hashing — the same
+    trick the SimHash stage uses (:class:`_SimHasher`)."""
+    n = len(batch)
+    tok_lists = pc.split_pattern(batch.column("text"), pattern=" ")
+    flat = pc.list_flatten(tok_lists)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    counts = pc.list_value_length(tok_lists).to_numpy(zero_copy_only=False)
+    doc_idx = np.repeat(np.arange(n), counts)
+    keep = pc.not_equal(flat, pa.scalar(""))
+    doc_idx = doc_idx[keep.to_numpy(zero_copy_only=False)]
+    enc = pc.dictionary_encode(flat.filter(keep))
+    if len(enc) == 0:
+        return doc_idx, np.empty(0, dtype=np.uint64)
+    codes = enc.indices.to_numpy(zero_copy_only=False)
+    uniq = enc.dictionary.to_pylist()
+    hashes = np.fromiter(
+        (_stable_hash64(w) for w in uniq), dtype=np.uint64, count=len(uniq)
+    )
+    return doc_idx, hashes[codes]
+
+
+def _poly_pows(k: int) -> np.ndarray:
+    pows = np.empty(k, dtype=np.uint64)
+    pows[0] = np.uint64(1)
+    for i in range(1, k):
+        pows[i] = pows[i - 1] * _POLY_P  # uint64 wraparound is the modulus
+    return pows
+
+
+def _window_hashes(
+    doc_idx: np.ndarray, tok_h: np.ndarray, k: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Order-dependent hash of every k-token SLIDING window that lies fully
+    inside one document: h = sum_j tok_h[i+j] * P^j (mod 2^64).  k vectorized
+    multiply-adds over uint64 lanes — no per-window Python, no (n, k) temp."""
+    n = len(tok_h)
+    if n < k:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.uint64)
+    pows = _poly_pows(k)
+    n_win = n - k + 1
+    h = np.zeros(n_win, dtype=np.uint64)
+    for j in range(k):
+        h += tok_h[j : j + n_win] * pows[j]
+    valid = doc_idx[:n_win] == doc_idx[k - 1 :]
+    return doc_idx[:n_win][valid], h[valid]
+
+
+def decontaminate(docs, bench_mod: int = 97, shingle_k: int = 8):
+    """Benchmark decontamination: flag corpus documents that share any
+    ``shingle_k``-token shingle with the held-out benchmark subset
+    (deterministically ``doc_id % bench_mod == 0`` here — a stand-in for an
+    eval-set table).  Output: (doc_id, n_hits) for EVERY non-benchmark doc —
+    n_hits = number of DISTINCT benchmark shingles it contains, 0 when clean
+    (a per-doc contamination score the downstream filter thresholds on) —
+    sorted by doc_id.
+
+    100 TB design: the benchmark side of a decontamination job is tiny
+    (eval sets are MBs; the corpus is the 100 TB side), so the benchmark
+    shingle-hash set is collected once, ``ray.put`` once and probed with a
+    binary search inside every ``map_batches`` task — the corpus side
+    streams with NO shuffle and NO join.  Shingle identity is a 64-bit
+    polynomial token-hash fold (collision odds ~n^2/2^64 — negligible
+    against the exact-string SQL oracle at any testable scale)."""
+    import ray
+
+    def _bench(batch: pa.Table) -> pa.Table:
+        # no modulo kernel in Arrow 16 — numpy on the zero-copy int column
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        sub = batch.filter(pa.array(ids % bench_mod == 0))
+        if len(sub) == 0:
+            return pa.table({"h": pa.array([], pa.uint64())})
+        doc_idx, tok_h = _flat_token_hashes(sub)
+        _, wh = _window_hashes(doc_idx, tok_h, shingle_k)
+        return pa.table({"h": pa.array(np.unique(wh), pa.uint64())})
+
+    bench_pd = docs.map_batches(_bench, batch_format="pyarrow").to_pandas()
+    bench = np.unique(bench_pd["h"].to_numpy(dtype=np.uint64))
+    bench_ref = ray.put(bench)  # plasma-shared; read zero-copy per task
+
+    def _scan(batch: pa.Table) -> pa.Table:
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        sub = batch.filter(pa.array(ids % bench_mod != 0))
+        n_hits = np.zeros(len(sub), dtype=np.int64)
+        bset = ray.get(bench_ref)
+        if len(sub) and len(bset):
+            doc_idx, tok_h = _flat_token_hashes(sub)
+            widx, wh = _window_hashes(doc_idx, tok_h, shingle_k)
+            if len(wh):
+                pos = np.searchsorted(bset, wh)
+                pos[pos == len(bset)] = 0
+                hit = bset[pos] == wh
+                widx, wh = widx[hit], wh[hit]
+            if len(wh):
+                # distinct (doc, shingle): sort by (doc, hash), keep firsts
+                order = np.lexsort((wh, widx))
+                widx, wh = widx[order], wh[order]
+                first = np.r_[
+                    True, (widx[1:] != widx[:-1]) | (wh[1:] != wh[:-1])
+                ]
+                n_hits += np.bincount(widx[first], minlength=len(sub))
+        return pa.table(
+            {
+                "doc_id": pc.cast(sub.column("doc_id"), pa.int64()),
+                "n_hits": pa.array(n_hits),
+            }
+        )
+
+    return docs.map_batches(_scan, batch_format="pyarrow").sort("doc_id")
+
+
+def chunk_dedup(docs, chunk_tokens: int = 10):
+    """Sub-document dedup: split each doc into consecutive NON-overlapping
+    ``chunk_tokens``-token chunks (the single-line analog of paragraph-level
+    dedup) and mark, for every chunk, whether this (doc_id, pos) is the
+    globally FIRST occurrence of that chunk's content (order: doc_id, then
+    position).  Output: (doc_id, pos, is_first) sorted by (doc_id, pos).
+
+    Shuffle discipline: the corpus text never moves — only (chunk_hash,
+    doc_id, pos) triples shuffle, one coarse hash partition on chunk_hash,
+    then a whole-partition sort + duplicated() resolves first-occurrence
+    with no per-group Python (:func:`grouping.partitioned_apply`).  Chunk
+    identity is the position-weighted polynomial fold of
+    :func:`_window_hashes` restricted to chunk boundaries."""
+
+    def _chunks(batch: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "chunk_h": pa.array([], pa.int64()),
+                "doc_id": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+            }
+        )
+        doc_idx, tok_h = _flat_token_hashes(batch)
+        if len(tok_h) == 0:
+            return empty
+        # position of each token within its doc
+        starts = np.flatnonzero(np.r_[True, np.diff(doc_idx) != 0])
+        counts = np.diff(np.r_[starts, len(doc_idx)])
+        pos_in_doc = np.arange(len(doc_idx)) - np.repeat(starts, counts)
+        cpos = pos_in_doc % chunk_tokens
+        cidx = pos_in_doc // chunk_tokens
+        pows = _poly_pows(chunk_tokens)
+        contrib = tok_h * pows[cpos]
+        # tokens are sorted by (doc, pos) => chunk boundaries are where
+        # cpos resets; one uint64 reduceat per batch
+        bounds = np.flatnonzero(np.r_[True, cpos[1:] == 0])
+        ch = np.add.reduceat(contrib, bounds)
+        ids = pc.cast(batch.column("doc_id"), pa.int64()).to_numpy()
+        return pa.table(
+            {
+                "chunk_h": pa.array(ch.view(np.int64)),
+                "doc_id": pa.array(ids[doc_idx[bounds]]),
+                "pos": pa.array(cidx[bounds].astype(np.int64)),
+            }
+        )
+
+    rows = docs.map_batches(_chunks, batch_format="pyarrow")
+
+    def _first(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["chunk_h", "doc_id", "pos"], kind="mergesort")
+        return pd.DataFrame(
+            {
+                "doc_id": part["doc_id"].to_numpy().astype(np.int64),
+                "pos": part["pos"].to_numpy().astype(np.int64),
+                "is_first": (~part["chunk_h"].duplicated(keep="first"))
+                .to_numpy()
+                .astype(np.int64),
+            }
+        )
+
+    from .grouping import partitioned_apply
+
+    return partitioned_apply(rows, "chunk_h", _first, num_parts=64).sort(
+        ["doc_id", "pos"]
+    )

@@ -999,3 +999,87 @@ def q_first_last_value(sf_dir: str, num_parts: int = 32):
         return out
 
     return partitioned_apply(ev, "user_id", _fl, num_parts=num_parts).sort("user_id")
+
+
+def q_full_outer_join(sf_dir: str):
+    """FULL OUTER join: per-customer order counts against per-user event
+    counts on the shared id domain — ids that only ever ordered and ids that
+    only ever clicked both survive with a zero on the missing side.  Both
+    inputs reduce to small count tables with C-path groupbys BEFORE the
+    join (combiner-first: the all-to-all ships one row per distinct id, not
+    one per order/event), then Ray's hash-partitioned ``full_outer`` join
+    merges them.  Output: id, n_orders, n_events (0-coalesced), sorted."""
+    def _ren(old: str, cnt: str):
+        def f(t: pa.Table) -> pa.Table:
+            if old not in t.column_names:  # empty block lost its schema
+                return pa.table(
+                    {"id": pa.array([], pa.int64()), cnt: pa.array([], pa.int64())}
+                )
+            return t.rename_columns(
+                ["id" if c == old else c for c in t.column_names]
+            )
+
+        return f
+
+    a = (
+        read_sf(sf_dir, "orders", columns=["o_custkey"])
+        .groupby("o_custkey")
+        .aggregate(Count(alias_name="n_orders"))
+        .map_batches(_ren("o_custkey", "n_orders"), batch_format="pyarrow")
+    )
+    b = (
+        read_sf(sf_dir, "events", columns=["user_id"])
+        .groupby("user_id")
+        .aggregate(Count(alias_name="n_events"))
+        .map_batches(_ren("user_id", "n_events"), batch_format="pyarrow")
+    )
+    joined = a.join(b, join_type="full_outer", num_partitions=8, on=("id",))
+
+    def _coalesce(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "id": df["id"].to_numpy().astype(np.int64),
+                "n_orders": df["n_orders"].fillna(0).to_numpy().astype(np.int64),
+                "n_events": df["n_events"].fillna(0).to_numpy().astype(np.int64),
+            }
+        )
+
+    return joined.map_batches(_coalesce, batch_format="pandas").sort("id")
+
+
+def q_running_revenue(sf_dir: str):
+    """Per-customer RUNNING revenue total — SUM(cents) OVER (PARTITION BY
+    custkey ORDER BY orderdate, orderkey).  One coarse hash shuffle on the
+    customer key, then each partition resolves every customer's cumsum in
+    one vectorized sort + groupby-cumsum pass (no per-group Python); the
+    (date, orderkey) sort key makes ties impossible, so the running sums
+    are order-deterministic and hash-exact."""
+    from .grouping import partitioned_apply
+
+    orders = read_sf(
+        sf_dir, "orders", columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    )
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                # timestamps cast on the Arrow side (resolution-safe)
+                "_ts": pc.cast(t.column("o_orderdate"), pa.int64()),
+                "price_cents": _to_cents(t.column("o_totalprice")),
+            }
+        )
+
+    def _cum(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(
+            ["o_custkey", "_ts", "o_orderkey"], kind="mergesort"
+        ).copy()
+        part["cum_cents"] = (
+            part.groupby("o_custkey", sort=False)["price_cents"].cumsum().astype(np.int64)
+        )
+        return part[["o_orderkey", "o_custkey", "cum_cents"]]
+
+    return partitioned_apply(
+        orders.map_batches(_prep, batch_format="pyarrow"), "o_custkey", _cum
+    ).sort("o_orderkey")

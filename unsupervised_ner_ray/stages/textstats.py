@@ -719,3 +719,34 @@ def repetition_stats(docs):
         return pa.Table.from_pandas(out, preserve_index=False)
 
     return docs.map_batches(_f, batch_format="pyarrow")
+
+
+def mixture_sample(docs, cutoffs: tuple[str, ...] = ("ff", "80", "40", "14")):
+    """Deterministic weighted source-mixture sampling — the "mix 4 parts
+    web, 1 part reference" step of a training-data recipe, made seedless and
+    engine-portable: source ``srcN`` keeps rows whose ``md5(doc_id)`` hex
+    prefix is below ``cutoffs[N % len(cutoffs)]`` ('ff' ~ 99.6%, '80' ~ 50%,
+    '40' ~ 25%, '14' ~ 7.8%).  Like :func:`deterministic_sample` this is a
+    pure streaming filter (no shuffle, no RNG state, no coordination), the
+    same rows survive on every engine/run, and the SQL oracle computes the
+    identical predicate.  Output: doc_id, lang, source sorted by doc_id."""
+    mod = len(cutoffs)
+
+    def _f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        srcs = batch.column("source").to_pylist()
+        mask = pa.array(
+            [
+                hashlib.md5(str(d).encode()).hexdigest()[:2]
+                < cutoffs[int(s[3:]) % mod]
+                for d, s in zip(ids, srcs)
+            ],
+            pa.bool_(),
+        )
+        return batch.filter(mask)
+
+    return (
+        docs.select_columns(["doc_id", "lang", "source"])
+        .map_batches(_f, batch_format="pyarrow")
+        .sort("doc_id")
+    )
