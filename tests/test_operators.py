@@ -773,8 +773,9 @@ def test_media_decode_stage_end_to_end(ray_session):
     if len(auds):
         assert (auds["n_samples"] > 0).all() and (auds["sample_rate"] == 16000).all()
     assert out["features"].map(len).eq(8).all()
-    # fmt mix actually exercises the image decoders incl. compressed PNG
-    assert set(imgs["fmt"]) <= {"ppm", "bmp", "png"} and len(set(imgs["fmt"])) >= 2
+    # fmt mix actually exercises the image decoders incl. compressed PNG/GIF
+    assert set(imgs["fmt"]) <= {"ppm", "bmp", "png", "gif"}
+    assert len(set(imgs["fmt"])) >= 2
 
 
 def test_hll_by_group_accuracy(ray_session):
@@ -1090,3 +1091,32 @@ def test_pack_sequences_prefix_sum(ray_session):
     # exclusive prefix sums: 0,5,10,15,20 -> packs 0,0,0,1,1
     assert out["pack_id"].tolist() == [0, 0, 0, 1, 1]
     assert out["cum_tokens"].tolist() == [5, 10, 15, 20, 25]
+
+
+def test_gif_roundtrip_and_quantization():
+    """encode_gif/decode_gif: lossless round-trip for <=256-color images
+    (incl. the multi-CLEAR LZW path on a big image), deterministic 3-3-2
+    quantization above 256 colors, magic dispatch, extension skipping."""
+    import numpy as np
+
+    from unsupervised_ner_ray.functions import media_codecs as mc
+
+    rng = np.random.RandomState(11)
+    # 16-color image, large enough to force several CLEAR resets + sub-blocks
+    palette = rng.randint(0, 256, size=(16, 3)).astype(np.uint8)
+    idx = rng.randint(0, 16, size=(40, 50))
+    img = palette[idx]
+    buf = mc.encode_gif(img)
+    assert buf[:6] == b"GIF89a"
+    assert np.array_equal(mc.decode_gif(buf), img)
+    assert np.array_equal(mc.decode_image(buf), img)
+    # a graphic-control extension must be skipped, not choke the parser
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    with_ext = buf[: 13 + 768] + ext + buf[13 + 768 :]
+    assert np.array_equal(mc.decode_gif(with_ext), img)
+    # > 256 distinct colors: deterministic 3-3-2 quantization
+    full = rng.randint(0, 256, size=(30, 30, 3)).astype(np.uint8)
+    dec = mc.decode_gif(mc.encode_gif(full))
+    assert np.array_equal(dec[:, :, 0], full[:, :, 0] & 0xE0)
+    assert np.array_equal(dec[:, :, 1], full[:, :, 1] & 0xE0)
+    assert np.array_equal(dec[:, :, 2], full[:, :, 2] & 0xC0)

@@ -232,6 +232,163 @@ def decode_png(buf: bytes) -> np.ndarray:
     return img
 
 
+def encode_gif(arr: np.ndarray) -> bytes:
+    """8-bit RGB (h, w, 3) -> single-frame GIF89a bytes.  A second REAL
+    compressed format with no external deps: palette from ``np.unique``
+    (lossless when the image has <= 256 distinct colors, else deterministic
+    3-3-2 quantization), LZW with a CLEAR every 200 codes so the code width
+    stays at ``min_code_size + 1`` — valid GIF any decoder accepts, without
+    maintaining an encoder-side string table."""
+    h, w, _ = arr.shape
+    flat = arr.reshape(-1, 3)
+    colors, inv = np.unique(flat, axis=0, return_inverse=True)
+    if len(colors) > 256:
+        q = (flat[:, 0] & 0xE0) | ((flat[:, 1] & 0xE0) >> 3) | (flat[:, 2] >> 6)
+        inv = q.astype(np.int64)
+        colors = np.zeros((256, 3), dtype=np.uint8)
+        idx = np.arange(256, dtype=np.uint8)
+        colors[:, 0] = idx & 0xE0
+        colors[:, 1] = (idx & 0x1C) << 3
+        colors[:, 2] = (idx & 0x03) << 6
+    table = np.zeros((256, 3), dtype=np.uint8)
+    table[: len(colors)] = colors
+    out = [
+        b"GIF89a",
+        struct.pack("<HHBBB", w, h, 0xF7, 0, 0),  # global table, 256 x 8-bit
+        table.tobytes(),
+        b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0),
+        bytes([8]),  # LZW min code size
+    ]
+    clear, eoi, width = 256, 257, 9
+    acc = bitpos = 0
+    packed = bytearray()
+
+    def _emit(code: int) -> None:
+        nonlocal acc, bitpos
+        acc |= code << bitpos
+        bitpos += width
+        while bitpos >= 8:
+            packed.append(acc & 0xFF)
+            acc >>= 8
+            bitpos -= 8
+
+    _emit(clear)
+    for i, px in enumerate(inv.tolist()):
+        if i and i % 200 == 0:
+            _emit(clear)
+        _emit(px)
+    _emit(eoi)
+    if bitpos:
+        packed.append(acc & 0xFF)
+    for i in range(0, len(packed), 255):
+        sub = bytes(packed[i : i + 255])
+        out.append(bytes([len(sub)]) + sub)
+    out.append(b"\x00\x3b")
+    return b"".join(out)
+
+
+def decode_gif(buf: bytes) -> np.ndarray:
+    """GIF87a/89a bytes -> (h, w, 3) uint8 (first frame).  Full variable-
+    width LZW (CLEAR/EOI, width growth to 12 bits, deferred-clear safe),
+    local color tables, interlace row reordering; extensions are skipped.
+    The code loop is per-LZW-code Python — fine where this runs (one image
+    per actor-pool call, decode cost dwarfed by model stages)."""
+    if buf[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    sw, sh, packed, _bg, _ar = struct.unpack("<HHBBB", buf[6:13])
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        gct = np.frombuffer(buf[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(buf):
+        block = buf[pos]
+        pos += 1
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while buf[pos]:
+                pos += 1 + buf[pos]
+            pos += 1
+        elif block == 0x2C:
+            left, top, w, h, ipack = struct.unpack("<HHHHB", buf[pos : pos + 9])
+            pos += 9
+            table = gct
+            if ipack & 0x80:
+                n = 2 << (ipack & 0x07)
+                table = np.frombuffer(
+                    buf[pos : pos + 3 * n], dtype=np.uint8
+                ).reshape(n, 3)
+                pos += 3 * n
+            if table is None:
+                raise ValueError("GIF image with no color table")
+            mcs = buf[pos]
+            pos += 1
+            data = bytearray()
+            while buf[pos]:
+                ln = buf[pos]
+                data += buf[pos + 1 : pos + 1 + ln]
+                pos += 1 + ln
+            pos += 1
+            indices = _lzw_decode(bytes(data), mcs, w * h)
+            idx = np.array(indices, dtype=np.int64).reshape(h, w)
+            if ipack & 0x40:  # interlaced: 4-pass row order
+                order = np.concatenate(
+                    [np.arange(0, h, 8), np.arange(4, h, 8),
+                     np.arange(2, h, 4), np.arange(1, h, 2)]
+                )
+                deinter = np.empty_like(idx)
+                deinter[order] = idx
+                idx = deinter
+            return table[idx]
+        elif block == 0x3B:
+            break
+        else:
+            raise ValueError(f"bad GIF block 0x{block:02x}")
+    raise ValueError("GIF contains no image data")
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> list[int]:
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table: list[tuple[int, ...]] = [(i,) for i in range(clear)] + [(), ()]
+    width = min_code_size + 1
+    next_code = eoi + 1
+    big = int.from_bytes(data, "little")
+    nbits = len(data) * 8
+    bit = 0
+    out: list[int] = []
+    prev: tuple[int, ...] | None = None
+    while bit + width <= nbits and len(out) < n_pixels:
+        code = (big >> bit) & ((1 << width) - 1)
+        bit += width
+        if code == clear:
+            table = [(i,) for i in range(clear)] + [(), ()]
+            width = min_code_size + 1
+            next_code = eoi + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            seq = table[code]
+        elif code < next_code:
+            seq = table[code]
+            table.append(prev + (seq[0],))
+            next_code += 1
+        elif code == next_code:  # KwKwK case
+            seq = prev + (prev[0],)
+            table.append(seq)
+            next_code += 1
+        else:
+            raise ValueError("corrupt GIF LZW stream")
+        if next_code == (1 << width) and width < 12:
+            width += 1
+        out.extend(seq)
+        prev = seq
+    return out[:n_pixels]
+
+
 # ------------------------------------------------------------------ dispatch
 
 def decode_image(buf: bytes) -> np.ndarray:
@@ -242,9 +399,11 @@ def decode_image(buf: bytes) -> np.ndarray:
         return decode_bmp(buf)
     if buf.startswith(_PNG_SIG):
         return decode_png(buf)
+    if buf.startswith(b"GIF8"):
+        return decode_gif(buf)
     raise NotImplementedError(
-        "JPEG/GIF/WebP need PIL/cv2 (absent in this container); "
-        "supported here: P6 PPM, 24-bit BMP, 8-bit PNG"
+        "JPEG/WebP need PIL/cv2 (absent in this container); "
+        "supported here: P6 PPM, 24-bit BMP, 8-bit PNG, GIF"
     )
 
 

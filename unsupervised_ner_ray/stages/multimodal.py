@@ -170,7 +170,7 @@ def sample_frames(media, concurrency: int = 2):
     )
 
 
-def synthesize_payloads(media, formats: tuple = ("ppm", "bmp", "png")):
+def synthesize_payloads(media, formats: tuple = ("ppm", "bmp", "png", "gif")):
     """media table -> + (payload: binary, fmt) with REAL encoded bytes,
     deterministically derived from each media_ref (the testdata carries no
     binaries; a production run replaces this stage with a blob-store fetch).
@@ -196,11 +196,12 @@ def synthesize_payloads(media, formats: tuple = ("ppm", "bmp", "png")):
                 h = 16 + seed % 48
                 w = 16 + (seed >> 8) % 48
                 img = rng.randint(0, 256, (h, w, 3)).astype(np.uint8)
-                fmt = formats[seed % len(formats)]  # ppm / bmp / png
+                fmt = formats[seed % len(formats)]
                 enc = {
                     "ppm": mc.encode_ppm,
                     "bmp": mc.encode_bmp,
                     "png": mc.encode_png,
+                    "gif": mc.encode_gif,
                 }[fmt]
                 payloads.append(enc(img))
                 fmts.append(fmt)
@@ -212,10 +213,11 @@ def synthesize_payloads(media, formats: tuple = ("ppm", "bmp", "png")):
 
 
 class MediaDecoder:
-    """Actor-pool stage: REAL decode of uncompressed payload bytes
-    (P6 PPM / 24-bit BMP via numpy, PCM WAV via stdlib wave — see
-    ``functions/media_codecs``).  Compressed formats still raise through the
-    gated seam.  Output: decode metadata + a ``dim``-d feature vector from
+    """Actor-pool stage: REAL decode of payload bytes — uncompressed
+    (P6 PPM / 24-bit BMP via numpy, PCM WAV via stdlib wave) AND compressed
+    (PNG via zlib, GIF via pure-python LZW); only JPEG/WebP/MP3 still raise
+    through the gated PIL/ffmpeg seam (``functions/media_codecs``).
+    Output: decode metadata + a ``dim``-d feature vector from
     the DECODED pixels/samples (mean-RGB + luminance histogram for images;
     duration/RMS/ZCR + segment RMS for audio)."""
 
