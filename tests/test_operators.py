@@ -1120,3 +1120,38 @@ def test_gif_roundtrip_and_quantization():
     assert np.array_equal(dec[:, :, 0], full[:, :, 0] & 0xE0)
     assert np.array_equal(dec[:, :, 1], full[:, :, 1] & 0xE0)
     assert np.array_equal(dec[:, :, 2], full[:, :, 2] & 0xC0)
+
+
+def test_langid_vectorized_matches_scalar_loop(ray_session):
+    """The vectorized LangId must reproduce the scalar per-doc loop exactly,
+    including the tie rule (earlier sorted lang wins) and 'unknown'."""
+    import numpy as np
+
+    rd = _rd()
+    from unsupervised_ner_ray.stages.textstats import _LANG_PROFILES, langid
+
+    rng = np.random.RandomState(5)
+    vocab = sorted({w for v in _LANG_PROFILES.values() for w in v}) + [
+        "zz1", "zz2", "zz3"
+    ]
+    rows = [
+        {
+            "doc_id": i,
+            "text": " ".join(
+                rng.choice(vocab, size=rng.randint(0, 12)).tolist()
+            ),
+        }
+        for i in range(80)
+    ]
+    out = (
+        langid(rd.from_items(rows)).to_pandas().set_index("doc_id")["lang_pred"]
+    )
+    profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+    for r in rows:
+        toks = set(w.lower() for w in r["text"].split(" ") if w)
+        best, best_hits = "unknown", 0
+        for lang in sorted(profiles):
+            hits = len(toks & profiles[lang])
+            if hits > best_hits:
+                best, best_hits = lang, hits
+        assert out[r["doc_id"]] == best, r

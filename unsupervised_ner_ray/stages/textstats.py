@@ -419,19 +419,18 @@ def heavy_hitters(docs, k: int = 20, cap: int = 4096):
         kth = int(np.sort(merged.to_numpy())[::-1][cap])
         merged = merged[merged > kth] - kth
     err = (total_n - int(merged.sum())) / (cap + 1)
-    need = frozenset(merged.index.tolist())
+    need_arr = pa.array(sorted(merged.index.tolist()), pa.string())
 
     def _recount(batch: pa.Table) -> pa.Table:
-        counts: dict[str, int] = {}
-        for t in batch.column("text").to_pylist():
-            for tok in _tokens(t):
-                if tok in need:
-                    counts[tok] = counts.get(tok, 0) + 1
-        items = sorted(counts.items())
+        # vectorized candidate recount: flatten once, C-path is_in against
+        # the broadcast candidate set, then value_counts — no Python tokens
+        flat = pc.list_flatten(pc.split_pattern(batch.column("text"), pattern=" "))
+        flat = flat.filter(pc.is_in(flat, value_set=need_arr))
+        vc = pc.value_counts(flat)
         return pa.table(
             {
-                "token": pa.array([t for t, _ in items], pa.string()),
-                "n": pa.array([c for _, c in items], pa.int64()),
+                "token": pc.cast(vc.field("values"), pa.string()),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
             }
         )
     exact = (
@@ -493,25 +492,54 @@ def quality_scores(docs):
 
 class LangId:
     """Heuristic language ID (stopword-profile hits; actor so the profiles
-    and token splitter are built once per worker)."""
+    are built once per worker).  Vectorized: lowercase/split/flatten on the
+    C path, DISTINCT tokens per doc via dictionary codes + lexsort-unique,
+    per-lang membership computed once over the (small) batch dictionary and
+    mapped through the codes — the tie rule (earlier lang in sorted order
+    wins equal hit counts, 'unknown' at zero) matches the scalar loop this
+    replaces exactly (pinned by test_langid_*)."""
 
     def __init__(self):
-        self.profiles = {k: frozenset(v) for k, v in _LANG_PROFILES.items()}
+        self.langs = sorted(_LANG_PROFILES)
+        self.profiles = [frozenset(_LANG_PROFILES[k]) for k in self.langs]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = []
-        for t in batch.column("text").to_pylist():
-            toks = set(w.lower() for w in _tokens(t))
-            best, best_hits = "unknown", 0
-            for lang in sorted(self.profiles):
-                hits = len(toks & self.profiles[lang])
-                if hits > best_hits:
-                    best, best_hits = lang, hits
-            preds.append(best)
+        n = len(batch)
+        tok_lists = pc.split_pattern(
+            pc.utf8_lower(batch.column("text")), pattern=" "
+        )
+        counts = pc.list_value_length(tok_lists).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(tok_lists)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
+        keep = pc.not_equal(flat, pa.scalar(""))
+        doc_idx = np.repeat(np.arange(n), counts)[
+            keep.to_numpy(zero_copy_only=False)
+        ]
+        enc = pc.dictionary_encode(flat.filter(keep))
+        hits = np.zeros((len(self.langs), n), dtype=np.int64)
+        if len(enc):
+            codes = enc.indices.to_numpy(zero_copy_only=False)
+            # distinct (doc, token): lexsort + first-occurrence mask
+            order = np.lexsort((codes, doc_idx))
+            d, c = doc_idx[order], codes[order]
+            first = np.r_[True, (d[1:] != d[:-1]) | (c[1:] != c[:-1])]
+            d, c = d[first], c[first]
+            vocab = enc.dictionary.to_pylist()  # small: distinct tokens only
+            for li, prof in enumerate(self.profiles):
+                member = np.fromiter(
+                    (w in prof for w in vocab), dtype=bool, count=len(vocab)
+                )
+                hits[li] = np.bincount(
+                    d, weights=member[c].astype(np.float64), minlength=n
+                ).astype(np.int64)
+        best = np.argmax(hits, axis=0)  # first max == earlier sorted lang
+        lang_arr = np.array(self.langs, dtype=object)[best]
+        lang_arr[hits.max(axis=0) == 0] = "unknown"
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "lang_pred": pa.array(preds, pa.string()),
+                "lang_pred": pa.array(lang_arr, pa.string()),
             }
         )
 
