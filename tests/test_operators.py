@@ -1155,3 +1155,53 @@ def test_langid_vectorized_matches_scalar_loop(ray_session):
             if hits > best_hits:
                 best, best_hits = lang, hits
         assert out[r["doc_id"]] == best, r
+
+
+@pytest.mark.skipif(
+    __import__("os").environ.get("RUN_SCALE_SMOKE") != "1",
+    reason="large dedup smoke; run with RUN_SCALE_SMOKE=1 "
+    "(result recorded in BASELINE.md)",
+)
+def test_chunk_dedup_decontaminate_scale_smoke(ray_session):
+    """200k synthetic docs (~6M tokens): chunk_dedup + decontaminate end to
+    end with correctness spot-checks — evidences the only shuffle is the
+    (hash, doc, pos) triple exchange and the benchmark set broadcast."""
+    import time
+
+    rd = _rd()
+    from unsupervised_ner_ray.stages.dedup import chunk_dedup, decontaminate
+
+    n = 200_000
+    rng = np.random.default_rng(7)
+    vocab = np.array([f"w{i}" for i in range(5000)], dtype=object)
+    # every doc gets 20-40 random tokens; every doc_id % 1000 == 1 doc copies
+    # the first 10 tokens of the previous % 1000 == 0 doc (a known dup chunk)
+    toks = [
+        vocab[rng.integers(0, len(vocab), rng.integers(20, 41))].tolist()
+        for _ in range(n)
+    ]
+    for i in range(1, n, 1000):
+        toks[i][:10] = toks[i - 1][:10]
+    rows = [{"doc_id": i, "text": " ".join(t)} for i, t in enumerate(toks)]
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(32).materialize()
+
+    t0 = time.time()
+    cd = chunk_dedup(ds, chunk_tokens=10).to_pandas()
+    t_chunk = time.time() - t0
+    assert len(cd) == sum(-(-len(t) // 10) for t in toks)
+    got = cd.set_index(["doc_id", "pos"])["is_first"]
+    # planted dups: copier's chunk 0 must NOT be first (donor has it earlier)
+    sample = list(range(1, 20_000, 1000))
+    assert (got.loc[[(i, 0) for i in sample]] == 0).all()
+    assert (got.loc[[(i - 1, 0) for i in sample]] == 1).all()
+
+    t0 = time.time()
+    dc = decontaminate(ds, bench_mod=1000, shingle_k=10).to_pandas()
+    t_decon = time.time() - t0
+    # benchmark docs (id % 1000 == 0) excluded; copiers share a 10-shingle
+    assert len(dc) == n - n // 1000
+    hits = dc.set_index("doc_id")["n_hits"]
+    assert (hits.loc[sample] >= 1).all()
+    clean = hits.drop(index=sample)
+    assert (clean == 0).mean() > 0.99  # chance collisions only
+    print(f"SMOKE chunk_dedup {t_chunk:.1f}s decontaminate {t_decon:.1f}s")
