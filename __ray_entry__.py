@@ -568,6 +568,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pack_sequences": q_pack_sequences,
         "q_full_outer_join": relational.q_full_outer_join,
         "q_running_revenue": relational.q_running_revenue,
+        "q_funnel_stages": relational.q_funnel_stages,
+        "q_unigram_lm": lambda sf: textstats.unigram_lm_scores(_docs(sf)),
     }
 
 
@@ -1251,5 +1253,44 @@ def oracle_sql() -> dict[str, str]:
                         ORDER BY o_orderdate, o_orderkey
                         ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
             FROM orders ORDER BY o_orderkey
+        """,
+        "q_funnel_stages": """
+            WITH u AS (SELECT DISTINCT user_id FROM events),
+            s AS (SELECT user_id, MIN(ts) AS ts1 FROM events
+                  WHERE event_type = 'signup' GROUP BY user_id),
+            c AS (SELECT e.user_id, MIN(e.ts) AS ts2 FROM events e
+                  JOIN s USING (user_id)
+                  WHERE e.event_type = 'click' AND e.ts > s.ts1
+                  GROUP BY e.user_id),
+            p AS (SELECT e.user_id, MIN(e.ts) AS ts3 FROM events e
+                  JOIN c USING (user_id)
+                  WHERE e.event_type = 'purchase' AND e.ts > c.ts2
+                  GROUP BY e.user_id)
+            SELECT u.user_id,
+                   CAST(CASE WHEN p.user_id IS NOT NULL THEN 3
+                             WHEN c.user_id IS NOT NULL THEN 2
+                             WHEN s.user_id IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS funnel_stage
+            FROM u LEFT JOIN s USING (user_id) LEFT JOIN c USING (user_id)
+                   LEFT JOIN p USING (user_id)
+            ORDER BY u.user_id
+        """,
+        "q_unigram_lm": f"""
+            WITH toks AS (
+                SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+            ), cnt AS (
+                SELECT token, COUNT(*) AS n FROM toks GROUP BY token
+            ), tot AS (
+                SELECT COUNT(*) AS N FROM toks
+            ), pp AS (
+                SELECT token, (1000000 * n) // (SELECT N FROM tot) AS p_ppm
+                FROM cnt
+            ), ds AS (
+                SELECT t.doc_id, COUNT(*) AS n_tokens, SUM(p.p_ppm) AS s
+                FROM toks t JOIN pp p USING (token) GROUP BY t.doc_id
+            )
+            SELECT d.doc_id, CAST(COALESCE(ds.n_tokens, 0) AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(ds.s // ds.n_tokens, 0) AS BIGINT) AS score_ppm
+            FROM documents d LEFT JOIN ds USING (doc_id) ORDER BY d.doc_id
         """,
     }

@@ -1205,3 +1205,37 @@ def test_chunk_dedup_decontaminate_scale_smoke(ray_session):
     clean = hits.drop(index=sample)
     assert (clean == 0).mean() > 0.99  # chance collisions only
     print(f"SMOKE chunk_dedup {t_chunk:.1f}s decontaminate {t_decon:.1f}s")
+
+
+def test_funnel_strict_ordering(ray_session):
+    """Each funnel stage must occur strictly AFTER the previous stage's
+    first occurrence; events before it don't count."""
+    rd = _rd()
+    import pandas as pd
+
+    def ev(uid, t, et):
+        return {"user_id": uid, "ts": pd.Timestamp(2024, 1, 1, 0, 0, t), "event_type": et}
+
+    rows = [
+        # A: click BEFORE signup -> stuck at stage 1
+        ev(1, 1, "click"), ev(1, 2, "signup"),
+        # B: full funnel in order -> 3
+        ev(2, 1, "signup"), ev(2, 2, "click"), ev(2, 3, "purchase"),
+        # C: never signed up -> 0
+        ev(3, 1, "click"), ev(3, 2, "purchase"),
+        # D: purchase between signup and click doesn't count -> 2
+        ev(4, 1, "signup"), ev(4, 2, "purchase"), ev(4, 3, "click"),
+    ]
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    with tempfile.TemporaryDirectory() as d:
+        df = pd.DataFrame(rows)
+        df["ts"] = df["ts"].astype("datetime64[us]")
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), f"{d}/events.parquet")
+        from unsupervised_ner_ray.stages.relational import q_funnel_stages
+
+        out = q_funnel_stages(d).to_pandas().set_index("user_id")["funnel_stage"]
+        assert out.to_dict() == {1: 1, 2: 3, 3: 0, 4: 2}

@@ -1083,3 +1083,50 @@ def q_running_revenue(sf_dir: str):
     return partitioned_apply(
         orders.map_batches(_prep, batch_format="pyarrow"), "o_custkey", _cum
     ).sort("o_orderkey")
+
+
+def q_funnel_stages(sf_dir: str):
+    """Conversion-funnel analysis: per user, how far through
+    signup -> click -> purchase they progressed, where each stage must occur
+    STRICTLY AFTER the previous stage's first occurrence (the classic
+    product-analytics windowed funnel).  One coarse hash shuffle on
+    user_id, then each partition resolves every user with three vectorized
+    groupby-min passes (no per-user Python); timestamps are cast to int64
+    micros on the Arrow side before grouping (resolution-safe).  Output:
+    user_id, funnel_stage (0-3), sorted."""
+    from .grouping import partitioned_apply
+
+    ev = read_sf(sf_dir, "events", columns=["user_id", "ts", "event_type"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "_ts": pc.cast(t.column("ts"), pa.int64()),
+                "event_type": t.column("event_type"),
+            }
+        )
+
+    def _stages(part: pd.DataFrame) -> pd.DataFrame:
+        users = part["user_id"].unique()
+        s1 = (
+            part[part["event_type"] == "signup"].groupby("user_id")["_ts"].min()
+        )
+        c = part[part["event_type"] == "click"]
+        s2 = c[c["_ts"] > c["user_id"].map(s1)].groupby("user_id")["_ts"].min()
+        p = part[part["event_type"] == "purchase"]
+        s3 = p[p["_ts"] > p["user_id"].map(s2)].groupby("user_id")["_ts"].min()
+        stage = pd.Series(np.int64(0), index=users)
+        stage[stage.index.isin(s1.index)] = 1
+        stage[stage.index.isin(s2.index)] = 2
+        stage[stage.index.isin(s3.index)] = 3
+        return pd.DataFrame(
+            {
+                "user_id": stage.index.to_numpy().astype(np.int64),
+                "funnel_stage": stage.to_numpy().astype(np.int64),
+            }
+        )
+
+    return partitioned_apply(
+        ev.map_batches(_prep, batch_format="pyarrow"), "user_id", _stages
+    ).sort("user_id")

@@ -778,3 +778,69 @@ def mixture_sample(docs, cutoffs: tuple[str, ...] = ("ff", "80", "40", "14")):
         .map_batches(_f, batch_format="pyarrow")
         .sort("doc_id")
     )
+
+
+def unigram_lm_scores(docs):
+    """Corpus-LM quality scoring: score each doc by the mean corpus-level
+    unigram probability of its tokens, in parts-per-million — the
+    integer-exact face of "perplexity against a background model" filtering
+    (real-LM log-probs are float-order fragile across engines; the
+    ppm = (1e6 * global_count) // total_tokens domain is bit-exact, and
+    rank-orders docs identically for filtering purposes).
+
+    Two phases, both scale-shaped: (1) global token counts via one C-path
+    combiner groupby (the vocab, not the corpus, comes to the driver — the
+    huge-vocab alternative is the sharded-df merge `_top_tfidf_distributed`
+    uses); (2) broadcast the (token -> ppm) table once via ``ray.put`` and
+    score every batch with one ``pc.index_in`` + ``np.bincount`` — no
+    shuffle touches the corpus.  Output: doc_id, n_tokens, score_ppm
+    (0 for empty docs), sorted by doc_id."""
+    import ray
+    from ray.data.aggregate import Count as _Count
+
+    def _toks(batch: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(batch.column("text"), pattern=" "))
+        flat = flat.filter(pc.not_equal(flat, pa.scalar("")))
+        return pa.table({"token": flat})
+
+    hist = (
+        docs.map_batches(_toks, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(_Count(alias_name="n"))
+        .to_pandas()
+    )
+    total = int(hist["n"].sum())
+    ppm = (1_000_000 * hist["n"].to_numpy().astype(np.int64)) // max(total, 1)
+    lut_ref = ray.put(
+        (pa.array(hist["token"].tolist(), pa.string()), ppm.astype(np.int64))
+    )
+
+    def _score(batch: pa.Table) -> pa.Table:
+        vocab, ppm_arr = ray.get(lut_ref)
+        n = len(batch)
+        tok_lists = pc.split_pattern(batch.column("text"), pattern=" ")
+        counts = pc.list_value_length(tok_lists).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(tok_lists)
+        keep = pc.not_equal(flat, pa.scalar(""))
+        doc_idx = np.repeat(np.arange(n), counts)[
+            keep.to_numpy(zero_copy_only=False)
+        ]
+        idx = pc.index_in(flat.filter(keep), value_set=vocab).to_numpy(
+            zero_copy_only=False
+        )
+        # every token is in the global vocab by construction
+        sums = np.bincount(
+            doc_idx, weights=ppm_arr[idx.astype(np.int64)], minlength=n
+        ).astype(np.int64)
+        n_tok = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(n_tok),
+                "score_ppm": pa.array(
+                    np.where(n_tok > 0, sums // np.maximum(n_tok, 1), 0)
+                ),
+            }
+        )
+
+    return docs.map_batches(_score, batch_format="pyarrow").sort("doc_id")
