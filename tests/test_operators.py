@@ -731,10 +731,12 @@ def test_media_codecs_roundtrip():
     assert np.array_equal(dec[:, 0], samples)
     # PNG: a genuinely COMPRESSED format, stdlib zlib only
     assert np.array_equal(mc.decode_png(mc.encode_png(img)), img)
-    # magic dispatch + still-gated formats (JPEG)
+    # magic dispatch + still-gated formats (WebP)
     assert np.array_equal(mc.decode_image(mc.encode_bmp(img)), img)
     assert np.array_equal(mc.decode_image(mc.encode_png(img)), img)
     with pytest.raises(NotImplementedError):
+        mc.decode_image(b"RIFF\x00\x00\x00\x00WEBP")
+    with pytest.raises(ValueError):  # JPEG is real now; garbage must raise
         mc.decode_image(b"\xff\xd8\xff\xe0....")
 
 
@@ -773,8 +775,8 @@ def test_media_decode_stage_end_to_end(ray_session):
     if len(auds):
         assert (auds["n_samples"] > 0).all() and (auds["sample_rate"] == 16000).all()
     assert out["features"].map(len).eq(8).all()
-    # fmt mix actually exercises the image decoders incl. compressed PNG/GIF
-    assert set(imgs["fmt"]) <= {"ppm", "bmp", "png", "gif"}
+    # fmt mix actually exercises the image decoders incl. compressed PNG/GIF/JPEG
+    assert set(imgs["fmt"]) <= {"ppm", "bmp", "png", "gif", "jpeg"}
     assert len(set(imgs["fmt"])) >= 2
 
 
@@ -1120,6 +1122,46 @@ def test_gif_roundtrip_and_quantization():
     assert np.array_equal(dec[:, :, 0], full[:, :, 0] & 0xE0)
     assert np.array_equal(dec[:, :, 1], full[:, :, 1] & 0xE0)
     assert np.array_equal(dec[:, :, 2], full[:, :, 2] & 0xC0)
+
+
+def test_jpeg_roundtrip_and_dispatch():
+    """encode_jpeg/decode_jpeg: near-lossless at quant=1 (YCbCr + DCT float
+    rounding only), smaller-but-lossier at quant=8, odd-dimension edge
+    padding, magic dispatch, and honest NotImplementedError on progressive
+    (SOF2) streams."""
+    import numpy as np
+    import pytest
+
+    from unsupervised_ner_ray.functions import media_codecs as mc
+
+    rng = np.random.RandomState(5)
+    h, w = 37, 53  # non-multiple-of-8 in both dims
+    grad = np.linspace(0, 255, w)[None, :] + np.linspace(0, 100, h)[:, None]
+    img = np.stack([grad, grad[::-1], np.full((h, w), 90.0)], axis=2)
+    img = np.clip(img + rng.normal(0, 3, img.shape), 0, 255).astype(np.uint8)
+    buf = mc.encode_jpeg(img, quant=1)
+    assert buf[:2] == b"\xff\xd8" and buf[-2:] == b"\xff\xd9"
+    out = mc.decode_jpeg(buf)
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int))
+    assert err.max() <= 4 and err.mean() < 1.0
+    assert np.array_equal(mc.decode_image(buf), out)  # dispatch by magic
+    # coarser quant: strictly smaller stream, bounded extra error
+    buf8 = mc.encode_jpeg(img, quant=8)
+    assert len(buf8) < len(buf)
+    err8 = np.abs(mc.decode_jpeg(buf8).astype(int) - img.astype(int))
+    assert err8.mean() < 8.0
+    # worst case for DCT: pure noise still round-trips within rounding bounds
+    noise = rng.randint(0, 256, size=(16, 16, 3)).astype(np.uint8)
+    errn = np.abs(
+        mc.decode_jpeg(mc.encode_jpeg(noise, quant=1)).astype(int)
+        - noise.astype(int)
+    )
+    assert errn.max() <= 6
+    # progressive marker (SOF2) raises through the gated seam
+    bad = buf.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with pytest.raises(NotImplementedError):
+        mc.decode_jpeg(bad)
 
 
 def test_langid_vectorized_matches_scalar_loop(ray_session):

@@ -1,14 +1,19 @@
 """Real media decode/resample kernels — stdlib + numpy ONLY.
 
-The container has no PIL/cv2/ffmpeg, so compressed formats (JPEG/PNG/MP4)
-stay behind the gated ``backend="real"`` seam in ``stages/multimodal``.
-Uncompressed formats need no external codec, and a 100 TB pipeline's decode
-stage is exactly this shape regardless of format: bytes in, array out, one
-pure function per format dispatched by magic number.  Implemented here:
+The container has no PIL/cv2/ffmpeg; everything here is implemented from the
+public format specs with zlib/numpy, and a 100 TB pipeline's decode stage is
+exactly this shape regardless of format: bytes in, array out, one pure
+function per format dispatched by magic number.  Implemented here:
 
 * P6 PPM  (``P6`` magic)   -> (h, w, 3) uint8
 * 24-bit uncompressed BMP (``BM`` magic, BI_RGB) -> (h, w, 3) uint8
+* 8-bit PNG (zlib inflate + filter reversal)     -> (h, w, 3) uint8
+* GIF87a/89a (variable-width LZW)                -> (h, w, 3) uint8
+* baseline JPEG (SOF0, 4:4:4/gray, own DCT+Huffman) -> (h, w, 3) uint8
 * PCM WAV (``RIFF`` magic, stdlib ``wave``)      -> (n, channels) int16 + rate
+
+Progressive/subsampled JPEG, WebP and video remain behind the gated
+``backend="real"`` seam in ``stages/multimodal``.
 
 plus a deterministic nearest-neighbor letterbox resize (a real resampler,
 not a geometry estimate) and fixed-dim feature kernels over decoded pixels
@@ -401,9 +406,11 @@ def decode_image(buf: bytes) -> np.ndarray:
         return decode_png(buf)
     if buf.startswith(b"GIF8"):
         return decode_gif(buf)
+    if buf.startswith(b"\xff\xd8"):
+        return decode_jpeg(buf)
     raise NotImplementedError(
-        "JPEG/WebP need PIL/cv2 (absent in this container); "
-        "supported here: P6 PPM, 24-bit BMP, 8-bit PNG, GIF"
+        "WebP/progressive-JPEG need PIL/cv2 (absent in this container); "
+        "supported here: P6 PPM, 24-bit BMP, 8-bit PNG, GIF, baseline JPEG"
     )
 
 
@@ -443,3 +450,346 @@ def audio_features(samples: np.ndarray, rate: int, dim: int = 8) -> np.ndarray:
     segs = np.array_split(mono, dim - 3) if n else [np.zeros(1)] * (dim - 3)
     seg_rms = [float(np.sqrt((s**2).mean())) if len(s) else 0.0 for s in segs]
     return np.array([dur, rms, zcr, *seg_rms])
+
+
+# ------------------------------------------------------------------ JPEG
+# Baseline JFIF (SOF0) with no external deps.  The encoder writes its OWN
+# canonical Huffman tables into DHT (valid JPEG — custom tables are standard;
+# this avoids transcribing the Annex K defaults), 4:4:4 sampling and a
+# caller-chosen quant value (1 = near-lossless, only DCT float rounding).
+# The decoder is general for baseline non-progressive streams with uniform
+# sampling (4:4:4 or grayscale) and reads whatever DQT/DHT the stream
+# carries.  Subsampled (4:2:0) and progressive streams raise through the
+# gated seam — the remaining genuinely-PIL territory.
+
+
+def _zigzag_order() -> np.ndarray:
+    """Natural (row*8+col) index of the k-th zigzag coefficient, generated
+    by the diagonal walk so encoder/decoder/DQT all agree by construction."""
+    out = []
+    for s in range(15):
+        diag = [(i, s - i) for i in range(s + 1) if i < 8 and s - i < 8]
+        if s % 2 == 0:
+            diag = diag[::-1]  # even diagonals walk bottom-left -> top-right
+        out.extend(r * 8 + c for r, c in diag)
+    return np.array(out, dtype=np.int64)
+
+
+_ZZ = _zigzag_order()
+_DCT_C = np.array(
+    [
+        [
+            (np.sqrt(1 / 8) if u == 0 else np.sqrt(2 / 8))
+            * np.cos((2 * x + 1) * u * np.pi / 16)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+# encoder-side canonical tables: DC = 12 category symbols at 4 bits,
+# AC = EOB + ZRL + (run 0-15 x size 1-10) at 9 bits (162 symbols < 511,
+# so no all-ones code of its length is ever assigned)
+_ENC_DC_SYMS = list(range(12))
+_ENC_AC_SYMS = [0x00, 0xF0] + [
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+]
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """JPEG canonical Huffman assignment: symbol -> (code, length)."""
+    out, code = {}, 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_ENC_DC_BITS = [0, 0, 0, 12] + [0] * 12
+_ENC_AC_BITS = [0] * 8 + [162] + [0] * 7
+_ENC_DC = _canonical_codes(_ENC_DC_BITS, _ENC_DC_SYMS)
+_ENC_AC = _canonical_codes(_ENC_AC_BITS, _ENC_AC_SYMS)
+
+
+def _category(v: int) -> int:
+    return int(abs(v)).bit_length()
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)  # byte stuffing
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            b = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)
+            self.acc = self.nbits = 0
+        return bytes(self.buf)
+
+
+def _encode_block(w: _BitWriter, coef_zz: np.ndarray, pred: int) -> int:
+    dc = int(coef_zz[0])
+    diff = dc - pred
+    t = _category(diff)
+    code, ln = _ENC_DC[t]
+    w.write(code, ln)
+    if t:
+        w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    last_nz = int(np.max(np.nonzero(coef_zz)[0])) if np.any(coef_zz[1:]) else 0
+    for k in range(1, last_nz + 1):
+        v = int(coef_zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, l = _ENC_AC[0xF0]
+            w.write(c, l)  # ZRL
+            run -= 16
+        s = _category(v)
+        c, l = _ENC_AC[(run << 4) | s]
+        w.write(c, l)
+        w.write(v if v >= 0 else v + (1 << s) - 1, s)
+        run = 0
+    if last_nz < 63:
+        c, l = _ENC_AC[0x00]
+        w.write(c, l)  # EOB
+    return dc
+
+
+def encode_jpeg(arr: np.ndarray, quant: int = 1) -> bytes:
+    """8-bit RGB (h, w, 3) -> baseline JFIF bytes, 4:4:4, flat quant tables
+    of ``quant`` (1 = near-lossless: error is DCT float rounding only)."""
+    h, w, _ = arr.shape
+    r, g, b = (arr[..., i].astype(np.float64) for i in range(3))
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    planes = [y, cb, cr]
+    qt = np.full(64, quant, dtype=np.int64)
+    hp, wp = -(-h // 8) * 8, -(-w // 8) * 8
+    out = [b"\xff\xd8"]  # SOI
+    # DQT: one flat table, id 0, 8-bit precision, zigzag order (flat anyway)
+    out.append(
+        b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(int(v) for v in qt)
+    )
+    out.append(
+        b"\xff\xc0"
+        + struct.pack(">HBHHB", 17, 8, h, w, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0])
+    )  # SOF0, all components 1x1 sampling, quant table 0
+    for cls, bits, vals in (
+        (0x00, _ENC_DC_BITS, _ENC_DC_SYMS),
+        (0x10, _ENC_AC_BITS, _ENC_AC_SYMS),
+    ):
+        out.append(
+            b"\xff\xc4"
+            + struct.pack(">HB", 2 + 1 + 16 + len(vals), cls)
+            + bytes(bits)
+            + bytes(vals)
+        )  # DHT (same pair serves all components)
+    out.append(
+        b"\xff\xda"
+        + struct.pack(">HB", 12, 3)
+        + bytes([1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    )
+    qt_2d = np.empty(64)
+    qt_2d[_ZZ] = qt
+    wtr = _BitWriter()
+    preds = [0, 0, 0]
+    for by in range(0, hp, 8):
+        for bx in range(0, wp, 8):
+            for ci, plane in enumerate(planes):
+                blk = np.empty((8, 8))
+                ys, xs = min(8, h - by), min(8, w - bx)
+                blk[:ys, :xs] = plane[by : by + ys, bx : bx + xs]
+                if ys < 8:
+                    blk[ys:, :] = blk[ys - 1 : ys, :]
+                if xs < 8:
+                    blk[:, xs:] = blk[:, xs - 1 : xs]
+                coef = _DCT_C @ (blk - 128.0) @ _DCT_C.T
+                q = np.round(coef.reshape(64) / qt_2d).astype(np.int64)
+                preds[ci] = _encode_block(wtr, q[_ZZ], preds[ci])
+    out.append(wtr.flush())
+    out.append(b"\xff\xd9")  # EOI
+    return b"".join(out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream truncated")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                nxt = self.data[self.pos] if self.pos < len(self.data) else 0xD9
+                if nxt == 0x00:
+                    self.pos += 1  # stuffed byte
+                else:
+                    raise ValueError("JPEG marker inside entropy data")
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+        v = (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def read_symbol(self, table: dict[tuple[int, int], int]) -> int:
+        code, ln = 0, 0
+        while ln <= 16:
+            code = (code << 1) | self.read(1)
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("bad JPEG Huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def decode_jpeg(buf: bytes) -> np.ndarray:
+    """Baseline JFIF bytes -> (h, w, 3) uint8.  Supports SOF0, uniform
+    sampling (4:4:4 / grayscale), restart-marker-free scans, any DQT/DHT
+    the stream declares.  Progressive (SOF2) and subsampled chroma raise
+    NotImplementedError — the honest remaining PIL seam."""
+    if buf[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    hts: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None
+    scan = None
+    while pos + 4 <= len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = buf[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack(">H", buf[pos + 2 : pos + 4])
+        seg = buf[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:
+            p = 0
+            while p < len(seg):
+                prec, tid = seg[p] >> 4, seg[p] & 0x0F
+                n = 64 * (2 if prec else 1)
+                raw = seg[p + 1 : p + 1 + n]
+                tab = (
+                    np.frombuffer(raw, dtype=">u2").astype(np.int64)
+                    if prec
+                    else np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                )
+                qts[tid] = tab
+                p += 1 + n
+        elif marker == 0xC4:
+            p = 0
+            while p < len(seg):
+                cls, tid = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nv])
+                codes = _canonical_codes(bits, vals)
+                hts[(cls, tid)] = {(l, c): s for s, (c, l) in codes.items()}
+                p += 17 + nv
+        elif marker == 0xC0:
+            _prec, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
+            comps = []
+            for i in range(nc):
+                cid, samp, qid = seg[6 + 3 * i : 9 + 3 * i]
+                comps.append((cid, samp >> 4, samp & 0x0F, qid))
+            if any(ch != comps[0][1] or cv != comps[0][2] for _, ch, cv, _ in comps):
+                raise NotImplementedError("subsampled JPEG needs PIL")
+            frame = (fh, fw, comps)
+        elif marker in (0xC1, 0xC2, 0xC3):
+            raise NotImplementedError("only baseline SOF0 JPEG supported")
+        elif marker == 0xDA:
+            ns = seg[0]
+            scan = [(seg[1 + 2 * i], seg[2 + 2 * i] >> 4, seg[2 + 2 * i] & 0x0F)
+                    for i in range(ns)]
+            break
+        elif marker == 0xDD:
+            raise NotImplementedError("JPEG restart intervals unsupported")
+    if frame is None or scan is None:
+        raise ValueError("JPEG missing SOF/SOS")
+    fh, fw, comps = frame
+    data = buf[pos:]
+    rdr = _BitReader(data)
+    hp, wp = -(-fh // 8) * 8, -(-fw // 8) * 8
+    planes = [np.zeros((hp, wp)) for _ in comps]
+    qt_2d = []
+    for _, _, _, qid in comps:
+        q = np.empty(64)
+        q[_ZZ] = qts[qid]
+        qt_2d.append(q)
+    tabs = []
+    for (_cid, dct, act), (_, _, _, _qid) in zip(scan, comps):
+        tabs.append((hts[(0, dct)], hts[(1, act)]))
+    preds = [0] * len(comps)
+    for by in range(0, hp, 8):
+        for bx in range(0, wp, 8):
+            for ci in range(len(comps)):
+                dc_t, ac_t = tabs[ci]
+                zz = np.zeros(64, dtype=np.int64)
+                t = rdr.read_symbol(dc_t)
+                diff = _extend(rdr.read(t), t) if t else 0
+                preds[ci] += diff
+                zz[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    sym = rdr.read_symbol(ac_t)
+                    if sym == 0x00:
+                        break
+                    if sym == 0xF0:
+                        k += 16
+                        continue
+                    run, size = sym >> 4, sym & 0x0F
+                    k += run
+                    if k > 63:
+                        raise ValueError("JPEG AC index overflow")
+                    zz[k] = _extend(rdr.read(size), size)
+                    k += 1
+                coef = np.zeros(64)
+                coef[_ZZ] = zz
+                coef *= qt_2d[ci]
+                blk = _DCT_C.T @ coef.reshape(8, 8) @ _DCT_C
+                planes[ci][by : by + 8, bx : bx + 8] = blk + 128.0
+    planes = [p[:fh, :fw] for p in planes]
+    if len(planes) == 1:
+        g = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(
+        np.round(np.stack([r, g, b], axis=2)), 0, 255
+    ).astype(np.uint8)

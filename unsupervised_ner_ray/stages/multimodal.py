@@ -170,7 +170,7 @@ def sample_frames(media, concurrency: int = 2):
     )
 
 
-def synthesize_payloads(media, formats: tuple = ("ppm", "bmp", "png", "gif")):
+def synthesize_payloads(media, formats: tuple = ("ppm", "bmp", "png", "gif", "jpeg")):
     """media table -> + (payload: binary, fmt) with REAL encoded bytes,
     deterministically derived from each media_ref (the testdata carries no
     binaries; a production run replaces this stage with a blob-store fetch).
@@ -202,6 +202,7 @@ def synthesize_payloads(media, formats: tuple = ("ppm", "bmp", "png", "gif")):
                     "bmp": mc.encode_bmp,
                     "png": mc.encode_png,
                     "gif": mc.encode_gif,
+                    "jpeg": mc.encode_jpeg,
                 }[fmt]
                 payloads.append(enc(img))
                 fmts.append(fmt)
