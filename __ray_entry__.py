@@ -433,7 +433,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     #   1. the engine core (NER -> KG flagship, dedup, similarity, media) —
     #      what a reference user actually runs — plus its exact SQL oracles;
     #   2. the text-analysis battery (all oracle-backed);
-    #   3. unique-oracle relational/window/join queries.
+    #   3. round-3 LLM-data-prep operators (decontaminate / chunk dedup /
+    #      mixture / packing / unigram-LM + the new dedup variants) getting
+    #      their FIRST driver certification;
+    #   4. a representative slice of unique-oracle relational/window/join
+    #      queries (one per operator class).
     # Past the window: (a) variants sharing an oracle with an in-window twin
     # (asof_shuffled / range_join_bucketed / semi_join_bloom /
     # top_tfidf_distributed / kg_entities_shuffled — each pinned equal to its
@@ -490,36 +494,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dataprep": q_dataprep,
         "q_scrub_pii": lambda sf: textstats.scrub_pii(_docs(sf)),
         "q_repetition": lambda sf: textstats.repetition_stats(_docs(sf)),
-        "q_stratified_sample": lambda sf: textstats.stratified_sample(
-            _docs(sf).select_columns(["doc_id", "lang"]), stratum_col="lang", k=20
-        ),
-        "q_sample_hash": lambda sf: textstats.deterministic_sample(
-            _docs(sf).select_columns(["doc_id", "lang"])
-        ).sort("doc_id"),
-        # ---- relational / windowed (SQL-checked, unique oracles) ----
-        "q1_lineitem_agg": relational.q1_lineitem_agg,
-        "q_order_lineitem_join": joins.q_order_lineitem_join,
-        "q_asof_last_order": joins.q_asof_last_order,
-        "q_range_join": joins.q_range_join,
-        "q_window_rank": joins.q_window_rank,
-        "q_lag_delta": joins.q_lag_delta,
-        "q_distinct_users": joins.q_distinct_users,
-        "q_quantiles": joins.q_quantiles,
-        "q_filter_project": relational.q_filter_project,
-        "q_revenue_by_nation": relational.q_revenue_by_nation,
-        "q_rollup_revenue": relational.q_rollup_revenue,
-        "q_left_join_customer_orders": relational.q_left_join_customer_orders,
-        "q_topk_orders_per_customer": relational.q_topk_orders_per_customer,
-        "q_pivot_status": relational.q_pivot_status,
-        # ================= driver window ends here (50) =================
-        "q_anti_join_customers": relational.q_anti_join_customers,
-        # relational (oracle-backed; driver-hash-exact in r02)
-        "q_semi_join_customers": relational.q_semi_join_customers,
-        "q3_shipping_priority": relational.q3_shipping_priority,
-        "q_union_distinct_names": relational.q_union_distinct_names,
-        "q_events_window": relational.q_events_tumbling_window,
-        "q_sessionize": relational.q_sessionize,
-        "q_part_revenue_by_brand": relational.q_part_revenue_by_brand,
+        # round-3 LLM-data-pipeline operators (SQL-oracled, first driver
+        # certification this round): benchmark decontamination, sub-doc chunk
+        # dedup, weighted source mixture, sequence packing, corpus LM scoring
+        "q_decontaminate": lambda sf: dedup.decontaminate(_docs(sf)),
+        "q_chunk_dedup": lambda sf: dedup.chunk_dedup(_docs(sf)),
+        "q_mixture_sample": q_mixture_sample,
+        "q_pack_sequences": q_pack_sequences,
+        "q_unigram_lm": lambda sf: textstats.unigram_lm_scores(_docs(sf)),
         # engine-new fast-hash dedup variant (no SQL twin: 64-bit
         # hash_pandas_object key; pinned to q_exact_dedup's md5 groups by a
         # dedicated equivalence test)
@@ -530,6 +512,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_dedup_resolve": lambda sf: dedup.dedup_resolve(
             dedup.minhash_lsh_pairs(_docs(sf), threshold=0.5)
         ),
+        # ---- relational / windowed (SQL-checked, unique oracles) ----
+        "q1_lineitem_agg": relational.q1_lineitem_agg,
+        "q_order_lineitem_join": joins.q_order_lineitem_join,
+        "q_asof_last_order": joins.q_asof_last_order,
+        "q_window_rank": joins.q_window_rank,
+        "q_distinct_users": joins.q_distinct_users,
+        "q_revenue_by_nation": relational.q_revenue_by_nation,
+        "q_full_outer_join": relational.q_full_outer_join,
+        "q_running_revenue": relational.q_running_revenue,
+        "q_funnel_stages": relational.q_funnel_stages,
+        # ================= driver window ends here (50) =================
+        # everything below was driver-hash-exact in CORRECTNESS_r01/r02 (or
+        # is a forced-path twin / approximate sketch) and is re-verified
+        # every round by tools/check_oracles.py
+        "q_stratified_sample": lambda sf: textstats.stratified_sample(
+            _docs(sf).select_columns(["doc_id", "lang"]), stratum_col="lang", k=20
+        ),
+        "q_sample_hash": lambda sf: textstats.deterministic_sample(
+            _docs(sf).select_columns(["doc_id", "lang"])
+        ).sort("doc_id"),
+        "q_range_join": joins.q_range_join,
+        "q_lag_delta": joins.q_lag_delta,
+        "q_quantiles": joins.q_quantiles,
+        "q_filter_project": relational.q_filter_project,
+        "q_rollup_revenue": relational.q_rollup_revenue,
+        "q_left_join_customer_orders": relational.q_left_join_customer_orders,
+        "q_topk_orders_per_customer": relational.q_topk_orders_per_customer,
+        "q_pivot_status": relational.q_pivot_status,
+        "q_anti_join_customers": relational.q_anti_join_customers,
+        "q_semi_join_customers": relational.q_semi_join_customers,
+        "q3_shipping_priority": relational.q3_shipping_priority,
+        "q_union_distinct_names": relational.q_union_distinct_names,
+        "q_events_window": relational.q_events_tumbling_window,
+        "q_sessionize": relational.q_sessionize,
+        "q_part_revenue_by_brand": relational.q_part_revenue_by_brand,
         "q_cube_revenue": relational.q_cube_revenue,
         "q_ntile_customers": relational.q_ntile_customers,
         "q_revenue_by_month": relational.q_revenue_by_month,
@@ -559,17 +576,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hll_users_by_day": q_hll_users_by_day,
         "q_tdigest_quantiles": q_tdigest_quantiles,
         "q_langid": lambda sf: textstats.langid(_docs(sf)),  # heuristic: rows-only
-        # round 3: benchmark decontamination, sub-doc chunk dedup, weighted
-        # source mixture, sequence packing (all SQL-oracled; past the
-        # driver's 50-entry window by design — the core stays in front)
-        "q_decontaminate": lambda sf: dedup.decontaminate(_docs(sf)),
-        "q_chunk_dedup": lambda sf: dedup.chunk_dedup(_docs(sf)),
-        "q_mixture_sample": q_mixture_sample,
-        "q_pack_sequences": q_pack_sequences,
-        "q_full_outer_join": relational.q_full_outer_join,
-        "q_running_revenue": relational.q_running_revenue,
-        "q_funnel_stages": relational.q_funnel_stages,
-        "q_unigram_lm": lambda sf: textstats.unigram_lm_scores(_docs(sf)),
     }
 
 

@@ -1004,19 +1004,37 @@ def q_first_last_value(sf_dir: str, num_parts: int = 32):
 def q_full_outer_join(sf_dir: str):
     """FULL OUTER join: per-customer order counts against per-user event
     counts on the shared id domain — ids that only ever ordered and ids that
-    only ever clicked both survive with a zero on the missing side.  Both
-    inputs reduce to small count tables with C-path groupbys BEFORE the
-    join (combiner-first: the all-to-all ships one row per distinct id, not
-    one per order/event), then Ray's hash-partitioned ``full_outer`` join
-    merges them.  Output: id, n_orders, n_events (0-coalesced), sorted."""
-    def _ren(old: str, cnt: str):
+    only ever clicked both survive with a zero on the missing side.
+
+    Shape: because both sides are first reduced to one row per distinct id
+    by C-path combiner groupbys, FULL OUTER is algebraically a tagged union
+    + one more groupby-Sum — (id, n, 0) ∪ (id, 0, m) → Sum per id.  That is
+    strictly cheaper than a hash join (the union needs no build side, ships
+    exactly one row per id per side, and reuses the same C-path Sum
+    aggregate) and sidesteps the separate join-operator shuffle entirely —
+    the preferred full-outer form whenever both sides are already keyed
+    aggregates.  Output: id, n_orders, n_events (0-coalesced), sorted."""
+
+    def _tag(old: str, this: str, other: str):
         def f(t: pa.Table) -> pa.Table:
             if old not in t.column_names:  # empty block lost its schema
                 return pa.table(
-                    {"id": pa.array([], pa.int64()), cnt: pa.array([], pa.int64())}
+                    {
+                        "id": pa.array([], pa.int64()),
+                        "n_orders": pa.array([], pa.int64()),
+                        "n_events": pa.array([], pa.int64()),
+                    }
                 )
-            return t.rename_columns(
-                ["id" if c == old else c for c in t.column_names]
+            cols = {
+                this: pc.cast(t.column("n"), pa.int64()),
+                other: pa.array(np.zeros(t.num_rows, dtype=np.int64), pa.int64()),
+            }
+            return pa.table(
+                {
+                    "id": pc.cast(t.column(old), pa.int64()),
+                    "n_orders": cols["n_orders"],  # fixed order: union needs
+                    "n_events": cols["n_events"],  # schema-identical sides
+                }
             )
 
         return f
@@ -1024,27 +1042,22 @@ def q_full_outer_join(sf_dir: str):
     a = (
         read_sf(sf_dir, "orders", columns=["o_custkey"])
         .groupby("o_custkey")
-        .aggregate(Count(alias_name="n_orders"))
-        .map_batches(_ren("o_custkey", "n_orders"), batch_format="pyarrow")
+        .aggregate(Count(alias_name="n"))
+        .map_batches(_tag("o_custkey", "n_orders", "n_events"), batch_format="pyarrow")
     )
     b = (
         read_sf(sf_dir, "events", columns=["user_id"])
         .groupby("user_id")
-        .aggregate(Count(alias_name="n_events"))
-        .map_batches(_ren("user_id", "n_events"), batch_format="pyarrow")
+        .aggregate(Count(alias_name="n"))
+        .map_batches(_tag("user_id", "n_events", "n_orders"), batch_format="pyarrow")
     )
-    joined = a.join(b, join_type="full_outer", num_partitions=8, on=("id",))
-
-    def _coalesce(df: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame(
-            {
-                "id": df["id"].to_numpy().astype(np.int64),
-                "n_orders": df["n_orders"].fillna(0).to_numpy().astype(np.int64),
-                "n_events": df["n_events"].fillna(0).to_numpy().astype(np.int64),
-            }
-        )
-
-    return joined.map_batches(_coalesce, batch_format="pandas").sort("id")
+    return (
+        a.union(b)
+        .groupby("id")
+        .aggregate(Sum("n_orders", alias_name="n_orders"),
+                   Sum("n_events", alias_name="n_events"))
+        .sort("id")
+    )
 
 
 def q_running_revenue(sf_dir: str):
