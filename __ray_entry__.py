@@ -155,7 +155,7 @@ def _ner_dumps(sf_dir: str) -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    from unsupervised_ner_ray.stages import dedup, relational, similarity, textstats
+    from unsupervised_ner_ray.stages import dedup, kg, relational, similarity, textstats
     from unsupervised_ner_ray.stages.kg import canonicalize_mentions, build_adjacency, link_mentions
     from unsupervised_ner_ray.stages.multimodal import extract_media_refs, featurize_media
     from unsupervised_ner_ray.stages.ner import explode_mentions, explode_triples
@@ -576,6 +576,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hll_users_by_day": q_hll_users_by_day,
         "q_tdigest_quantiles": q_tdigest_quantiles,
         "q_langid": lambda sf: textstats.langid(_docs(sf)),  # heuristic: rows-only
+        # round-3b: inverted index + posting stats, hash split assignment,
+        # PMI-lift KG edge weighting, per-node triangle counts, integer-face
+        # PERCENT_RANK/CUME_DIST (all SQL-oracled)
+        "q_inverted_index": lambda sf: textstats.inverted_index(_docs(sf)),
+        "q_posting_stats": lambda sf: textstats.posting_stats(_docs(sf)),
+        "q_split_assign": lambda sf: textstats.split_assign(_docs(sf)),
+        "q_edge_lift": lambda sf: kg.edge_lift(_docs(sf)),
+        "q_triangle_count": lambda sf: kg.triangle_counts(_docs(sf)),
+        "q_percent_rank": relational.q_percent_rank,
     }
 
 
@@ -1298,5 +1307,81 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, CAST(COALESCE(ds.n_tokens, 0) AS BIGINT) AS n_tokens,
                    CAST(COALESCE(ds.s // ds.n_tokens, 0) AS BIGINT) AS score_ppm
             FROM documents d LEFT JOIN ds USING (doc_id) ORDER BY d.doc_id
+        """,
+        "q_inverted_index": f"""
+            SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+            FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+            GROUP BY token, doc_id ORDER BY token, doc_id
+        """,
+        "q_posting_stats": f"""
+            SELECT token, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df,
+                   CAST(COUNT(*) AS BIGINT) AS total_tf
+            FROM (SELECT doc_id, unnest({_TOKS}) AS token FROM documents)
+            GROUP BY token ORDER BY token
+        """,
+        "q_split_assign": """
+            SELECT doc_id, bucket,
+                   CASE WHEN bucket < 'e6' THEN 'train'
+                        WHEN bucket < 'f3' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM (SELECT doc_id,
+                         substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket
+                  FROM documents) ORDER BY doc_id
+        """,
+        "q_edge_lift": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), toks AS (
+                SELECT unnest(toks) AS token FROM t
+            ), uni AS (
+                SELECT token, COUNT(*) AS n FROM toks GROUP BY token
+            ), tot AS (SELECT COUNT(*) AS N FROM toks
+            ), big AS (
+                SELECT doc_id, unnest(range(1, len(toks))) AS i, toks
+                FROM t WHERE len(toks) >= 2
+            ), pairs AS (
+                SELECT toks[i] AS s, toks[i + 1] AS o, COUNT(*) AS n_ab
+                FROM big GROUP BY toks[i], toks[i + 1]
+            )
+            SELECT p.s, p.o, CAST(p.n_ab AS BIGINT) AS n_ab,
+                   CAST((1000000 * (SELECT N FROM tot) * p.n_ab)
+                        // (us.n * uo.n) AS BIGINT) AS lift_ppm
+            FROM pairs p
+            JOIN uni us ON us.token = p.s
+            JOIN uni uo ON uo.token = p.o
+            ORDER BY p.s, p.o
+        """,
+        "q_triangle_count": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), big AS (
+                SELECT doc_id, unnest(range(1, len(toks))) AS i, toks
+                FROM t WHERE len(toks) >= 2
+            ), e AS (
+                SELECT DISTINCT LEAST(toks[i], toks[i + 1]) AS a,
+                                GREATEST(toks[i], toks[i + 1]) AS b
+                FROM big WHERE toks[i] <> toks[i + 1]
+            ), tri AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM e e1 JOIN e e2 ON e1.b = e2.a
+                          JOIN e e3 ON e2.b = e3.b AND e1.a = e3.a
+            )
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM (SELECT x AS node FROM tri UNION ALL
+                  SELECT y FROM tri UNION ALL
+                  SELECT z FROM tri)
+            GROUP BY node ORDER BY node
+        """,
+        "q_percent_rank": """
+            SELECT c_custkey, c_nationkey,
+                   CAST(RANK() OVER w - 1 AS BIGINT) AS pr_num,
+                   CAST(COUNT(*) OVER (PARTITION BY c_nationkey
+                                       ORDER BY c_acctbal
+                                       RANGE BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS BIGINT) AS cd_num,
+                   CAST(COUNT(*) OVER (PARTITION BY c_nationkey) AS BIGINT) AS n
+            FROM customer
+            WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal)
+            ORDER BY c_custkey
         """,
     }

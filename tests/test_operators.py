@@ -1281,3 +1281,111 @@ def test_funnel_strict_ordering(ray_session):
 
         out = q_funnel_stages(d).to_pandas().set_index("user_id")["funnel_stage"]
         assert out.to_dict() == {1: 1, 2: 3, 3: 0, 4: 2}
+
+
+def test_triangle_counts_hand_graph(ray_session):
+    """Per-node triangle counts on a hand-checkable graph built from one
+    bigram chain."""
+    rd = _rd()
+
+    from unsupervised_ner_ray.stages.kg import triangle_counts
+
+    # bigram chains: "a b c a d b" gives edges ab, bc, ca, ad, db
+    # -> triangles {a,b,c} and {a,b,d}; a,b in 2 each, c,d in 1 each
+    docs = rd.from_items([{"doc_id": 1, "text": "a b c a d b"}])
+    out = triangle_counts(docs).to_pandas().set_index("node")["n_triangles"]
+    assert out.to_dict() == {"a": 2, "b": 2, "c": 1, "d": 1}
+
+
+def test_edge_lift_small(ray_session):
+    """Integer lift on a tiny corpus, hand-derived: 'x y x y' gives N=4,
+    c_x=c_y=2, directed bigrams (x,y)x2 and (y,x)x1, so
+    lift(x,y) = 1e6*4*2 // (2*2) = 2_000_000 and lift(y,x) = 1_000_000."""
+    rd = _rd()
+
+    from unsupervised_ner_ray.stages.kg import edge_lift
+
+    docs = rd.from_items([{"doc_id": 1, "text": "x y x y"}])
+    out = edge_lift(docs).to_pandas()
+    got = {(r.s, r.o): (r.n_ab, r.lift_ppm) for r in out.itertuples()}
+    assert got == {("x", "y"): (2, 2_000_000), ("y", "x"): (1, 1_000_000)}
+
+
+def test_split_assign_fractions_and_determinism(ray_session):
+    """Hash split: deterministic across calls, every doc assigned exactly
+    once, empirical fractions near 89.8/5.1/5.1%."""
+    rd = _rd()
+
+    from unsupervised_ner_ray.stages.textstats import split_assign
+
+    docs = rd.range(4000).map_batches(
+        lambda b: {"doc_id": b["id"]}, batch_format="numpy"
+    )
+    out = split_assign(docs).to_pandas()
+    assert len(out) == 4000 and out["doc_id"].nunique() == 4000
+    frac = out["split"].value_counts(normalize=True)
+    assert 0.86 < frac["train"] < 0.93
+    assert 0.03 < frac["val"] < 0.08
+    assert 0.03 < frac["test"] < 0.08
+    again = split_assign(docs).to_pandas()
+    assert out.sort_values("doc_id")["split"].tolist() == again.sort_values(
+        "doc_id"
+    )["split"].tolist()
+
+
+def test_percent_rank_ties(ray_session):
+    """PERCENT_RANK/CUME_DIST integer faces under ties: equal values share
+    pr_num (min rank) and cd_num (count of peers-or-lower)."""
+    import pyarrow as pa
+
+    rd = _rd()
+
+    from unsupervised_ner_ray.stages import relational as R
+
+    tbl = pa.table(
+        {
+            "c_custkey": pa.array([1, 2, 3, 4], pa.int64()),
+            "c_nationkey": pa.array([0, 0, 0, 0], pa.int32()),
+            "c_acctbal": pa.array([10.0, 10.0, 5.0, 20.0]),
+        }
+    )
+    import unsupervised_ner_ray.sources.io as io_mod
+
+    orig = io_mod.read_sf
+    try:
+        io_mod.read_sf = lambda sf, tbl_name, columns=None: rd.from_arrow(tbl)
+        R.read_sf = io_mod.read_sf
+        out = R.q_percent_rank("ignored").to_pandas().set_index("c_custkey")
+    finally:
+        io_mod.read_sf = orig
+        R.read_sf = orig
+    # sorted balances: 5 (rank 1), 10, 10 (rank 2, cume 3), 20 (rank 4)
+    assert out.loc[3, "pr_num"] == 0 and out.loc[3, "cd_num"] == 1
+    assert out.loc[1, "pr_num"] == 1 and out.loc[1, "cd_num"] == 3
+    assert out.loc[2, "pr_num"] == 1 and out.loc[2, "cd_num"] == 3
+    assert out.loc[4, "pr_num"] == 3 and out.loc[4, "cd_num"] == 4
+    assert (out["n"] == 4).all()
+
+
+def test_inverted_index_and_posting_stats(ray_session):
+    """Posting pairs: tf per (token, doc), clustered by token; posting
+    stats: df + total_tf per token."""
+    rd = _rd()
+
+    from unsupervised_ner_ray.stages.textstats import inverted_index, posting_stats
+
+    docs = rd.from_items(
+        [
+            {"doc_id": 1, "text": "w w v"},
+            {"doc_id": 2, "text": "v  u"},  # double space -> empty token dropped
+        ]
+    )
+    idx = inverted_index(docs).to_pandas()
+    got = {(r.token, r.doc_id): r.tf for r in idx.itertuples()}
+    assert got == {("w", 1): 2, ("v", 1): 1, ("v", 2): 1, ("u", 2): 1}
+    # token-clustered: all rows of one token are contiguous after the sort
+    toks = idx["token"].tolist()
+    assert toks == sorted(toks)
+    st = posting_stats(docs).to_pandas().set_index("token")
+    assert st.loc["v", "df"] == 2 and st.loc["v", "total_tf"] == 2
+    assert st.loc["w", "df"] == 1 and st.loc["w", "total_tf"] == 2

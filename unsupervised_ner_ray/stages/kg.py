@@ -812,3 +812,191 @@ def build_adjacency(triples, reduce_partitions: int = 8):
     return partitioned_apply(
         triples, "subj_id", _adj_part, num_parts=reduce_partitions
     )
+
+
+def edge_lift(docs):
+    """PMI-style edge weighting over the bigram graph — the KG edge-
+    confidence primitive (weight co-occurrence edges by how much more often
+    the pair occurs than independence predicts).  Integer face of PMI: we
+    emit the LIFT ratio in parts-per-million,
+
+        lift_ppm = (1e6 * N_tokens * c_ab) // (c_a * c_b)
+
+    (PMI = log2 of that ratio; the log is rank-monotonic, so filtering /
+    ranking edges on lift is equivalent, and the integer domain is bit-exact
+    across engines where float log is not — same rationale as the tf-idf
+    and unigram-LM integer scores).
+
+    Scale shape: (1) unigram counts via one C-path combiner groupby —
+    vocab-sized, broadcast once with ``ray.put``; (2) directed bigram counts
+    via per-batch vectorized pair extraction + one combiner groupby (the
+    shuffle ships distinct pairs, not token instances); (3) scoring is a
+    pure map over the pair table with two ``pc.index_in`` lookups.  Nothing
+    corpus-sized ever reaches the driver; the huge-vocab alternative is the
+    sharded-df co-partitioned merge used by `_top_tfidf_distributed`.
+    Output: s, o, n_ab, lift_ppm (sorted by s, o)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def _unigrams(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(t.column("text"), pattern=" "))
+        flat = flat.filter(pc.not_equal(flat, pa.scalar("")))
+        vc = pc.value_counts(flat)
+        return pa.table(
+            {
+                "token": pc.cast(vc.field("values"), pa.string()),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    uni = (
+        docs.map_batches(_unigrams, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    n_tokens = int(uni["n"].sum())
+    uni_ref = ray.put(
+        (pa.array(uni["token"].tolist(), pa.string()), uni["n"].to_numpy(np.int64))
+    )
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        tok_lists = pc.split_pattern(t.column("text"), pattern=" ")
+        flat = pc.list_flatten(tok_lists).to_numpy(zero_copy_only=False)
+        counts = pc.list_value_length(tok_lists).to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(t)), counts)
+        ne = flat != ""
+        flat, doc_of = flat[ne], doc_of[ne]
+        keep = (
+            doc_of[:-1] == doc_of[1:] if len(flat) > 1 else np.zeros(0, dtype=bool)
+        )
+        s, o = flat[:-1][keep], flat[1:][keep]
+        pairs = (
+            pd.DataFrame({"s": s, "o": o})
+            .groupby(["s", "o"], sort=False)
+            .size()
+            .reset_index(name="n_ab")
+        )
+        pairs["n_ab"] = pairs["n_ab"].astype(np.int64)
+        return pa.Table.from_pandas(pairs, preserve_index=False)
+
+    agg = (
+        docs.map_batches(_pairs, batch_format="pyarrow")
+        .groupby(["s", "o"])
+        .aggregate(Sum("n_ab", alias_name="n_ab"))
+    )
+
+    def _score(t: pa.Table) -> pa.Table:
+        vocab, counts = ray.get(uni_ref)
+        cs = counts[
+            pc.index_in(t.column("s"), value_set=vocab).to_numpy(zero_copy_only=False)
+        ]
+        co = counts[
+            pc.index_in(t.column("o"), value_set=vocab).to_numpy(zero_copy_only=False)
+        ]
+        n_ab = t.column("n_ab").to_numpy(zero_copy_only=False).astype(np.int64)
+        lift = (1_000_000 * n_tokens * n_ab) // (cs * co)
+        return pa.table(
+            {
+                "s": t.column("s"),
+                "o": t.column("o"),
+                "n_ab": pa.array(n_ab),
+                "lift_ppm": pa.array(lift.astype(np.int64)),
+            }
+        )
+
+    return agg.map_batches(_score, batch_format="pyarrow").sort(["s", "o"])
+
+
+def triangle_counts(docs):
+    """Per-node triangle participation counts over the undirected bigram
+    graph — the classic KG/graph-quality statistic (clustering structure;
+    a node in many triangles is a hub of mutually-related terms).
+
+    Algorithm (compact-forward / node-iterator with lexicographic
+    orientation): undirect + dedup edges to (a < b); every triangle
+    {x, y, z} with x < y < z is found EXACTLY once, at its smallest node x,
+    as a wedge (y, z) drawn from x's higher-neighbor list that is itself an
+    edge.
+
+    Distribution: the distinct-edge table is built by one combiner groupby
+    (pairs, not instances, shuffle).  The edge-key SET broadcasts once via
+    ``ray.put`` (the graph is vocabulary²-bounded — orders of magnitude
+    smaller than the corpus; for billion-edge graphs the same wedge stream
+    instead hash-joins against the edge table, the documented alternative).
+    Wedge generation runs inside `partitioned_apply` on the wedge center:
+    per center, ``np.triu_indices`` pairs its sorted higher neighbors — a
+    per-CENTER (vocab-bounded, not corpus-bounded) loop with vectorized
+    membership (`np.isin` against the broadcast key array) per partition.
+    Output: node, n_triangles (nodes in >= 1 triangle, sorted)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    from .grouping import partitioned_apply
+
+    def _edges(t: pa.Table) -> pa.Table:
+        tok_lists = pc.split_pattern(t.column("text"), pattern=" ")
+        flat = pc.list_flatten(tok_lists).to_numpy(zero_copy_only=False)
+        counts = pc.list_value_length(tok_lists).to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(t)), counts)
+        ne = flat != ""
+        flat, doc_of = flat[ne], doc_of[ne]
+        keep = (
+            doc_of[:-1] == doc_of[1:] if len(flat) > 1 else np.zeros(0, dtype=bool)
+        )
+        s, o = flat[:-1][keep], flat[1:][keep]
+        loop = s != o
+        s, o = s[loop], o[loop]
+        a, b = np.minimum(s, o), np.maximum(s, o)  # undirect: a < b
+        df = pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    from ray.data.aggregate import Count as _Count
+
+    edges = (
+        docs.map_batches(_edges, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(_Count(alias_name="_n"))  # distinct (a, b)
+        .select_columns(["a", "b"])
+        .materialize()
+    )
+    ekeys = edges.to_pandas()
+    key_ref = ray.put(
+        np.sort((ekeys["a"] + "\x00" + ekeys["b"]).to_numpy(dtype=object))
+    )
+
+    def _wedges(part: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(key_ref)
+        nodes, counts = [], []
+        for center, grp in part.groupby("a", sort=False):
+            nbrs = np.sort(grp["b"].to_numpy(dtype=object))
+            if len(nbrs) < 2:
+                continue
+            i, j = np.triu_indices(len(nbrs), k=1)
+            wy, wz = nbrs[i], nbrs[j]
+            hit = np.isin(wy + "\x00" + wz, keys, assume_unique=False)
+            if not hit.any():
+                continue
+            wy, wz = wy[hit], wz[hit]
+            tri_nodes, tri_counts = np.unique(
+                np.concatenate([np.repeat(center, len(wy)), wy, wz]),
+                return_counts=True,
+            )
+            nodes.append(tri_nodes)
+            counts.append(tri_counts)
+        if not nodes:
+            return pd.DataFrame({"node": pd.Series([], dtype=object),
+                                 "n_triangles": pd.Series([], dtype=np.int64)})
+        return pd.DataFrame(
+            {
+                "node": np.concatenate(nodes),
+                "n_triangles": np.concatenate(counts).astype(np.int64),
+            }
+        )
+
+    return (
+        partitioned_apply(edges, "a", _wedges, num_parts=32)
+        .groupby("node")
+        .aggregate(Sum("n_triangles", alias_name="n_triangles"))
+        .sort("node")
+    )

@@ -1143,3 +1143,44 @@ def q_funnel_stages(sf_dir: str):
     return partitioned_apply(
         ev.map_batches(_prep, batch_format="pyarrow"), "user_id", _stages
     ).sort("user_id")
+
+
+def q_percent_rank(sf_dir: str, num_parts: int = 16):
+    """PERCENT_RANK + CUME_DIST over customers partitioned by nation,
+    ordered by account balance — emitted as their INTEGER faces
+    (pr_num = RANK()-1, cd_num = the count of peers-or-lower rows, n = the
+    partition size) because the ratios are the fragile-across-engines part
+    (pr = pr_num/(n-1), cd = cd_num/n are derivable exactly by any
+    consumer, and DuckDB computes the same integers natively).
+
+    Shape: one coarse hash shuffle on the nation key via
+    ``partitioned_apply``, then every nation inside a partition is resolved
+    in ONE vectorized pass (pandas min-rank + a per-group cumulative
+    count over the sorted frame) — no per-group Python dispatch."""
+    from .grouping import partitioned_apply
+
+    cust = read_sf(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def _ranks(part: pd.DataFrame) -> pd.DataFrame:
+        df = part.sort_values(["c_nationkey", "c_acctbal", "c_custkey"]).reset_index(
+            drop=True
+        )
+        g = df.groupby("c_nationkey", sort=False)["c_acctbal"]
+        # RANK() - 1: min rank among equal values
+        pr_num = (g.rank(method="min").to_numpy() - 1).astype(np.int64)
+        # CUME_DIST numerator: rows with value <= current = max rank
+        cd_num = g.rank(method="max").to_numpy().astype(np.int64)
+        n = g.transform("size").to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                "c_custkey": df["c_custkey"].to_numpy(np.int64),
+                "c_nationkey": df["c_nationkey"].to_numpy(np.int32),
+                "pr_num": pr_num,
+                "cd_num": cd_num,
+                "n": n,
+            }
+        )
+
+    return partitioned_apply(cust, "c_nationkey", _ranks, num_parts=num_parts).sort(
+        "c_custkey"
+    )

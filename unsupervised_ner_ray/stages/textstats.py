@@ -844,3 +844,98 @@ def unigram_lm_scores(docs):
         )
 
     return docs.map_batches(_score, batch_format="pyarrow").sort("doc_id")
+
+
+def _posting_pairs(docs):
+    """Inverted-index construction, relational face: (token, doc_id, tf)
+    posting rows — the core primitive behind corpus search / df statistics /
+    decontamination lookups (the reference's bootstrapped vocab files under
+    /root/reference/ner_labeling/ are the output of a fused form of this:
+    term -> labeled occurrence lists).
+
+    Scale shape: every doc is one row, so each (token, doc_id) pair is
+    COMPLETE within its batch — the tf counts need no global combine, just
+    one vectorized pass (dictionary-encode tokens, compose (doc, token)
+    composite keys, one np.unique) per batch, then a single sort shuffle to
+    cluster postings by token (which is what makes it an *index* rather
+    than a pair bag).  No driver-side state at any size."""
+
+    def _post(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        tok_lists = pc.split_pattern(batch.column("text"), pattern=" ")
+        counts = pc.list_value_length(tok_lists).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(tok_lists)
+        keep = pc.not_equal(flat, pa.scalar("")).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(n), counts)[keep]
+        enc = pc.dictionary_encode(flat.filter(pa.array(keep)))
+        codes = np.asarray(enc.combine_chunks().indices, dtype=np.int64) if isinstance(
+            enc, pa.ChunkedArray
+        ) else np.asarray(enc.indices, dtype=np.int64)
+        vocab = (
+            enc.combine_chunks().dictionary
+            if isinstance(enc, pa.ChunkedArray)
+            else enc.dictionary
+        )
+        # composite key: doc slot * |batch vocab| + token code -> one unique
+        key = doc_idx * len(vocab) + codes
+        uk, tf = np.unique(key, return_counts=True)
+        u_doc, u_tok = uk // len(vocab), uk % len(vocab)
+        doc_ids = batch.column("doc_id").to_numpy()
+        return pa.table(
+            {
+                "token": vocab.take(pa.array(u_tok)),
+                "doc_id": pa.array(doc_ids[u_doc]),
+                "tf": pa.array(tf.astype(np.int64)),
+            }
+        )
+
+    return docs.map_batches(_post, batch_format="pyarrow")
+
+
+def inverted_index(docs):
+    """Postings clustered by token — the sort shuffle is what turns the
+    pair bag into an *index* (token-contiguous runs = posting lists)."""
+    return _posting_pairs(docs).sort(["token", "doc_id"])
+
+
+def posting_stats(docs):
+    """Per-token posting summary over the UNSORTED pair stream (no need to
+    pay the index's sort shuffle first): df (docs containing the token) and
+    total_tf — one C-path Count+Sum groupby; the dictionary (not the
+    corpus) is the shuffle payload."""
+    from ray.data.aggregate import Count as _Count, Sum as _Sum
+
+    return (
+        _posting_pairs(docs).groupby("token")
+        .aggregate(_Count(alias_name="df"), _Sum("tf", alias_name="total_tf"))
+        .sort("token")
+    )
+
+
+def split_assign(docs, train_hex: str = "e6", val_hex: str = "f3"):
+    """Deterministic train/val/test split assignment by content hash —
+    the seedless, engine-portable form every training-data pipeline needs:
+    ``md5(doc_id)`` prefix below ``train_hex`` ('e6' = 230/256 ~ 89.8%) ->
+    train, below ``val_hex`` ('f3' = 243/256 ~ 94.9%) -> val, else test.
+    Same contract as :func:`deterministic_sample` (md5 is the cross-engine
+    oracle agreement; reproducible across runs, nodes and engines, and
+    composable — a doc's split never depends on what else is in the
+    corpus).  Pure map, no shuffle.  Output: doc_id, bucket (hex prefix),
+    split."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        buckets = [hashlib.md5(str(d).encode()).hexdigest()[:2] for d in ids]
+        splits = [
+            "train" if b < train_hex else ("val" if b < val_hex else "test")
+            for b in buckets
+        ]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "bucket": pa.array(buckets, pa.string()),
+                "split": pa.array(splits, pa.string()),
+            }
+        )
+
+    return docs.map_batches(_f, batch_format="pyarrow")
