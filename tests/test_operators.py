@@ -1389,3 +1389,89 @@ def test_inverted_index_and_posting_stats(ray_session):
     st = posting_stats(docs).to_pandas().set_index("token")
     assert st.loc["v", "df"] == 2 and st.loc["v", "total_tf"] == 2
     assert st.loc["w", "df"] == 1 and st.loc["w", "total_tf"] == 2
+
+
+def test_triangle_counts_skewed_hub(ray_session):
+    """Degree orientation under skew: a hub named 'a' (lexicographically
+    FIRST — the worst case for lexicographic orientation) with many spokes
+    and a few spoke-spoke edges.  Counts must be exact, and the hub —
+    highest degree — is never a wedge center, so wedge work stays linear
+    in the spoke edges."""
+    rd = _rd()
+
+    from unsupervised_ner_ray.stages.kg import triangle_counts
+
+    # hub 'a' — edges a-s000 .. a-s199 (one 2-token doc per edge), plus
+    # spoke ring edges s000-s001, s002-s003, ... s198-s199 (100 triangles)
+    docs = [{"doc_id": i, "text": f"a s{i:03d}"} for i in range(200)]
+    docs += [
+        {"doc_id": 1000 + i, "text": f"s{i:03d} s{i + 1:03d}"}
+        for i in range(0, 200, 2)
+    ]
+    ds = rd.from_items(docs).repartition(4)  # from_items makes ~1 block/row
+    out = triangle_counts(ds).to_pandas().set_index("node")
+    assert out.loc["a", "n_triangles"] == 100
+    assert (out.drop(index="a")["n_triangles"] == 1).all()
+    assert len(out) == 201
+
+
+@pytest.mark.skipif(
+    __import__("os").environ.get("RUN_SCALE_SMOKE") != "1",
+    reason="large text-ops smoke; run with RUN_SCALE_SMOKE=1 "
+    "(result recorded in BASELINE.md)",
+)
+def test_inverted_index_scale_smoke(ray_session):
+    """200k synthetic docs (~6M tokens): posting pairs + sort-clustered
+    index + per-token stats + hash split, with planted-fact spot checks."""
+    import time
+
+    rd = _rd()
+    from unsupervised_ner_ray.stages.textstats import (
+        inverted_index,
+        posting_stats,
+        split_assign,
+    )
+
+    n = 200_000
+    rng = np.random.default_rng(11)
+    vocab = np.array([f"w{i}" for i in range(5000)], dtype=object)
+    toks = [
+        vocab[rng.integers(0, len(vocab), rng.integers(20, 41))].tolist()
+        for _ in range(n)
+    ]
+    # plant a unique token in known docs
+    for i in range(0, n, 10_000):
+        toks[i][0] = "zzz_planted"
+    rows = [{"doc_id": i, "text": " ".join(t)} for i, t in enumerate(toks)]
+    ds = rd.from_pandas(pd.DataFrame(rows)).repartition(32).materialize()
+    total_tokens = sum(len(t) for t in toks)
+
+    t0 = time.time()
+    st = posting_stats(ds).to_pandas().set_index("token")
+    t_stats = time.time() - t0
+    assert int(st["total_tf"].sum()) == total_tokens
+    assert st.loc["zzz_planted", "df"] == n // 10_000
+
+    t0 = time.time()
+    idx = inverted_index(ds)
+
+    def _only_planted(t):
+        import pyarrow.compute as _pc
+
+        return t.filter(_pc.equal(t.column("token"), "zzz_planted"))
+
+    planted = idx.map_batches(_only_planted, batch_format="pyarrow").to_pandas()
+    t_index = time.time() - t0
+    assert planted["doc_id"].tolist() == list(range(0, n, 10_000))
+    assert (planted["tf"] == 1).all()
+
+    t0 = time.time()
+    sp = split_assign(ds).to_pandas()
+    t_split = time.time() - t0
+    assert len(sp) == n
+    frac = sp["split"].value_counts(normalize=True)
+    assert 0.88 < frac["train"] < 0.92
+    print(
+        f"SMOKE posting_stats {t_stats:.1f}s inverted_index {t_index:.1f}s "
+        f"split_assign {t_split:.1f}s ({total_tokens} tokens)"
+    )
