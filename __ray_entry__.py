@@ -308,8 +308,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def q_media_decode(sf_dir: str):
-        # REAL byte decode: synthesized PPM/BMP/WAV payloads (testdata has
-        # no binaries) -> stdlib+numpy decoders -> dims/samples/features
+        # REAL byte decode: synthesized PPM/BMP/PNG/GIF/JPEG/WAV/AVI
+        # payloads (testdata has no binaries) -> stdlib+numpy decoders ->
+        # dims/samples/frames/features
         from unsupervised_ner_ray.stages.multimodal import (
             decode_media,
             synthesize_payloads,
@@ -318,6 +319,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return decode_media(
             synthesize_payloads(extract_media_refs(_ner_corpus(sf_dir)))
         )
+
+    def q_frame_sample(sf_dir: str):
+        # REAL container-scan frame sampling over AVI/MJPEG payloads
+        from unsupervised_ner_ray.stages.multimodal import (
+            sample_frames,
+            synthesize_payloads,
+        )
+
+        return sample_frames(
+            synthesize_payloads(extract_media_refs(_ner_corpus(sf_dir)))
+        ).drop_columns(["payload"])
 
     def q_dataprep(sf_dir: str):
         from unsupervised_ner_ray.pipelines.dataprep import run_dataprep
@@ -576,6 +588,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hll_users_by_day": q_hll_users_by_day,
         "q_tdigest_quantiles": q_tdigest_quantiles,
         "q_langid": lambda sf: textstats.langid(_docs(sf)),  # heuristic: rows-only
+        "q_frame_sample": q_frame_sample,  # real AVI container scan: rows-only
         # round-3b: inverted index + posting stats, hash split assignment,
         # PMI-lift KG edge weighting, per-node triangle counts, integer-face
         # PERCENT_RANK/CUME_DIST (all SQL-oracled)

@@ -244,7 +244,8 @@ def test_media_plumbing(ray_session):
     docs = docs_dataset_synthetic(30, seed=4)
     media = extract_media_refs(docs)
     m = media.to_pandas()
-    assert len(m) > 0 and set(m["kind"]) <= {"image", "audio"}
+    assert len(m) > 0 and set(m["kind"]) <= {"image", "audio", "video"}
+    assert len(set(m["kind"])) >= 2
     feats = featurize_media(media, dim=8).to_pandas()
     assert all(len(f) == 8 for f in feats["features"])
     # determinism: same ref -> same features
@@ -771,9 +772,14 @@ def test_media_decode_stage_end_to_end(ray_session):
     assert out["decoded_ok"].all()
     imgs = out[out["kind"] == "image"]
     auds = out[out["kind"] == "audio"]
+    vids = out[out["kind"] == "video"]
     assert (imgs["width"] > 0).all() and (imgs["height"] > 0).all()
     if len(auds):
         assert (auds["n_samples"] > 0).all() and (auds["sample_rate"] == 16000).all()
+    if len(vids):
+        # REAL container decode: every video has frames and frame geometry
+        assert (vids["n_frames"] >= 2).all()
+        assert (vids["width"] > 0).all() and (vids["fmt"] == "avi").all()
     assert out["features"].map(len).eq(8).all()
     # fmt mix actually exercises the image decoders incl. compressed PNG/GIF/JPEG
     assert set(imgs["fmt"]) <= {"ppm", "bmp", "png", "gif", "jpeg"}
@@ -1475,3 +1481,57 @@ def test_inverted_index_scale_smoke(ray_session):
         f"SMOKE posting_stats {t_stats:.1f}s inverted_index {t_index:.1f}s "
         f"split_assign {t_split:.1f}s ({total_tokens} tokens)"
     )
+
+
+def test_avi_mjpeg_roundtrip_and_sampling():
+    """AVI/MJPEG container: frame round-trip within JPEG tolerance, fps
+    preserved, header-only frame count, selective frame decode, and the
+    FrameSampler stride contract over real container bytes."""
+    import numpy as np
+
+    from unsupervised_ner_ray.functions import media_codecs as mc
+
+    base = np.clip(
+        np.linspace(0, 255, 24 * 32 * 3).reshape(24, 32, 3), 0, 255
+    )
+    frames = [
+        np.clip(base + 15 * k, 0, 255).astype(np.uint8) for k in range(5)
+    ]
+    buf = mc.encode_avi_mjpeg(frames, fps=4, quant=1)
+    assert buf[:4] == b"RIFF" and buf[8:12] == b"AVI "
+    n, fps = mc.avi_frame_count(buf)  # header scan, no JPEG decode
+    assert (n, fps) == (5, 4)
+    dec, fps2 = mc.decode_avi_mjpeg(buf)
+    assert fps2 == 4 and len(dec) == 5
+    for d, f in zip(dec, frames):
+        assert d.shape == f.shape
+        assert np.abs(d.astype(int) - f.astype(int)).max() <= 4
+    # selective decode: only the sampled frames are decoded
+    sel, _ = mc.decode_avi_mjpeg(buf, frame_indices=[0, 2, 4])
+    assert len(sel) == 3 and np.array_equal(sel[1], dec[2])
+    with __import__("pytest").raises(ValueError):
+        mc.decode_avi_mjpeg(b"RIFF\x00\x00\x00\x00WAVE")
+
+
+def test_frame_sampler_real_container(ray_session):
+    """FrameSampler over REAL AVI payloads: indices come from the actual
+    container frame count (header scan), stride honored; image/audio rows
+    sample no frames."""
+    rd = _rd()
+
+    from unsupervised_ner_ray.pipelines.flagship import docs_dataset_synthetic
+    from unsupervised_ner_ray.stages.multimodal import (
+        extract_media_refs,
+        sample_frames,
+        synthesize_payloads,
+    )
+    from unsupervised_ner_ray.functions import media_codecs as mc
+
+    media = synthesize_payloads(extract_media_refs(docs_dataset_synthetic(80, seed=6)))
+    out = sample_frames(media).to_pandas()
+    vids = out[out["kind"] == "video"]
+    assert len(vids) > 0
+    for _, r in vids.iterrows():
+        n, _ = mc.avi_frame_count(r["payload"])
+        assert list(r["frame_indices"]) == list(range(0, n, 2))
+    assert all(len(x) == 0 for x in out[out["kind"] != "video"]["frame_indices"])

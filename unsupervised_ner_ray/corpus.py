@@ -97,8 +97,11 @@ def make_documents(n_docs: int, seed: int = 42, media_every: int = 3) -> pa.Tabl
         offset = 0
         for j in range(n_spans):
             if media_every and (i + j) % media_every == 2:
-                kind = "image" if (i + j) % 2 == 0 else "audio"
                 ref = "media://" + hashlib.md5(f"{doc_id}/{j}".encode()).hexdigest()[:20]
+                # kind from the ref hash — independent of the media_every
+                # gate (a (i+j)%k selector would alias with the gate's
+                # (i+j)%media_every and collapse to one kind)
+                kind = ("image", "audio", "video")[int(ref[-1], 16) % 3]
                 spans.append(
                     {"kind": kind, "text": "", "media_ref": ref, "offset": offset}
                 )

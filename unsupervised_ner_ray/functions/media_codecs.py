@@ -11,9 +11,11 @@ function per format dispatched by magic number.  Implemented here:
 * GIF87a/89a (variable-width LZW)                -> (h, w, 3) uint8
 * baseline JPEG (SOF0, 4:4:4/gray, own DCT+Huffman) -> (h, w, 3) uint8
 * PCM WAV (``RIFF`` magic, stdlib ``wave``)      -> (n, channels) int16 + rate
+* AVI/MJPEG video (RIFF container + the JPEG codec) -> frames + fps, with a
+  header-only frame-count scan for the sampling stage
 
-Progressive/subsampled JPEG, WebP and video remain behind the gated
-``backend="real"`` seam in ``stages/multimodal``.
+Progressive/subsampled JPEG, WebP and non-MJPEG video codecs remain behind
+the gated ``backend="real"`` seam in ``stages/multimodal``.
 
 plus a deterministic nearest-neighbor letterbox resize (a real resampler,
 not a geometry estimate) and fixed-dim feature kernels over decoded pixels
@@ -793,3 +795,108 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     return np.clip(
         np.round(np.stack([r, g, b], axis=2)), 0, 255
     ).astype(np.uint8)
+
+
+# ------------------------------------------------------------- AVI (MJPEG)
+# Motion-JPEG inside a minimal RIFF AVI container — a REAL video path with
+# zero external deps: the container is plain RIFF chunk bookkeeping and the
+# frames are the baseline JPEG codec above.  This is the standard "video is
+# a container of per-frame images" decode shape a 100 TB pipeline's
+# frame-sample stage has regardless of codec.
+
+
+def encode_avi_mjpeg(frames: list[np.ndarray], fps: int = 10, quant: int = 2) -> bytes:
+    """List of (h, w, 3) uint8 frames -> RIFF AVI bytes with MJPG '00dc'
+    chunks and an idx1 index.  All frames must share one geometry."""
+    assert frames, "need at least one frame"
+    h, w, _ = frames[0].shape
+    jpegs = [encode_jpeg(f, quant=quant) for f in frames]
+    max_sz = max(len(j) for j in jpegs)
+
+    avih = struct.pack(
+        "<14I",
+        1_000_000 // fps,  # dwMicroSecPerFrame
+        max_sz * fps,      # dwMaxBytesPerSec
+        0, 0x10,           # padding, AVIF_HASINDEX
+        len(frames), 0, 1, max_sz,
+        w, h, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"MJPG"
+        + struct.pack("<10I4H", 0, 0, 0, 1, fps, 0, len(frames), max_sz,
+                      0xFFFFFFFF, 0, 0, 0, w, h)
+    )
+    strf = struct.pack("<I2i2H2I2i2I", 40, w, h, 1, 24, 0x47504A4D,  # 'MJPG'
+                       w * h * 3, 0, 0, 0, 0)
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        return tag + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) % 2 else b"")
+
+    def lst(tag: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", tag + body)
+
+    strl = lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf))
+    hdrl = lst(b"hdrl", chunk(b"avih", avih) + strl)
+    movi_body = b"movi"
+    offsets = []
+    for j in jpegs:
+        offsets.append(len(movi_body))  # offset of the 00dc tag within movi
+        movi_body += chunk(b"00dc", j)
+    movi = chunk(b"LIST", movi_body)
+    idx1 = chunk(
+        b"idx1",
+        b"".join(
+            b"00dc" + struct.pack("<3I", 0x10, off, len(j))
+            for off, j in zip(offsets, jpegs)
+        ),
+    )
+    riff_body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def _avi_walk(buf: bytes):
+    """Yield ('00dc' payload slices, fps) structure: returns (chunks, fps)
+    by one linear chunk scan — no frame decode."""
+    if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+        raise ValueError("not a RIFF AVI")
+    fps = 0
+    chunks: list[tuple[int, int]] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal fps
+        while pos + 8 <= end:
+            tag = buf[pos : pos + 4]
+            (ln,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body, nxt = pos + 8, pos + 8 + ln + (ln % 2)
+            if tag == b"LIST":
+                walk(body + 4, body + ln)
+            elif tag == b"avih":
+                (usec,) = struct.unpack("<I", buf[body : body + 4])
+                fps = round(1_000_000 / usec) if usec else 0
+            elif tag == b"00dc" and ln:
+                chunks.append((body, ln))
+            pos = nxt
+
+    walk(12, len(buf))
+    return chunks, fps
+
+
+def avi_frame_count(buf: bytes) -> tuple[int, int]:
+    """(n_frames, fps) by container scan only — the cheap header pass a
+    frame-sampling stage runs before deciding which frames to decode."""
+    chunks, fps = _avi_walk(buf)
+    return len(chunks), fps
+
+
+def decode_avi_mjpeg(
+    buf: bytes, frame_indices: list[int] | None = None
+) -> tuple[list[np.ndarray], int]:
+    """RIFF AVI (MJPG) -> (frames, fps).  ``frame_indices`` decodes ONLY the
+    selected frames (the sampling path never pays for skipped frames)."""
+    chunks, fps = _avi_walk(buf)
+    sel = range(len(chunks)) if frame_indices is None else frame_indices
+    frames = []
+    for i in sel:
+        off, ln = chunks[i]
+        frames.append(decode_jpeg(buf[off : off + ln]))
+    return frames, fps

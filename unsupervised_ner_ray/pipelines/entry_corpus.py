@@ -49,11 +49,13 @@ def interleave_batch(batch: pa.Table) -> pa.Table:
             }
         )
         if h % 3 == 0:
+            ref = "media://" + hashlib.md5(str(doc_id).encode()).hexdigest()[:20]
             spans.append(
                 {
-                    "kind": "image" if h % 2 == 0 else "audio",
+                    # kind from the ref hash, independent of the h % 3 gate
+                    "kind": ("image", "audio", "video")[int(ref[-1], 16) % 3],
                     "text": "",
-                    "media_ref": "media://" + hashlib.md5(str(doc_id).encode()).hexdigest()[:20],
+                    "media_ref": ref,
                     "offset": offset + len(spans[1]["text"].split()),
                 }
             )

@@ -146,20 +146,44 @@ def resize_media(media, target: int = 224, concurrency: int = 2, batch_size: int
 
 
 class FrameSampler:
-    """Video frame-sampling stub: emits deterministic frame indices (the
-    real path would decode with ffmpeg in __init__-held context)."""
+    """Video frame sampling.  With a ``payload`` column (AVI/MJPEG bytes)
+    this is REAL: a header-only container scan counts frames WITHOUT
+    decoding any JPEG (``avi_frame_count``), then every ``stride``-th index
+    is selected — the cheap-scan-then-selective-decode shape every
+    at-scale frame sampler has (decode cost is per SELECTED frame only,
+    via ``decode_avi_mjpeg(frame_indices=...)`` downstream).  Without a
+    payload column it falls back to the deterministic ref-hash stub (for
+    corpora that carry refs but no bytes; the ffmpeg path for non-MJPEG
+    codecs stays behind the gated seam)."""
 
-    def __init__(self, fps: int = 1, max_frames: int = 8):
-        self.fps = fps
+    def __init__(self, stride: int = 2, max_frames: int = 8):
+        from ..functions import media_codecs as mc
+
+        self.mc = mc
+        self.stride = stride
         self.max_frames = max_frames
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        frames = []
-        for ref in batch.column("media_ref").to_pylist():
-            n = 1 + int(hashlib.md5(ref.encode()).hexdigest()[:2], 16) % self.max_frames
-            frames.append(list(range(0, n * self.fps, self.fps)))
+        has_payload = "payload" in batch.column_names
+        payloads = (
+            batch.column("payload").to_pylist() if has_payload else [None] * len(batch)
+        )
+        out = []
+        for ref, kind, buf in zip(
+            batch.column("media_ref").to_pylist(),
+            batch.column("kind").to_pylist(),
+            payloads,
+        ):
+            if buf is not None and kind == "video" and buf[:4] == b"RIFF":
+                n, _fps = self.mc.avi_frame_count(buf)
+                out.append(list(range(0, n, self.stride))[: self.max_frames])
+            elif kind == "video" or not has_payload:
+                n = 1 + int(hashlib.md5(ref.encode()).hexdigest()[:2], 16) % self.max_frames
+                out.append(list(range(0, n * self.stride, self.stride)))
+            else:
+                out.append([])
         return batch.append_column(
-            "frame_indices", pa.array(frames, pa.list_(pa.int32()))
+            "frame_indices", pa.array(out, pa.list_(pa.int32()))
         )
 
 
@@ -192,6 +216,17 @@ def synthesize_payloads(media, formats: tuple = ("ppm", "bmp", "png", "gif", "jp
                 wave_s = (np.sin(2 * np.pi * freq * t / 16000.0) * 12000).astype(np.int16)
                 payloads.append(mc.encode_wav(wave_s, rate=16000))
                 fmts.append("wav")
+            elif kind == "video":
+                h = 16 + seed % 16
+                w = 16 + (seed >> 8) % 16
+                n_frames = 2 + seed % 5
+                base = rng.randint(0, 200, (h, w, 3)).astype(np.int64)
+                frames = [
+                    np.clip(base + 10 * k, 0, 255).astype(np.uint8)
+                    for k in range(n_frames)
+                ]
+                payloads.append(mc.encode_avi_mjpeg(frames, fps=5))
+                fmts.append("avi")
             else:
                 h = 16 + seed % 48
                 w = 16 + (seed >> 8) % 48
@@ -231,7 +266,7 @@ class MediaDecoder:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         mc = self.mc
-        width, height, n_samples, rate, feats, ok = [], [], [], [], [], []
+        width, height, n_samples, rate, n_frames, feats, ok = [], [], [], [], [], [], []
         for buf, kind in zip(
             batch.column("payload").to_pylist(), batch.column("kind").to_pylist()
         ):
@@ -242,7 +277,24 @@ class MediaDecoder:
                     height.append(0)
                     n_samples.append(len(samples))
                     rate.append(r)
+                    n_frames.append(0)
                     feats.append(mc.audio_features(samples, r, self.dim).tolist())
+                elif kind == "video":
+                    frames, _fps = mc.decode_avi_mjpeg(buf)
+                    width.append(frames[0].shape[1])
+                    height.append(frames[0].shape[0])
+                    n_samples.append(0)
+                    rate.append(0)
+                    n_frames.append(len(frames))
+                    fmat = np.stack(
+                        [
+                            mc.image_features(
+                                mc.letterbox_resize(f, self.target)[0], self.dim
+                            )
+                            for f in frames
+                        ]
+                    )
+                    feats.append(fmat.mean(axis=0).tolist())
                 else:
                     img = mc.decode_image(buf)
                     resized, _ = mc.letterbox_resize(img, self.target)
@@ -250,6 +302,7 @@ class MediaDecoder:
                     height.append(img.shape[0])
                     n_samples.append(0)
                     rate.append(0)
+                    n_frames.append(0)
                     feats.append(mc.image_features(resized, self.dim).tolist())
                 ok.append(True)
             except (ValueError, NotImplementedError):
@@ -258,6 +311,7 @@ class MediaDecoder:
                 height.append(0)
                 n_samples.append(0)
                 rate.append(0)
+                n_frames.append(0)
                 feats.append([0.0] * self.dim)
                 ok.append(False)
         return (
@@ -266,6 +320,7 @@ class MediaDecoder:
             .append_column("height", pa.array(height, pa.int32()))
             .append_column("n_samples", pa.array(n_samples, pa.int64()))
             .append_column("sample_rate", pa.array(rate, pa.int32()))
+            .append_column("n_frames", pa.array(n_frames, pa.int32()))
             .append_column("decoded_ok", pa.array(ok, pa.bool_()))
             .append_column("features", pa.array(feats, pa.list_(pa.float64())))
         )
