@@ -598,6 +598,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_edge_lift": lambda sf: kg.edge_lift(_docs(sf)),
         "q_triangle_count": lambda sf: kg.triangle_counts(_docs(sf)),
         "q_percent_rank": relational.q_percent_rank,
+        "q_two_hop": lambda sf: kg.two_hop_counts(_docs(sf)),
+        "q_gap_fill": relational.q_gap_fill,
+        "q_cross_join": relational.q_cross_join,
     }
 
 
@@ -1396,5 +1399,51 @@ def oracle_sql() -> dict[str, str]:
             FROM customer
             WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal)
             ORDER BY c_custkey
+        """,
+        "q_two_hop": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), big AS (
+                SELECT doc_id, unnest(range(1, len(toks))) AS i, toks
+                FROM t WHERE len(toks) >= 2
+            ), e AS (
+                SELECT DISTINCT LEAST(toks[i], toks[i + 1]) AS a,
+                                GREATEST(toks[i], toks[i + 1]) AS b
+                FROM big WHERE toks[i] <> toks[i + 1]
+            ), sym AS (
+                SELECT a AS mid, b AS nbr FROM e
+                UNION ALL SELECT b, a FROM e
+            ), nn AS (
+                SELECT DISTINCT s1.nbr AS node, s2.nbr AS two
+                FROM sym s1 JOIN sym s2 ON s1.mid = s2.mid
+                WHERE s1.nbr <> s2.nbr
+            ), only2 AS (
+                SELECT node, two FROM nn
+                EXCEPT SELECT mid, nbr FROM sym
+            )
+            SELECT node, CAST(COUNT(*) AS BIGINT) AS n_two_hop
+            FROM only2 GROUP BY node ORDER BY node
+        """,
+        "q_gap_fill": """
+            WITH d AS (
+                SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
+                FROM events GROUP BY user_id, CAST(ts AS DATE)
+            ), span AS (
+                SELECT user_id, MIN(day) AS d0, MAX(day) AS d1
+                FROM d GROUP BY user_id
+            ), spine AS (
+                SELECT user_id,
+                       CAST(unnest(generate_series(d0, d1,
+                                                   INTERVAL 1 DAY)) AS DATE) AS day
+                FROM span
+            )
+            SELECT s.user_id, s.day,
+                   CAST(COALESCE(d.n, 0) AS BIGINT) AS n_events
+            FROM spine s LEFT JOIN d USING (user_id, day)
+            ORDER BY s.user_id, s.day
+        """,
+        "q_cross_join": """
+            SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
+            ORDER BY r.r_name, n.n_name
         """,
     }

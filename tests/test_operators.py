@@ -1535,3 +1535,61 @@ def test_frame_sampler_real_container(ray_session):
         n, _ = mc.avi_frame_count(r["payload"])
         assert list(r["frame_indices"]) == list(range(0, n, 2))
     assert all(len(x) == 0 for x in out[out["kind"] != "video"]["frame_indices"])
+
+
+def test_two_hop_hand_graph(ray_session):
+    """Exactly-2-hops on a path graph a-b-c-d: a<->c, b<->d (2 hops);
+    a-d is 3 hops, direct neighbors excluded."""
+    rd = _rd()
+
+    from unsupervised_ner_ray.stages.kg import two_hop_counts
+
+    docs = rd.from_items([{"doc_id": 1, "text": "a b c d"}])
+    out = two_hop_counts(docs).to_pandas().set_index("node")["n_two_hop"]
+    assert out.to_dict() == {"a": 1, "b": 1, "c": 1, "d": 1}
+    # star: hub h, spokes s1..s3 -> every spoke sees the other 2, hub sees 0
+    docs2 = rd.from_items(
+        [{"doc_id": i, "text": f"h s{i}"} for i in range(3)]
+    ).repartition(2)
+    out2 = two_hop_counts(docs2).to_pandas().set_index("node")["n_two_hop"]
+    assert out2.to_dict() == {"s0": 2, "s1": 2, "s2": 2}
+
+
+def test_gap_fill_planted_gaps(ray_session):
+    """Dense day spine per user: a user active on day 0 and day 3 gets four
+    rows with zeros on days 1-2; spines are per-user (no global min/max)."""
+    import pyarrow as pa
+
+    rd = _rd()
+    import unsupervised_ner_ray.stages.relational as R
+
+    def ts(day, h=6):
+        return pd.Timestamp(2024, 1, 1 + day, h)
+
+    tbl = pa.table(
+        {
+            "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+            "ts": pa.array([ts(0), ts(0, 9), ts(3), ts(5)], pa.timestamp("us")),
+        }
+    )
+    orig = R.read_sf
+    try:
+        R.read_sf = lambda sf, t, columns=None: rd.from_arrow(tbl)
+        out = R.q_gap_fill("ignored").to_pandas()
+    finally:
+        R.read_sf = orig
+    u1 = out[out["user_id"] == 1]
+    assert len(u1) == 4
+    assert u1["n_events"].tolist() == [2, 0, 0, 1]
+    u2 = out[out["user_id"] == 2]
+    assert len(u2) == 1 and u2["n_events"].tolist() == [1]
+
+
+def test_cross_join_small(ray_session):
+    """Broadcast cartesian: |A| x |B| rows, every combination exactly once."""
+    out = __import__("__ray_entry__").queries()["q_cross_join"](
+        "/root/testdata/sf0.001"
+    ).to_pandas()
+    assert len(out) == 125
+    assert out.groupby("r_name")["n_name"].nunique().eq(25).all()
+    assert not out.duplicated().any()

@@ -908,6 +908,41 @@ def edge_lift(docs):
     return agg.map_batches(_score, batch_format="pyarrow").sort(["s", "o"])
 
 
+def undirected_bigram_edges(docs):
+    """documents -> DISTINCT undirected bigram edges (a < b), materialized.
+    Per-batch vectorized pair extraction + local dedup, then one combiner
+    groupby over distinct pairs (the shuffle ships the graph, never the
+    corpus).  Shared edge source for the graph statistics operators
+    (:func:`triangle_counts`, :func:`two_hop_counts`)."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count as _Count
+
+    def _edges(t: pa.Table) -> pa.Table:
+        tok_lists = pc.split_pattern(t.column("text"), pattern=" ")
+        flat = pc.list_flatten(tok_lists).to_numpy(zero_copy_only=False)
+        counts = pc.list_value_length(tok_lists).to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(t)), counts)
+        ne = flat != ""
+        flat, doc_of = flat[ne], doc_of[ne]
+        keep = (
+            doc_of[:-1] == doc_of[1:] if len(flat) > 1 else np.zeros(0, dtype=bool)
+        )
+        s, o = flat[:-1][keep], flat[1:][keep]
+        loop = s != o
+        s, o = s[loop], o[loop]
+        a, b = np.minimum(s, o), np.maximum(s, o)  # undirect: a < b
+        df = pd.DataFrame({"a": a, "b": b}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    return (
+        docs.map_batches(_edges, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(_Count(alias_name="_n"))  # distinct (a, b)
+        .select_columns(["a", "b"])
+        .materialize()
+    )
+
+
 def triangle_counts(docs):
     """Per-node triangle participation counts over the undirected bigram
     graph — the classic KG/graph-quality statistic (clustering structure;
@@ -934,37 +969,12 @@ def triangle_counts(docs):
     per-CENTER (vocab-bounded, not corpus-bounded) loop with vectorized
     membership (`np.isin` against the broadcast key array) per partition.
     Output: node, n_triangles (nodes in >= 1 triangle, sorted)."""
-    import pyarrow.compute as pc
     from ray.data.aggregate import Sum
 
     from .grouping import partitioned_apply
 
-    def _edges(t: pa.Table) -> pa.Table:
-        tok_lists = pc.split_pattern(t.column("text"), pattern=" ")
-        flat = pc.list_flatten(tok_lists).to_numpy(zero_copy_only=False)
-        counts = pc.list_value_length(tok_lists).to_numpy(zero_copy_only=False)
-        doc_of = np.repeat(np.arange(len(t)), counts)
-        ne = flat != ""
-        flat, doc_of = flat[ne], doc_of[ne]
-        keep = (
-            doc_of[:-1] == doc_of[1:] if len(flat) > 1 else np.zeros(0, dtype=bool)
-        )
-        s, o = flat[:-1][keep], flat[1:][keep]
-        loop = s != o
-        s, o = s[loop], o[loop]
-        a, b = np.minimum(s, o), np.maximum(s, o)  # undirect: a < b
-        df = pd.DataFrame({"a": a, "b": b}).drop_duplicates()
-        return pa.Table.from_pandas(df, preserve_index=False)
-
+    edges = undirected_bigram_edges(docs)
     from ray.data.aggregate import Count as _Count
-
-    edges = (
-        docs.map_batches(_edges, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .aggregate(_Count(alias_name="_n"))  # distinct (a, b)
-        .select_columns(["a", "b"])
-        .materialize()
-    )
     # vocab-bounded degree table -> (sorted node array, degree array) LUT
     deg_pd = (
         edges.map_batches(
@@ -1046,5 +1056,89 @@ def triangle_counts(docs):
         partitioned_apply(oriented, "src", _wedges, num_parts=32)
         .groupby("node")
         .aggregate(Sum("n_triangles", alias_name="n_triangles"))
+        .sort("node")
+    )
+
+
+def two_hop_counts(docs):
+    """Per-node count of DISTINCT nodes exactly two hops away (reachable
+    through a neighbor, not a neighbor itself, not the node) over the
+    undirected bigram graph — the KG neighborhood-expansion statistic
+    (entity-linking candidate pools, query expansion fan-out sizing).
+
+    Shape: symmetric edge table (2 rows per undirected edge), wedge
+    generation via ``partitioned_apply`` on the MID node — for each mid,
+    ``np.triu_indices`` pairs its sorted neighbor list, so every 2-path
+    endpoint pair {u, w} is emitted where its mid lives; per-partition
+    dedup shrinks the stream before one global distinct groupby.  Direct
+    edges are excluded by vectorized ``np.isin`` against the broadcast
+    edge-key set (vocab-bounded, like :func:`triangle_counts`; a hash
+    anti-join replaces the broadcast above memory).  The wedge bound is
+    O(sum deg^2) inherent to exact 2-hop enumeration — at billion-edge
+    scale the per-mid pair stream is capped (sampled neighborhoods) or
+    replaced by sketched distinct counts (HLL per node over the same
+    stream); both alternatives keep this exact operator's shuffle shape.
+    Output: node, n_two_hop (sorted)."""
+    from ray.data.aggregate import Count as _Count
+
+    from .grouping import partitioned_apply
+
+    edges = undirected_bigram_edges(docs)
+    ekeys = edges.to_pandas()
+    key_ref = ray.put(
+        np.sort((ekeys["a"] + "\x00" + ekeys["b"]).to_numpy(dtype=object))
+    )
+
+    def _sym(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "mid": pa.array(np.concatenate([a, b]), pa.string()),
+                "nbr": pa.array(np.concatenate([b, a]), pa.string()),
+            }
+        )
+
+    sym = edges.map_batches(_sym, batch_format="pyarrow")
+
+    def _pairs(part: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(key_ref)
+        us, ws = [], []
+        for _mid, grp in part.groupby("mid", sort=False):
+            nbrs = np.sort(grp["nbr"].to_numpy(dtype=object))
+            if len(nbrs) < 2:
+                continue
+            i, j = np.triu_indices(len(nbrs), k=1)
+            u, w = nbrs[i], nbrs[j]
+            # drop pairs that are themselves edges (distance 1, not 2)
+            far = ~np.isin(u + "\x00" + w, keys)
+            us.append(u[far])
+            ws.append(w[far])
+        if not us:
+            return pd.DataFrame({"u": pd.Series([], dtype=object),
+                                 "w": pd.Series([], dtype=object)})
+        return (
+            pd.DataFrame({"u": np.concatenate(us), "w": np.concatenate(ws)})
+            .drop_duplicates()  # per-partition combiner before the shuffle
+        )
+
+    pairs = (
+        partitioned_apply(sym, "mid", _pairs, num_parts=32)
+        .groupby(["u", "w"])
+        .aggregate(_Count(alias_name="_n"))  # global distinct {u, w}
+        .select_columns(["u", "w"])
+    )
+
+    def _both_dirs(t: pa.Table) -> pa.Table:
+        u = t.column("u").to_numpy(zero_copy_only=False)
+        w = t.column("w").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {"node": pa.array(np.concatenate([u, w]), pa.string())}
+        )
+
+    return (
+        pairs.map_batches(_both_dirs, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(_Count(alias_name="n_two_hop"))
         .sort("node")
     )

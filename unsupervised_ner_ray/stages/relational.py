@@ -1184,3 +1184,102 @@ def q_percent_rank(sf_dir: str, num_parts: int = 16):
     return partitioned_apply(cust, "c_nationkey", _ranks, num_parts=num_parts).sort(
         "c_custkey"
     )
+
+
+def q_gap_fill(sf_dir: str, num_parts: int = 16):
+    """Time-series gap fill: per-user DAILY event counts on a DENSE day
+    spine from each user's first to last active day, zero-filled — the
+    resample/forward-spine primitive every metrics pipeline needs before
+    window math (a missing day must be a 0 row, not an absent row).
+
+    Shape: per-batch (user, day) partial counts (combiner — the shuffle
+    ships active days, not events), one C-path Sum groupby, then
+    ``partitioned_apply`` on user_id where each partition builds ALL its
+    users' spines in one vectorized pass: per-user [min, max] day spans ->
+    ``np.repeat`` + offset arithmetic for the spine rows, counts merged
+    back by a single ``pd.merge`` — no per-user Python.  Output: user_id,
+    day (date32), n_events."""
+    from .grouping import partitioned_apply
+
+    ev = read_sf(sf_dir, "events", columns=["user_id", "ts"])
+
+    def _daily(t: pa.Table) -> pa.Table:
+        days = pc.cast(pc.floor_temporal(t.column("ts"), unit="day"), pa.date32())
+        df = (
+            pd.DataFrame(
+                {
+                    "user_id": t.column("user_id").to_numpy(),
+                    "day": np.asarray(days.combine_chunks(), dtype=np.int32)
+                    if isinstance(days, pa.ChunkedArray)
+                    else np.asarray(days, dtype=np.int32),
+                }
+            )
+            .groupby(["user_id", "day"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        df["n"] = df["n"].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    daily = (
+        ev.map_batches(_daily, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def _spine(part: pd.DataFrame) -> pd.DataFrame:
+        span = part.groupby("user_id")["day"].agg(["min", "max"])
+        lengths = (span["max"] - span["min"] + 1).to_numpy(np.int64)
+        users = np.repeat(span.index.to_numpy(), lengths)
+        starts = np.repeat(span["min"].to_numpy(np.int64), lengths)
+        offs = np.arange(lengths.sum()) - np.repeat(
+            np.concatenate([[0], np.cumsum(lengths)[:-1]]), lengths
+        )
+        spine = pd.DataFrame({"user_id": users, "day": starts + offs})
+        out = spine.merge(part, on=["user_id", "day"], how="left")
+        out["n_events"] = out["n"].fillna(0).astype(np.int64)
+        return out[["user_id", "day", "n_events"]]
+
+    filled = partitioned_apply(daily, "user_id", _spine, num_parts=num_parts)
+
+    def _to_date(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": pc.cast(t.column("user_id"), pa.int64()),
+                "day": pc.cast(
+                    pc.cast(t.column("day"), pa.int32()), pa.date32()
+                ),
+                "n_events": t.column("n_events"),
+            }
+        )
+
+    return filled.map_batches(_to_date, batch_format="pyarrow").sort(
+        ["user_id", "day"]
+    )
+
+
+def q_cross_join(sf_dir: str):
+    """CROSS JOIN via broadcast cartesian: the small side (region) is
+    ``ray.put`` once; every nation batch emits |batch| x |small| rows with
+    ``np.repeat``/``np.tile`` index arithmetic — the only sane shape for a
+    cartesian product at scale (a shuffle cross join ships every row to
+    every partition).  Output: r_name, n_name."""
+    region = read_sf(sf_dir, "region", columns=["r_name"]).to_pandas()
+    small_ref = ray.put(pa.array(region["r_name"].tolist(), pa.string()))
+
+    def _cart(t: pa.Table) -> pa.Table:
+        small = ray.get(small_ref)
+        n, m = len(t), len(small)
+        return pa.table(
+            {
+                "r_name": pc.take(small, pa.array(np.tile(np.arange(m), n))),
+                "n_name": pc.take(
+                    t.column("n_name"), pa.array(np.repeat(np.arange(n), m))
+                ),
+            }
+        )
+
+    nation = read_sf(sf_dir, "nation", columns=["n_name"])
+    return nation.map_batches(_cart, batch_format="pyarrow").sort(
+        ["r_name", "n_name"]
+    )
