@@ -601,6 +601,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_two_hop": lambda sf: kg.two_hop_counts(_docs(sf)),
         "q_gap_fill": relational.q_gap_fill,
         "q_cross_join": relational.q_cross_join,
+        "q_unpivot_stats": lambda sf: textstats.unpivot_stats(_docs(sf)),
     }
 
 
@@ -1445,5 +1446,20 @@ def oracle_sql() -> dict[str, str]:
         "q_cross_join": """
             SELECT r.r_name, n.n_name FROM region r CROSS JOIN nation n
             ORDER BY r.r_name, n.n_name
+        """,
+        "q_unpivot_stats": f"""
+            WITH s AS (
+                SELECT doc_id,
+                       CAST(len({_TOKS}) AS BIGINT) AS n_tokens,
+                       CAST(length(text) AS BIGINT) AS n_chars,
+                       CAST(len(list_distinct({_TOKS})) AS BIGINT)
+                           AS n_distinct_tokens
+                FROM documents
+            )
+            SELECT doc_id, 'n_tokens' AS metric, n_tokens AS value FROM s
+            UNION ALL SELECT doc_id, 'n_chars', n_chars FROM s
+            UNION ALL SELECT doc_id, 'n_distinct_tokens', n_distinct_tokens
+                      FROM s
+            ORDER BY doc_id, metric
         """,
     }

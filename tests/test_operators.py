@@ -1593,3 +1593,16 @@ def test_cross_join_small(ray_session):
     assert len(out) == 125
     assert out.groupby("r_name")["n_name"].nunique().eq(25).all()
     assert not out.duplicated().any()
+
+
+def test_unpivot_stats_long_form(ray_session):
+    """Melt: 3 long rows per doc, values matching the wide token stats."""
+    rd = _rd()
+
+    from unsupervised_ner_ray.stages.textstats import unpivot_stats
+
+    docs = rd.from_items([{"doc_id": 7, "text": "a b a"}])
+    out = unpivot_stats(docs).to_pandas()
+    got = out.set_index("metric")["value"].to_dict()
+    assert got == {"n_tokens": 3, "n_chars": 5, "n_distinct_tokens": 2}
+    assert (out["doc_id"] == 7).all() and len(out) == 3

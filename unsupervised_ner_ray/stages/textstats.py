@@ -939,3 +939,33 @@ def split_assign(docs, train_hex: str = "e6", val_hex: str = "f3"):
         )
 
     return docs.map_batches(_f, batch_format="pyarrow")
+
+
+def unpivot_stats(docs):
+    """UNPIVOT/melt: the per-doc token-stats WIDE row (n_tokens, n_chars,
+    n_distinct_tokens) into LONG (doc_id, metric, value) rows — the inverse
+    of the pivot operator and the standard reshape before metric-keyed
+    aggregation/plotting.  Pure per-batch reshape (np.repeat ids, np.tile
+    metric names, column interleave) — embarrassingly parallel, no
+    shuffle."""
+    METRICS = ("n_tokens", "n_chars", "n_distinct_tokens")
+
+    def _melt(t: pa.Table) -> pa.Table:
+        n = len(t)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        vals = np.stack(
+            [t.column(m).to_numpy(zero_copy_only=False) for m in METRICS], axis=1
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.repeat(ids, len(METRICS))),
+                "metric": pa.array(
+                    np.tile(np.array(METRICS, dtype=object), n), pa.string()
+                ),
+                "value": pa.array(vals.reshape(-1).astype(np.int64)),
+            }
+        )
+
+    return token_stats(docs).map_batches(_melt, batch_format="pyarrow").sort(
+        ["doc_id", "metric"]
+    )
