@@ -128,6 +128,11 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             "unsupervised_ner_ray.stages.similarity", fromlist=["embedding_centroids"]
         ).embedding_centroids(sf_dir).to_pandas(),
     )
+    from unsupervised_ner_ray.stages import kg as _kg
+
+    timed("q_posting_stats", lambda: textstats.posting_stats(docs_tbl).to_pandas())
+    timed("q_gap_fill", lambda: relational.q_gap_fill(sf_dir).to_pandas())
+    timed("q_triangle_count", lambda: _kg.triangle_counts(docs_tbl).to_pandas())
 
     return {
         "metric": "flagship_ner_kg",
