@@ -599,6 +599,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_triangle_count": lambda sf: kg.triangle_counts(_docs(sf)),
         "q_percent_rank": relational.q_percent_rank,
         "q_two_hop": lambda sf: kg.two_hop_counts(_docs(sf)),
+        # sketched 2-hop (per-node HLL): approximate by construction, rows-only
+        "q_two_hop_approx": lambda sf: kg.two_hop_counts_approx(_docs(sf)),
         "q_gap_fill": relational.q_gap_fill,
         "q_cross_join": relational.q_cross_join,
         "q_unpivot_stats": lambda sf: textstats.unpivot_stats(_docs(sf)),

@@ -568,7 +568,9 @@ def tdigest_quantiles(ds, col: str, qs=(0.5, 0.9, 0.99), delta: int = 256):
 
 
 _HLL_P = 12  # 4096 registers
-_HLL_HASH_KEY = "unsup-ner-hll-key"  # fixed -> deterministic across processes
+_HLL_HASH_KEY = "unsup-ner-hll-16"  # fixed -> deterministic across processes;
+# MUST be exactly 16 bytes: pandas ignores the key for numeric columns but
+# the string/object hash path rejects any other length
 
 
 def _hll_register_updates(values: pd.Series) -> np.ndarray:

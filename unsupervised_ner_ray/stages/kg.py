@@ -1142,3 +1142,71 @@ def two_hop_counts(docs):
         .aggregate(_Count(alias_name="n_two_hop"))
         .sort("node")
     )
+
+
+def two_hop_counts_approx(docs):
+    """Sketched variant of :func:`two_hop_counts` — per-node HLL distinct
+    counts over the SAME wedge stream, the at-scale path named in the exact
+    operator's docstring made real: the global distinct-pair groupby (the
+    exact form's widest shuffle — pair rows) is replaced by mergeable
+    2^p-byte HLL sketches per node, so the reduce payload is node-bounded
+    regardless of how many 2-hop pairs exist.  Per-partition pair dedup and
+    the direct-edge exclusion are shared with the exact path.  Output:
+    node, n_two_hop (float64 estimate), sorted; accuracy pinned ~3% by
+    test."""
+    from .grouping import partitioned_apply
+    from .joins import hll_distinct_by_group
+
+    edges = undirected_bigram_edges(docs)
+    ekeys = edges.to_pandas()
+    key_ref = ray.put(
+        np.sort((ekeys["a"] + "\x00" + ekeys["b"]).to_numpy(dtype=object))
+    )
+
+    def _sym(t: pa.Table) -> pa.Table:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "mid": pa.array(np.concatenate([a, b]), pa.string()),
+                "nbr": pa.array(np.concatenate([b, a]), pa.string()),
+            }
+        )
+
+    def _pair_rows(part: pd.DataFrame) -> pd.DataFrame:
+        keys = ray.get(key_ref)
+        us, ws = [], []
+        for _mid, grp in part.groupby("mid", sort=False):
+            nbrs = np.sort(grp["nbr"].to_numpy(dtype=object))
+            if len(nbrs) < 2:
+                continue
+            i, j = np.triu_indices(len(nbrs), k=1)
+            u, w = nbrs[i], nbrs[j]
+            far = ~np.isin(u + "\x00" + w, keys)
+            us.append(u[far])
+            ws.append(w[far])
+        if not us:
+            return pd.DataFrame({"node": pd.Series([], dtype=object),
+                                 "other": pd.Series([], dtype=object)})
+        u = np.concatenate(us)
+        w = np.concatenate(ws)
+        dd = pd.DataFrame({"u": u, "w": w}).drop_duplicates()
+        return pd.DataFrame(
+            {
+                "node": np.concatenate([dd["u"].to_numpy(), dd["w"].to_numpy()]),
+                "other": np.concatenate([dd["w"].to_numpy(), dd["u"].to_numpy()]),
+            }
+        )
+
+    rows = partitioned_apply(
+        edges.map_batches(_sym, batch_format="pyarrow"), "mid", _pair_rows,
+        num_parts=32,
+    )
+    est = hll_distinct_by_group(rows, "node", "other")
+
+    def _ren(df: pd.DataFrame) -> pd.DataFrame:
+        # map_batches rename: Dataset.rename_columns projects via Arrow and
+        # rejects the pandas-format blocks the HLL reducer emits
+        return df.rename(columns={"group": "node", "estimate": "n_two_hop"})
+
+    return est.map_batches(_ren, batch_format="pandas").sort("node")
