@@ -604,6 +604,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_gap_fill": relational.q_gap_fill,
         "q_cross_join": relational.q_cross_join,
         "q_unpivot_stats": lambda sf: textstats.unpivot_stats(_docs(sf)),
+        "q_asof_next_order": joins.q_asof_next_order,
+        "q_quantiles_by_nation": joins.q_quantiles_by_nation,
     }
 
 
@@ -1463,5 +1465,28 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT doc_id, 'n_distinct_tokens', n_distinct_tokens
                       FROM s
             ORDER BY doc_id, metric
+        """,
+        "q_asof_next_order": """
+            SELECT e.event_id, e.user_id,
+                   COALESCE(epoch_us(o.o_orderdate), -1) AS next_order_us
+            FROM events e
+            ASOF LEFT JOIN orders o
+              ON e.user_id = o.o_custkey AND e.ts <= o.o_orderdate
+            ORDER BY e.event_id
+        """,
+        "q_quantiles_by_nation": """
+            WITH c AS (
+                SELECT c_nationkey,
+                       CAST(floor(c_acctbal * 100) AS BIGINT) AS cents
+                FROM customer
+            )
+            SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   PERCENTILE_DISC(0.25) WITHIN GROUP (ORDER BY cents)
+                       AS p25_cents,
+                   PERCENTILE_DISC(0.5) WITHIN GROUP (ORDER BY cents)
+                       AS p50_cents,
+                   PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY cents)
+                       AS p75_cents
+            FROM c GROUP BY c_nationkey ORDER BY c_nationkey
         """,
     }

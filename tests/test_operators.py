@@ -1627,3 +1627,75 @@ def test_two_hop_approx_accuracy(ray_session):
     assert set(exact.index) == set(approx.index)
     rel = (approx.reindex(exact.index) - exact).abs() / exact
     assert rel.max() < 0.08 and rel.mean() < 0.02
+
+
+def test_asof_next_order_semantics(ray_session):
+    """Forward as-of: earliest order at-or-after each event per user;
+    -1 sentinel when the user has no later order; equality ts included."""
+    import pyarrow as pa
+
+    rd = _rd()
+    import unsupervised_ner_ray.stages.joins as J
+
+    def us(day):
+        return pd.Timestamp(2024, 1, day).value // 1000
+
+    orders = pa.table(
+        {
+            "o_custkey": pa.array([1, 1, 2], pa.int64()),
+            "o_orderdate": pa.array(
+                [pd.Timestamp(2024, 1, 10), pd.Timestamp(2024, 1, 20),
+                 pd.Timestamp(2024, 1, 5)],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    events = pa.table(
+        {
+            "event_id": pa.array([100, 101, 102, 103], pa.int64()),
+            "user_id": pa.array([1, 1, 1, 2], pa.int64()),
+            "ts": pa.array(
+                [pd.Timestamp(2024, 1, 1), pd.Timestamp(2024, 1, 10),
+                 pd.Timestamp(2024, 1, 21), pd.Timestamp(2024, 1, 1)],
+                pa.timestamp("us"),
+            ),
+        }
+    )
+    orig = J.read_sf
+    try:
+        J.read_sf = lambda sf, t, columns=None: rd.from_arrow(
+            orders if t == "orders" else events
+        )
+        out = J.q_asof_next_order("ignored").to_pandas().set_index("event_id")
+    finally:
+        J.read_sf = orig
+    assert out.loc[100, "next_order_us"] == us(10)
+    assert out.loc[101, "next_order_us"] == us(10)  # ts == orderdate included
+    assert out.loc[102, "next_order_us"] == -1  # after user 1's last order
+    assert out.loc[103, "next_order_us"] == us(5)
+
+
+def test_quantiles_by_nation_matches_numpy(ray_session):
+    """Distributed per-group PERCENTILE_DISC equals the direct sorted-index
+    rule on the raw values."""
+    import math
+
+    import pyarrow.parquet as pq
+
+    from unsupervised_ner_ray.stages.joins import q_quantiles_by_nation
+
+    out = (
+        q_quantiles_by_nation("/root/testdata/sf0.001")
+        .to_pandas()
+        .set_index("c_nationkey")
+    )
+    cust = pq.read_table(
+        "/root/testdata/sf0.001/customer.parquet",
+        columns=["c_nationkey", "c_acctbal"],
+    ).to_pandas()
+    cust["cents"] = np.floor(cust["c_acctbal"] * 100).astype(np.int64)
+    for nat, g in cust.groupby("c_nationkey"):
+        vals = np.sort(g["cents"].to_numpy())
+        for q, col in ((0.25, "p25_cents"), (0.5, "p50_cents"), (0.75, "p75_cents")):
+            assert out.loc[nat, col] == vals[math.ceil(q * len(vals)) - 1]
+        assert out.loc[nat, "n_rows"] == len(vals)

@@ -723,3 +723,117 @@ def q_quantiles_disc(sf_dir: str, qs=(0.25, 0.5, 0.9)):
         if c != "l_returnflag":
             out[c] = out[c].astype(np.int64)
     return out.reset_index(drop=True)
+
+
+def q_asof_next_order(sf_dir: str):
+    """FORWARD as-of: for each event, the EARLIEST o_orderdate of the same
+    user at or after the event ts — the mirror of
+    :func:`q_asof_last_order` (backward), completing the as-of direction
+    pair (SQL: ``ASOF LEFT JOIN ... ON e.ts <= o.o_orderdate``).  Same
+    broadcast shape: one lexicographic ``np.searchsorted(side='left')``
+    answers the whole batch, taking the successor only when it belongs to
+    the same user."""
+    ref = _broadcast_sorted_orders(sf_dir)
+
+    class AsOfFwd:
+        def __init__(self):
+            self.A = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            q = np.empty(len(t), dtype=_UT_DT)
+            q["u"] = t.column("user_id").to_numpy()
+            q["t"] = pc.cast(t.column("ts"), pa.int64()).to_numpy()
+            idx = np.searchsorted(self.A, q, side="left")
+            has_next = idx < len(self.A)
+            nxt = np.minimum(idx, len(self.A) - 1)
+            same_user = has_next & (self.A["u"][nxt] == q["u"])
+            # -1 sentinel instead of null: events with no later order exist
+            # at every scale here, and nullable int -> NaN float breaks
+            # NaN != NaN value comparison (oracle COALESCEs identically)
+            first = np.where(same_user, self.A["t"][nxt], np.int64(-1))
+            return pa.table(
+                {
+                    "event_id": t.column("event_id"),
+                    "user_id": t.column("user_id"),
+                    "next_order_us": pa.array(first, pa.int64()),
+                }
+            )
+
+    ev = read_sf(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+    return ev.map_batches(
+        AsOfFwd, batch_format="pyarrow", concurrency=(1, 4)
+    ).sort("event_id")
+
+
+def q_quantiles_by_nation(sf_dir: str, qs=(0.25, 0.5, 0.75), num_parts: int = 8):
+    """Exact PERCENTILE_DISC of customer balance (in cents) per NATION,
+    fully distributed: the many-group face of :func:`q_quantiles_disc`
+    (whose 3-group finalize runs on the driver).  Per-batch (nation, cents)
+    partial counts -> one C-path Sum groupby -> ``partitioned_apply`` on
+    the nation key, where each partition resolves all its nations from the
+    tiny cumulative histograms (idx = ceil(q*n)-1).  Shuffled payload is
+    |groups| x |value domain| partials — row-count independent."""
+    import math
+
+    from ray.data.aggregate import Sum as _Sum
+
+    from .grouping import partitioned_apply
+
+    cust = read_sf(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+
+    def _combine(t: pa.Table) -> pa.Table:
+        cents = pc.cast(
+            pc.floor(pc.multiply(t.column("c_acctbal"), pa.scalar(100.0))),
+            pa.int64(),
+        )
+        df = (
+            pd.DataFrame(
+                {
+                    "c_nationkey": t.column("c_nationkey").to_numpy(),
+                    "v": cents.to_numpy(zero_copy_only=False),
+                }
+            )
+            .groupby(["c_nationkey", "v"], sort=False)
+            .size()
+            .reset_index(name="n")
+        )
+        df["n"] = df["n"].astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    hist = (
+        cust.map_batches(_combine, batch_format="pyarrow")
+        .groupby(["c_nationkey", "v"])
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+
+    def _resolve(part: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for nat, g in part.sort_values(["c_nationkey", "v"]).groupby(
+            "c_nationkey", sort=False
+        ):
+            cum = np.cumsum(g["n"].to_numpy())
+            vals = g["v"].to_numpy()
+            n = int(cum[-1])
+            row = {"c_nationkey": np.int32(nat), "n_rows": np.int64(n)}
+            for q in qs:
+                idx = math.ceil(q * n) - 1
+                row[f"p{int(q*100)}_cents"] = np.int64(
+                    vals[np.searchsorted(cum, idx + 1)]
+                )
+            rows.append(row)
+        if not rows:
+            return pd.DataFrame(
+                {
+                    "c_nationkey": pd.Series([], dtype=np.int32),
+                    "n_rows": pd.Series([], dtype=np.int64),
+                    **{
+                        f"p{int(q*100)}_cents": pd.Series([], dtype=np.int64)
+                        for q in qs
+                    },
+                }
+            )
+        return pd.DataFrame(rows)
+
+    return partitioned_apply(hist, "c_nationkey", _resolve, num_parts=num_parts).sort(
+        "c_nationkey"
+    )
