@@ -606,6 +606,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_unpivot_stats": lambda sf: textstats.unpivot_stats(_docs(sf)),
         "q_asof_next_order": joins.q_asof_next_order,
         "q_quantiles_by_nation": joins.q_quantiles_by_nation,
+        "q_explode_tokens": lambda sf: textstats.explode_tokens(_docs(sf)),
+        "q_length_filter": lambda sf: textstats.length_filter(_docs(sf)),
     }
 
 
@@ -1488,5 +1490,22 @@ def oracle_sql() -> dict[str, str]:
                    PERCENTILE_DISC(0.75) WITHIN GROUP (ORDER BY cents)
                        AS p75_cents
             FROM c GROUP BY c_nationkey ORDER BY c_nationkey
+        """,
+        "q_explode_tokens": f"""
+            WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+            SELECT doc_id, CAST(generate_subscripts(toks, 1) AS BIGINT) AS ord,
+                   unnest(toks) AS token
+            FROM t ORDER BY doc_id, ord
+        """,
+        "q_length_filter": f"""
+            WITH s AS (
+                SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+                FROM documents
+            ), cut AS (
+                SELECT PERCENTILE_DISC(0.99) WITHIN GROUP (ORDER BY n_tokens)
+                    AS c FROM s
+            )
+            SELECT doc_id, n_tokens FROM s
+            WHERE n_tokens <= (SELECT c FROM cut) ORDER BY doc_id
         """,
     }

@@ -1699,3 +1699,53 @@ def test_quantiles_by_nation_matches_numpy(ray_session):
         for q, col in ((0.25, "p25_cents"), (0.5, "p50_cents"), (0.75, "p75_cents")):
             assert out.loc[nat, col] == vals[math.ceil(q * len(vals)) - 1]
         assert out.loc[nat, "n_rows"] == len(vals)
+
+
+def test_explode_tokens_ordinality(ray_session):
+    """flat_map with ordinality: 1-based positions over nonempty tokens."""
+    rd = _rd()
+
+    from unsupervised_ner_ray.stages.textstats import explode_tokens
+
+    docs = rd.from_items(
+        [{"doc_id": 1, "text": "a  b c"}, {"doc_id": 2, "text": ""}]
+    )
+    out = explode_tokens(docs).to_pandas()
+    assert list(zip(out["doc_id"], out["ord"], out["token"])) == [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "c")
+    ]
+
+
+def test_length_filter_p99(ray_session):
+    """Outlier trim: exactly the docs above the DISC p99 token count drop."""
+    rd = _rd()
+
+    from unsupervised_ner_ray.stages.textstats import length_filter
+
+    # 99 docs of 5 tokens, one of 500 -> p99 over 100 docs = 5; the long doc drops
+    docs = [{"doc_id": i, "text": "a b c d e"} for i in range(99)]
+    docs.append({"doc_id": 99, "text": " ".join(["w"] * 500)})
+    out = length_filter(rd.from_items(docs).repartition(4)).to_pandas()
+    assert len(out) == 99 and 99 not in set(out["doc_id"])
+    assert (out["n_tokens"] == 5).all()
+
+
+def test_audio_resample_and_mixdown():
+    """Linear resample: length scales by the rate ratio and a pure tone's
+    zero-crossing count (frequency) survives; mixdown averages channels."""
+    import numpy as np
+
+    from unsupervised_ner_ray.functions import media_codecs as mc
+
+    t = np.arange(16000)
+    tone = (np.sin(2 * np.pi * 440.0 * t / 16000.0) * 20000).astype(np.int16)
+    down = mc.resample_audio(tone, 16000, 8000)
+    assert len(down) == 8000
+    zc = lambda s: int(((s[:-1] < 0) & (s[1:] >= 0)).sum())
+    assert abs(zc(down) - zc(tone)) <= 2  # ~440 rising crossings both
+    up = mc.resample_audio(down, 8000, 16000)
+    assert len(up) == 16000
+    assert mc.resample_audio(tone, 16000, 16000) is tone
+    st = np.stack([tone, np.zeros_like(tone)], axis=1)
+    mono = mc.mixdown(st)
+    assert mono.shape == (16000,) and abs(int(mono[40]) - tone[40] // 2) <= 1

@@ -900,3 +900,38 @@ def decode_avi_mjpeg(
         off, ln = chunks[i]
         frames.append(decode_jpeg(buf[off : off + ln]))
     return frames, fps
+
+
+# ------------------------------------------------------------- audio kernels
+
+def mixdown(samples: np.ndarray) -> np.ndarray:
+    """(n, ch) int16 -> (n,) int16 mono by channel mean (round-half-away
+    avoided: integer mean truncates toward zero deterministically)."""
+    if samples.ndim == 1:
+        return samples
+    return (samples.astype(np.int32).sum(axis=1) // samples.shape[1]).astype(
+        np.int16
+    )
+
+
+def resample_audio(samples: np.ndarray, sr_in: int, sr_out: int) -> np.ndarray:
+    """Deterministic linear-interpolation resample of (n,) or (n, ch) int16
+    PCM — the real sample-rate-conversion kernel a 100 TB audio pipeline
+    runs before featurization (no scipy needed; a windowed-sinc variant
+    slots behind the same signature).  Output length = round(n * out/in)."""
+    if sr_in == sr_out:
+        return samples
+    mono_in = samples.ndim == 1
+    x = samples[:, None] if mono_in else samples
+    n = x.shape[0]
+    n_out = int(round(n * sr_out / sr_in))
+    if n == 0 or n_out == 0:
+        out = np.zeros((0, x.shape[1]), dtype=np.int16)
+        return out[:, 0] if mono_in else out
+    pos = np.arange(n_out) * (sr_in / sr_out)
+    i0 = np.minimum(pos.astype(np.int64), n - 1)
+    i1 = np.minimum(i0 + 1, n - 1)
+    frac = (pos - i0)[:, None]
+    y = x[i0].astype(np.float64) * (1.0 - frac) + x[i1].astype(np.float64) * frac
+    out = np.clip(np.round(y), -32768, 32767).astype(np.int16)
+    return out[:, 0] if mono_in else out

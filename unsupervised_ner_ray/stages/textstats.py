@@ -969,3 +969,76 @@ def unpivot_stats(docs):
     return token_stats(docs).map_batches(_melt, batch_format="pyarrow").sort(
         ["doc_id", "metric"]
     )
+
+
+def explode_tokens(docs):
+    """Row expansion with ordinality — documents -> (doc_id, ord, token)
+    rows, ``ord`` = 1-based position among the doc's nonempty tokens (the
+    flat_map operator class: one input row to many ordered output rows,
+    the precursor to positional n-gram / alignment work).  Pure vectorized
+    per-batch reshape (flatten + repeat + within-doc arange via cumsum
+    offsets), no shuffle."""
+
+    def _f(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        tok_lists = pc.split_pattern(batch.column("text"), pattern=" ")
+        counts = pc.list_value_length(tok_lists).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(tok_lists)
+        keep = pc.not_equal(flat, pa.scalar("")).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(n), counts)[keep]
+        m = np.bincount(doc_idx, minlength=n)
+        starts = np.concatenate([[0], np.cumsum(m)[:-1]])
+        ords = np.arange(len(doc_idx)) - starts[doc_idx] + 1
+        ids = batch.column("doc_id").to_numpy()
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[doc_idx]),
+                "ord": pa.array(ords.astype(np.int64)),
+                "token": flat.filter(pa.array(keep)),
+            }
+        )
+
+    return docs.map_batches(_f, batch_format="pyarrow").sort(["doc_id", "ord"])
+
+
+def length_filter(docs, pct: float = 0.99):
+    """Outlier-length filter: drop documents whose token count exceeds the
+    corpus PERCENTILE_DISC(pct) — the standard tail-trim before training.
+    Two passes, both scale-shaped: (1) the length HISTOGRAM (token-count
+    value domain, not rows) reduces via one combiner groupby and the
+    cutoff falls out of its cumulative sum on the driver (histogram is
+    value-domain-sized); (2) a pure streaming filter against the broadcast
+    scalar.  Output: surviving (doc_id, n_tokens), sorted."""
+    import math
+
+    from ray.data.aggregate import Sum as _Sum
+
+    stats = token_stats(docs).materialize()
+
+    def _hist(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t.column("n_tokens"))
+        return pa.table(
+            {
+                "v": pc.cast(vc.field("values"), pa.int64()),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    hist = (
+        stats.map_batches(_hist, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(_Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("v")
+    )
+    cum = np.cumsum(hist["n"].to_numpy())
+    n = int(cum[-1])
+    cutoff = int(hist["v"].to_numpy()[np.searchsorted(cum, math.ceil(pct * n))])
+
+    def _filter(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t.column("n_tokens"), pa.scalar(cutoff)))
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "n_tokens": t.column("n_tokens")}
+        )
+
+    return stats.map_batches(_filter, batch_format="pyarrow").sort("doc_id")
