@@ -1749,3 +1749,52 @@ def test_audio_resample_and_mixdown():
     st = np.stack([tone, np.zeros_like(tone)], axis=1)
     mono = mc.mixdown(st)
     assert mono.shape == (16000,) and abs(int(mono[40]) - tone[40] // 2) <= 1
+
+
+@pytest.mark.skipif(
+    __import__("os").environ.get("RUN_SCALE_SMOKE") != "1",
+    reason="graph-ops smoke; run with RUN_SCALE_SMOKE=1 "
+    "(result recorded in BASELINE.md)",
+)
+def test_graph_ops_skewed_scale_smoke(ray_session):
+    """~100k-edge Zipf-skewed bigram graph (hub nodes with degree in the
+    thousands — the regime where lexicographic wedge orientation explodes):
+    degree-oriented triangle counting and sketched 2-hop complete in
+    bounded time with sane outputs."""
+    import time
+
+    rd = _rd()
+    from unsupervised_ner_ray.stages.kg import (
+        triangle_counts,
+        two_hop_counts_approx,
+        undirected_bigram_edges,
+    )
+
+    rng = np.random.default_rng(13)
+    # Zipf node draw over 20k nodes: head nodes appear in thousands of edges
+    a = np.minimum(rng.zipf(1.3, 120_000), 20_000)
+    b = np.minimum(rng.zipf(1.3, 120_000), 20_000)
+    keep = a != b
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(keep.sum()),
+            "text": [f"n{x:05d} n{y:05d}" for x, y in zip(a[keep], b[keep])],
+        }
+    )
+    ds = rd.from_pandas(docs).repartition(16).materialize()
+    n_edges = undirected_bigram_edges(ds).count()
+    assert n_edges > 20_000
+
+    t0 = time.time()
+    tri = triangle_counts(ds).to_pandas()
+    t_tri = time.time() - t0
+    assert len(tri) > 100 and (tri["n_triangles"] > 0).all()
+
+    t0 = time.time()
+    hop = two_hop_counts_approx(ds).to_pandas()
+    t_hop = time.time() - t0
+    assert len(hop) > 1000
+    print(
+        f"SMOKE graph edges={n_edges} triangles_op {t_tri:.1f}s "
+        f"({tri['n_triangles'].sum()} incidences) two_hop_approx {t_hop:.1f}s"
+    )

@@ -908,6 +908,19 @@ def edge_lift(docs):
     return agg.map_batches(_score, batch_format="pyarrow").sort(["s", "o"])
 
 
+def _sorted_member(sorted_keys: np.ndarray, probes: np.ndarray) -> np.ndarray:
+    """Vectorized membership of ``probes`` in a PRE-SORTED key array via one
+    ``np.searchsorted`` — O(p log k) per call.  (``np.isin`` re-sorts the key
+    array on EVERY call; invoked once per wedge center that cost O(k log k)
+    x centers and dominated the skewed-graph smoke.)"""
+    idx = np.searchsorted(sorted_keys, probes)
+    ok = idx < len(sorted_keys)
+    out = np.zeros(len(probes), dtype=bool)
+    if ok.any():
+        out[ok] = sorted_keys[idx[ok]] == probes[ok]
+    return out
+
+
 def undirected_bigram_edges(docs):
     """documents -> DISTINCT undirected bigram edges (a < b), materialized.
     Per-batch vectorized pair extraction + local dedup, then one combiner
@@ -967,7 +980,8 @@ def triangle_counts(docs):
     generation runs inside `partitioned_apply` on the wedge center: per
     center, ``np.triu_indices`` pairs its sorted out-neighbors — a
     per-CENTER (vocab-bounded, not corpus-bounded) loop with vectorized
-    membership (`np.isin` against the broadcast key array) per partition.
+    membership (one `np.searchsorted` against the pre-sorted broadcast key
+    array per center) per partition.
     Output: node, n_triangles (nodes in >= 1 triangle, sorted)."""
     from ray.data.aggregate import Sum
 
@@ -1032,7 +1046,7 @@ def triangle_counts(docs):
                 continue
             i, j = np.triu_indices(len(nbrs), k=1)
             wy, wz = nbrs[i], nbrs[j]
-            hit = np.isin(wy + "\x00" + wz, keys, assume_unique=False)
+            hit = _sorted_member(keys, wy + "\x00" + wz)
             if not hit.any():
                 continue
             wy, wz = wy[hit], wz[hit]
@@ -1071,7 +1085,7 @@ def two_hop_counts(docs):
     ``np.triu_indices`` pairs its sorted neighbor list, so every 2-path
     endpoint pair {u, w} is emitted where its mid lives; per-partition
     dedup shrinks the stream before one global distinct groupby.  Direct
-    edges are excluded by vectorized ``np.isin`` against the broadcast
+    edges are excluded by vectorized sorted-array membership against the broadcast
     edge-key set (vocab-bounded, like :func:`triangle_counts`; a hash
     anti-join replaces the broadcast above memory).  The wedge bound is
     O(sum deg^2) inherent to exact 2-hop enumeration — at billion-edge
@@ -1111,7 +1125,7 @@ def two_hop_counts(docs):
             i, j = np.triu_indices(len(nbrs), k=1)
             u, w = nbrs[i], nbrs[j]
             # drop pairs that are themselves edges (distance 1, not 2)
-            far = ~np.isin(u + "\x00" + w, keys)
+            far = ~_sorted_member(keys, u + "\x00" + w)
             us.append(u[far])
             ws.append(w[far])
         if not us:
@@ -1182,7 +1196,7 @@ def two_hop_counts_approx(docs):
                 continue
             i, j = np.triu_indices(len(nbrs), k=1)
             u, w = nbrs[i], nbrs[j]
-            far = ~np.isin(u + "\x00" + w, keys)
+            far = ~_sorted_member(keys, u + "\x00" + w)
             us.append(u[far])
             ws.append(w[far])
         if not us:
