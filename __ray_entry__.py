@@ -608,6 +608,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_quantiles_by_nation": joins.q_quantiles_by_nation,
         "q_explode_tokens": lambda sf: textstats.explode_tokens(_docs(sf)),
         "q_length_filter": lambda sf: textstats.length_filter(_docs(sf)),
+        "q_moving_sum": relational.q_moving_sum,
+        "q_group_stats": relational.q_group_stats,
     }
 
 
@@ -1507,5 +1509,25 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, n_tokens FROM s
             WHERE n_tokens <= (SELECT c FROM cut) ORDER BY doc_id
+        """,
+        "q_moving_sum": """
+            SELECT o_orderkey, o_custkey,
+                   CAST(SUM(CAST(floor(o_totalprice * 100) AS BIGINT)) OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+                   ) AS BIGINT) AS moving_cents
+            FROM orders ORDER BY o_orderkey
+        """,
+        "q_group_stats": """
+            WITH c AS (
+                SELECT c_nationkey,
+                       CAST(floor(c_acctbal) AS BIGINT) AS d
+                FROM customer
+            )
+            SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(d) AS BIGINT) AS sum_dollars,
+                   CAST(SUM(d * d) AS BIGINT) AS sumsq_dollars
+            FROM c GROUP BY c_nationkey ORDER BY c_nationkey
         """,
     }

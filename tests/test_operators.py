@@ -1798,3 +1798,49 @@ def test_graph_ops_skewed_scale_smoke(ray_session):
         f"SMOKE graph edges={n_edges} triangles_op {t_tri:.1f}s "
         f"({tri['n_triangles'].sum()} incidences) two_hop_approx {t_hop:.1f}s"
     )
+
+
+def test_moving_sum_rows_frame(ray_session):
+    """ROWS BETWEEN 2 PRECEDING AND CURRENT ROW: window clamps at each
+    customer's first rows and never crosses customers."""
+    import pyarrow as pa
+
+    rd = _rd()
+    import unsupervised_ner_ray.stages.relational as R
+
+    orders = pa.table(
+        {
+            "o_orderkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+            "o_custkey": pa.array([7, 7, 7, 7, 8], pa.int64()),
+            "o_orderdate": pa.array(
+                [pd.Timestamp(2024, 1, d) for d in (1, 2, 3, 4, 1)],
+                pa.timestamp("us"),
+            ),
+            "o_totalprice": pa.array([1.0, 2.0, 3.0, 4.0, 10.0]),
+        }
+    )
+    orig = R.read_sf
+    try:
+        R.read_sf = lambda sf, t, columns=None: rd.from_arrow(orders)
+        out = R.q_moving_sum("ignored").to_pandas().set_index("o_orderkey")
+    finally:
+        R.read_sf = orig
+    assert out["moving_cents"].tolist() == [100, 300, 600, 900, 1000]
+
+
+def test_group_stats_exact_partials(ray_session):
+    """n/sum/sumsq partials equal the direct computation (variance face)."""
+    import pyarrow.parquet as pq
+
+    from unsupervised_ner_ray.stages.relational import q_group_stats
+
+    out = q_group_stats("/root/testdata/sf0.001").to_pandas().set_index("c_nationkey")
+    cust = pq.read_table(
+        "/root/testdata/sf0.001/customer.parquet",
+        columns=["c_nationkey", "c_acctbal"],
+    ).to_pandas()
+    cust["d"] = np.floor(cust["c_acctbal"]).astype(np.int64)
+    for nat, g in cust.groupby("c_nationkey"):
+        assert out.loc[nat, "n"] == len(g)
+        assert out.loc[nat, "sum_dollars"] == g["d"].sum()
+        assert out.loc[nat, "sumsq_dollars"] == (g["d"] ** 2).sum()

@@ -1283,3 +1283,106 @@ def q_cross_join(sf_dir: str):
     return nation.map_batches(_cart, batch_format="pyarrow").sort(
         ["r_name", "n_name"]
     )
+
+
+def q_moving_sum(sf_dir: str, window: int = 3, num_parts: int = 16):
+    """ROWS-frame window: per-customer moving revenue sum over the current
+    + 2 preceding orders (``ROWS BETWEEN 2 PRECEDING AND CURRENT ROW``) —
+    completes the frame family (RANGE/unbounded running totals and
+    time-sliding windows exist; this is the bounded-row-count frame).
+
+    One coarse customer-key shuffle, then every customer in a partition is
+    resolved in a single vectorized pass: global cumsum minus the
+    window-shifted cumsum, with per-customer starts handled by clamping the
+    shifted index to each group's first row (no per-group Python).  Integer
+    cents -> hash-exact.  Output: o_orderkey, o_custkey, moving_cents."""
+    from .grouping import partitioned_apply
+
+    orders = read_sf(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+    )
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t.column("o_orderkey"),
+                "o_custkey": t.column("o_custkey"),
+                "date_us": pc.cast(t.column("o_orderdate"), pa.int64()),
+                "cents": _to_cents(t.column("o_totalprice")),
+            }
+        )
+
+    def _win(part: pd.DataFrame) -> pd.DataFrame:
+        df = part.sort_values(["o_custkey", "date_us", "o_orderkey"]).reset_index(
+            drop=True
+        )
+        cents = df["cents"].to_numpy(np.int64)
+        cum = np.concatenate([[0], np.cumsum(cents)])
+        pos = np.arange(len(df))
+        # first row index of each customer's run, broadcast to its rows
+        new_grp = np.concatenate(
+            [[True], df["o_custkey"].to_numpy()[1:] != df["o_custkey"].to_numpy()[:-1]]
+        )
+        grp_start = np.maximum.accumulate(np.where(new_grp, pos, 0))
+        lo = np.maximum(pos - (window - 1), grp_start)
+        moving = cum[pos + 1] - cum[lo]
+        return pd.DataFrame(
+            {
+                "o_orderkey": df["o_orderkey"].to_numpy(np.int64),
+                "o_custkey": df["o_custkey"].to_numpy(np.int64),
+                "moving_cents": moving.astype(np.int64),
+            }
+        )
+
+    prepped = orders.map_batches(_prep, batch_format="pyarrow")
+    return partitioned_apply(prepped, "o_custkey", _win, num_parts=num_parts).sort(
+        "o_orderkey"
+    )
+
+
+def q_group_stats(sf_dir: str):
+    """Exact statistical-aggregate partials per nation: n, sum and sum of
+    squares of customer balances in WHOLE DOLLARS (floor) — the integer
+    faces from which mean/variance/stddev are exactly derivable by any
+    consumer (emitting float variance directly would be summation-order
+    fragile; dollar-scaled squares keep sumsq far from int64 overflow even
+    at 10^9 rows x 10^4-dollar balances ~ 1e17).  One combiner per batch +
+    one C-path Sum groupby — the canonical algebraic-aggregate shape."""
+
+    cust = read_sf(sf_dir, "customer", columns=["c_nationkey", "c_acctbal"])
+
+    def _partials(t: pa.Table) -> pa.Table:
+        dollars = pc.cast(pc.floor(t.column("c_acctbal")), pa.int64())
+        df = pd.DataFrame(
+            {
+                "c_nationkey": t.column("c_nationkey").to_numpy(),
+                "d": dollars.to_numpy(zero_copy_only=False),
+            }
+        )
+        df["d2"] = df["d"] * df["d"]
+        g = df.groupby("c_nationkey", sort=False).agg(
+            n=("d", "size"), sum_dollars=("d", "sum"), sumsq_dollars=("d2", "sum")
+        ).reset_index()
+        for c in ("n", "sum_dollars", "sumsq_dollars"):
+            g[c] = g[c].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _key_dtype(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("c_nationkey"),
+            "c_nationkey",
+            pc.cast(t.column("c_nationkey"), pa.int32()),
+        )
+
+    return (
+        cust.map_batches(_partials, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sum_dollars", alias_name="sum_dollars"),
+            Sum("sumsq_dollars", alias_name="sumsq_dollars"),
+        )
+        .map_batches(_key_dtype, batch_format="pyarrow")
+        .sort("c_nationkey")
+    )
