@@ -610,6 +610,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_length_filter": lambda sf: textstats.length_filter(_docs(sf)),
         "q_moving_sum": relational.q_moving_sum,
         "q_group_stats": relational.q_group_stats,
+        "q_corr_partials": relational.q_corr_partials,
     }
 
 
@@ -1529,5 +1530,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(d) AS BIGINT) AS sum_dollars,
                    CAST(SUM(d * d) AS BIGINT) AS sumsq_dollars
             FROM c GROUP BY c_nationkey ORDER BY c_nationkey
+        """,
+        "q_corr_partials": """
+            WITH e AS (
+                SELECT event_type,
+                       CAST(floor(value * 100) AS BIGINT) AS x,
+                       CAST(EXTRACT(hour FROM ts) AS BIGINT) AS y
+                FROM events
+            )
+            SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx,
+                   CAST(SUM(y * y) AS BIGINT) AS syy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy
+            FROM e GROUP BY event_type ORDER BY event_type
         """,
     }

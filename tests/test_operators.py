@@ -1844,3 +1844,27 @@ def test_group_stats_exact_partials(ray_session):
         assert out.loc[nat, "n"] == len(g)
         assert out.loc[nat, "sum_dollars"] == g["d"].sum()
         assert out.loc[nat, "sumsq_dollars"] == (g["d"] ** 2).sum()
+
+
+def test_corr_partials_derive_pearson(ray_session):
+    """The integer moments reproduce numpy's Pearson r when assembled."""
+    import pyarrow.parquet as pq
+
+    from unsupervised_ner_ray.stages.relational import q_corr_partials
+
+    out = q_corr_partials("/root/testdata/sf0.001").to_pandas().set_index("event_type")
+    ev = pq.read_table(
+        "/root/testdata/sf0.001/events.parquet", columns=["event_type", "ts", "value"]
+    ).to_pandas()
+    ev["x"] = np.floor(ev["value"] * 100).astype(np.int64)
+    ev["y"] = ev["ts"].dt.hour.astype(np.int64)
+    for et, g in ev.groupby("event_type"):
+        r = out.loc[et]
+        n, sx, sy, sxx, syy, sxy = (
+            r["n"], r["sx"], r["sy"], r["sxx"], r["syy"], r["sxy"]
+        )
+        cov = n * sxy - sx * sy
+        den = np.sqrt(float(n * sxx - sx * sx)) * np.sqrt(float(n * syy - sy * sy))
+        got = cov / den
+        want = np.corrcoef(g["x"], g["y"])[0, 1]
+        assert abs(got - want) < 1e-9

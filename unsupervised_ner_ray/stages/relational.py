@@ -1386,3 +1386,52 @@ def q_group_stats(sf_dir: str):
         .map_batches(_key_dtype, batch_format="pyarrow")
         .sort("c_nationkey")
     )
+
+
+def q_corr_partials(sf_dir: str):
+    """Bivariate statistics partials per event_type: the exact integer
+    moments (n, sx, sy, sxx, syy, sxy) between event value (cents) and
+    hour-of-day from which Pearson correlation / covariance / regression
+    slope are exactly derivable by any consumer — the distributed
+    CORR/COVAR face without float summation-order fragility.  Combiner per
+    batch + one C-path Sum groupby; scales like any algebraic aggregate."""
+    ev = read_sf(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def _partials(t: pa.Table) -> pa.Table:
+        x = _to_cents(t.column("value")).to_numpy(zero_copy_only=False)
+        hours = pc.hour(t.column("ts")).to_numpy(zero_copy_only=False).astype(np.int64)
+        df = pd.DataFrame(
+            {
+                "event_type": t.column("event_type").to_pandas(),
+                "x": x,
+                "y": hours,
+            }
+        )
+        df["xx"] = df["x"] * df["x"]
+        df["yy"] = df["y"] * df["y"]
+        df["xy"] = df["x"] * df["y"]
+        g = (
+            df.groupby("event_type", sort=False)
+            .agg(
+                n=("x", "size"), sx=("x", "sum"), sy=("y", "sum"),
+                sxx=("xx", "sum"), syy=("yy", "sum"), sxy=("xy", "sum"),
+            )
+            .reset_index()
+        )
+        for c in ("n", "sx", "sy", "sxx", "syy", "sxy"):
+            g[c] = g[c].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    return (
+        ev.map_batches(_partials, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"),
+            Sum("sxy", alias_name="sxy"),
+        )
+        .sort("event_type")
+    )
