@@ -611,6 +611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_moving_sum": relational.q_moving_sum,
         "q_group_stats": relational.q_group_stats,
         "q_corr_partials": relational.q_corr_partials,
+        "q_event_paths": relational.q_event_paths,
     }
 
 
@@ -1544,5 +1545,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(y * y) AS BIGINT) AS syy,
                    CAST(SUM(x * y) AS BIGINT) AS sxy
             FROM e GROUP BY event_type ORDER BY event_type
+        """,
+        "q_event_paths": """
+            WITH s AS (
+                SELECT user_id, event_type,
+                       LEAD(event_type, 1) OVER w AS t2,
+                       LEAD(event_type, 2) OVER w AS t3
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT event_type || '>' || t2 || '>' || t3 AS path,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM s WHERE t3 IS NOT NULL
+            GROUP BY path ORDER BY n DESC, path LIMIT 20
         """,
     }

@@ -1868,3 +1868,32 @@ def test_corr_partials_derive_pearson(ray_session):
         got = cov / den
         want = np.corrcoef(g["x"], g["y"])[0, 1]
         assert abs(got - want) < 1e-9
+
+
+def test_event_paths_trigrams(ray_session):
+    """Consecutive 3-event paths stay within a user and count globally."""
+    import pyarrow as pa
+
+    rd = _rd()
+    import unsupervised_ner_ray.stages.relational as R
+
+    def row(i, uid, t, et):
+        return {
+            "event_id": i,
+            "user_id": uid,
+            "ts": pd.Timestamp(2024, 1, 1, 0, 0, t),
+            "event_type": et,
+        }
+
+    rows = [row(i, 1, i, et) for i, et in enumerate(["a", "b", "c", "b", "c"])]
+    rows += [row(10 + i, 2, i, et) for i, et in enumerate(["a", "b", "c"])]
+    tbl = pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+    orig = R.read_sf
+    try:
+        R.read_sf = lambda sf, t, columns=None: rd.from_arrow(tbl)
+        out = R.q_event_paths("ignored").to_pandas()
+    finally:
+        R.read_sf = orig
+    got = dict(zip(out["path"], out["n"]))
+    # user1: a>b>c, b>c>b, c>b>c ; user2: a>b>c  -> a>b>c twice, no cross-user
+    assert got == {"a>b>c": 2, "b>c>b": 1, "c>b>c": 1}

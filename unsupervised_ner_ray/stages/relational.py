@@ -1435,3 +1435,56 @@ def q_corr_partials(sf_dir: str):
         )
         .sort("event_type")
     )
+
+
+def q_event_paths(sf_dir: str, k: int = 20, num_parts: int = 16):
+    """Sequential path mining: the top-``k`` most frequent 3-event
+    event_type paths (consecutive by time within a user) — the classic
+    clickstream/journey primitive behind funnel discovery.
+
+    Shape: one coarse user-key shuffle, then each partition extracts ALL
+    its users' trigrams in one vectorized pass (sort by (user, ts, id),
+    shift-compare the user column for 3-row runs, string-join the type
+    columns) and pre-counts them (combiner); a small groupby Sum over
+    distinct paths + deterministic (count desc, path asc) top-k.  The
+    corpus never shuffles twice — only (path, partial-count) rows do.
+    Output: path, n."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from .grouping import partitioned_apply
+
+    ev = read_sf(sf_dir, "events", columns=["user_id", "ts", "event_id", "event_type"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t.column("user_id"),
+                "ts_us": pc.cast(t.column("ts"), pa.int64()),
+                "event_id": t.column("event_id"),
+                "event_type": t.column("event_type"),
+            }
+        )
+
+    def _tri(part: pd.DataFrame) -> pd.DataFrame:
+        df = part.sort_values(["user_id", "ts_us", "event_id"]).reset_index(drop=True)
+        u = df["user_id"].to_numpy()
+        if len(df) < 3:
+            return pd.DataFrame({"path": pd.Series([], dtype=object),
+                                 "n": pd.Series([], dtype=np.int64)})
+        same3 = (u[:-2] == u[1:-1]) & (u[1:-1] == u[2:])
+        et = df["event_type"].to_numpy(dtype=object)
+        paths = (et[:-2] + ">" + et[1:-1] + ">" + et[2:])[same3]
+        vc = pd.Series(paths).value_counts()
+        return pd.DataFrame(
+            {"path": vc.index.to_numpy(dtype=object), "n": vc.to_numpy(np.int64)}
+        )
+
+    counted = (
+        partitioned_apply(
+            ev.map_batches(_prep, batch_format="pyarrow"), "user_id", _tri,
+            num_parts=num_parts,
+        )
+        .groupby("path")
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+    return counted.sort(["n", "path"], descending=[True, False]).limit(k)
