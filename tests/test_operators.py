@@ -1897,3 +1897,29 @@ def test_event_paths_trigrams(ray_session):
     got = dict(zip(out["path"], out["n"]))
     # user1: a>b>c, b>c>b, c>b>c ; user2: a>b>c  -> a>b>c twice, no cross-user
     assert got == {"a>b>c": 2, "b>c>b": 1, "c>b>c": 1}
+
+
+def test_two_hop_capped_wedges(ray_session):
+    """max_mid_neighbors bounds hub wedge work: capped estimates are lower
+    bounds of the uncapped sketch and identical away from the cap."""
+    rd = _rd()
+
+    from unsupervised_ner_ray.stages.kg import two_hop_counts_approx
+
+    # star hub h with 40 spokes + a small clique c0-c3
+    docs = [{"doc_id": i, "text": f"h s{i:02d}"} for i in range(40)]
+    docs += [{"doc_id": 100 + i, "text": f"c{i} c{(i + 1) % 4}"} for i in range(4)]
+    ds = rd.from_items(docs).repartition(4).materialize()
+    full = two_hop_counts_approx(ds).to_pandas().set_index("node")["n_two_hop"]
+    capped = (
+        two_hop_counts_approx(ds, max_mid_neighbors=10)
+        .to_pandas()
+        .set_index("node")["n_two_hop"]
+    )
+    # spokes' 2-hop sets shrink under the cap (hub mid truncated to 10)
+    assert capped.reindex(full.index).fillna(0.0).le(full + 0.5).all()
+    spoke_caps = capped[capped.index.str.startswith("s")]
+    assert (spoke_caps <= 10).all()
+    # clique nodes (mid degree 2, far below the cap) are unaffected
+    for c in ("c0", "c1", "c2", "c3"):
+        assert capped.get(c, 0) == full.get(c, 0)

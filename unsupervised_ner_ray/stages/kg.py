@@ -1158,16 +1158,24 @@ def two_hop_counts(docs):
     )
 
 
-def two_hop_counts_approx(docs):
+def two_hop_counts_approx(docs, max_mid_neighbors: int | None = None):
     """Sketched variant of :func:`two_hop_counts` — per-node HLL distinct
     counts over the SAME wedge stream, the at-scale path named in the exact
     operator's docstring made real: the global distinct-pair groupby (the
     exact form's widest shuffle — pair rows) is replaced by mergeable
     2^p-byte HLL sketches per node, so the reduce payload is node-bounded
     regardless of how many 2-hop pairs exist.  Per-partition pair dedup and
-    the direct-edge exclusion are shared with the exact path.  Output:
-    node, n_two_hop (float64 estimate), sorted; accuracy pinned ~3% by
-    test."""
+    the direct-edge exclusion are shared with the exact path.
+
+    ``max_mid_neighbors`` additionally bounds WEDGE GENERATION (the part
+    the sketch cannot bound — inherently sum-deg² around hub mids): a mid
+    with more neighbors contributes wedges from a deterministic
+    lexicographic-prefix sample of them, capping per-mid work at
+    O(cap²).  This is a documented RECALL knob (estimates become lower
+    bounds around hubs), not an unbiased estimator — the right trade on
+    hub-heavy graphs where the hub's 2-hop set is near-global anyway.
+    Output: node, n_two_hop (float64 estimate), sorted; accuracy pinned
+    ~3% (uncapped) by test."""
     from .grouping import partitioned_apply
     from .joins import hll_distinct_by_group
 
@@ -1192,6 +1200,8 @@ def two_hop_counts_approx(docs):
         us, ws = [], []
         for _mid, grp in part.groupby("mid", sort=False):
             nbrs = np.sort(grp["nbr"].to_numpy(dtype=object))
+            if max_mid_neighbors is not None and len(nbrs) > max_mid_neighbors:
+                nbrs = nbrs[:max_mid_neighbors]  # deterministic prefix sample
             if len(nbrs) < 2:
                 continue
             i, j = np.triu_indices(len(nbrs), k=1)
