@@ -401,6 +401,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return hll_distinct_by_group(ev, "day", "user_id")
 
+    def q_tdigest_by_type(sf_dir: str):
+        from unsupervised_ner_ray.sources.io import read_sf
+        from unsupervised_ner_ray.stages.joins import tdigest_quantiles_by_group
+
+        ev = read_sf(sf_dir, "events", columns=["event_type", "value"])
+        return tdigest_quantiles_by_group(ev, "event_type", "value")
+
     def q_kmeans(sf_dir: str):
         from unsupervised_ner_ray.sources.io import read_sf
 
@@ -587,6 +594,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hll_users": q_hll_users,
         "q_hll_users_by_day": q_hll_users_by_day,
         "q_tdigest_quantiles": q_tdigest_quantiles,
+        "q_tdigest_by_type": q_tdigest_by_type,  # per-group sketch: rows-only
         "q_langid": lambda sf: textstats.langid(_docs(sf)),  # heuristic: rows-only
         "q_frame_sample": q_frame_sample,  # real AVI container scan: rows-only
         # round-3b: inverted index + posting stats, hash split assignment,

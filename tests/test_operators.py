@@ -1923,3 +1923,26 @@ def test_two_hop_capped_wedges(ray_session):
     # clique nodes (mid degree 2, far below the cap) are unaffected
     for c in ("c0", "c1", "c2", "c3"):
         assert capped.get(c, 0) == full.get(c, 0)
+
+
+def test_tdigest_by_group_accuracy(ray_session):
+    """Per-group t-digest medians/p90s stay within ~2% relative of exact
+    per-group quantiles across many blocks."""
+    rd = _rd()
+
+    from unsupervised_ner_ray.stages.joins import tdigest_quantiles_by_group
+
+    rng = np.random.default_rng(9)
+    rows = pd.DataFrame(
+        {
+            "g": [f"g{int(i % 4)}" for i in range(40000)],
+            "v": rng.lognormal(3.0, 1.0, 40000),
+        }
+    )
+    ds = rd.from_pandas(rows).repartition(16)
+    est = tdigest_quantiles_by_group(ds, "g", "v").to_pandas().set_index("group")
+    for g, grp in rows.groupby("g"):
+        for q, col in ((0.5, "p50"), (0.9, "p90")):
+            want = float(np.quantile(grp["v"], q))
+            assert abs(est.loc[g, col] - want) / want < 0.02
+        assert est.loc[g, "n"] == len(grp)

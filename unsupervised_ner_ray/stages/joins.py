@@ -837,3 +837,94 @@ def q_quantiles_by_nation(sf_dir: str, qs=(0.25, 0.5, 0.75), num_parts: int = 8)
     return partitioned_apply(hist, "c_nationkey", _resolve, num_parts=num_parts).sort(
         "c_nationkey"
     )
+
+
+def _tdigest_finalize(means: np.ndarray, weights: np.ndarray, qs, delta: int):
+    """Merge + compress concatenated centroids and interpolate quantiles —
+    shared finalize for the global and per-group t-digest forms."""
+    order = np.argsort(means, kind="mergesort")
+    means, weights = means[order], weights[order]
+    total = float(weights.sum())
+    out_m: list[float] = []
+    out_w: list[float] = []
+    cur_m, cur_w, cum = means[0], weights[0], 0.0
+    for m, w in zip(means[1:], weights[1:]):
+        q_mid = (cum + cur_w / 2.0) / total
+        if cur_w + w <= 4.0 * total * q_mid * (1.0 - q_mid) / delta:
+            cur_m = (cur_m * cur_w + m * w) / (cur_w + w)
+            cur_w += w
+        else:
+            out_m.append(cur_m)
+            out_w.append(cur_w)
+            cum += cur_w
+            cur_m, cur_w = m, w
+    out_m.append(cur_m)
+    out_w.append(cur_w)
+    cm, cw = np.asarray(out_m), np.asarray(out_w)
+    mid = np.cumsum(cw) - cw / 2.0
+    return {q: float(np.interp(q * total, mid, cm)) for q in qs}, int(total)
+
+
+def tdigest_quantiles_by_group(
+    ds, group_col: str, col: str, qs=(0.5, 0.9), delta: int = 128,
+    num_parts: int = 16,
+):
+    """Approximate quantiles PER GROUP via mergeable centroid sketches —
+    the grouped face of :func:`tdigest_quantiles`, for group counts /
+    cardinalities where the exact per-group sort would shuffle every row.
+
+    Per batch: each group present in the batch reduces to <= ``delta``
+    equal-weight centroids (sort + ``np.add.reduceat``) — a per-GROUP
+    combiner loop bounded by groups-per-batch, not rows.  One coarse hash
+    shuffle moves only (group, means, counts) sketch rows;
+    ``partitioned_map_groups`` merges each group's centroids with the
+    shared compression pass and interpolates.  Output: (group,
+    p<q> columns, n) — approximate by construction (rows-only check)."""
+    from .grouping import partitioned_map_groups
+
+    def _sketch(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "g": t.column(group_col).to_pandas(),
+                "v": t.column(col).to_numpy(zero_copy_only=False).astype(
+                    np.float64
+                ),
+            }
+        ).dropna()
+        gs, means, counts = [], [], []
+        for g, grp in df.groupby("g", sort=False):
+            v = np.sort(grp["v"].to_numpy())
+            n = len(v)
+            k = min(delta, n)
+            cuts = (np.arange(k, dtype=np.int64) * n) // k
+            sums = np.add.reduceat(v, cuts)
+            cnts = np.diff(np.append(cuts, n))
+            gs.append(g)
+            means.append((sums / cnts).tolist())
+            counts.append(cnts.tolist())
+        return pa.table(
+            {
+                "group": pa.array(gs),
+                "means": pa.array(means, pa.list_(pa.float64())),
+                "counts": pa.array(counts, pa.list_(pa.int64())),
+            }
+        )
+
+    sketches = ds.map_batches(_sketch, batch_format="pyarrow")
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        means = np.concatenate(
+            [np.asarray(m, dtype=np.float64) for m in df["means"]]
+        )
+        weights = np.concatenate(
+            [np.asarray(c, dtype=np.float64) for c in df["counts"]]
+        )
+        est, n = _tdigest_finalize(means, weights, qs, delta)
+        row = {"group": df["group"].iloc[0], "n": np.int64(n)}
+        for q in qs:
+            row[f"p{int(q * 100)}"] = est[q]
+        return pd.DataFrame([row])
+
+    return partitioned_map_groups(
+        sketches, "group", _merge, num_parts=num_parts
+    ).sort("group")
