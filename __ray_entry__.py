@@ -620,6 +620,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_group_stats": relational.q_group_stats,
         "q_corr_partials": relational.q_corr_partials,
         "q_event_paths": relational.q_event_paths,
+        "q_skyline": relational.q_skyline,
+        "q_value_histogram": relational.q_value_histogram,
+        "q_profile_orders": relational.q_profile_orders,
     }
 
 
@@ -1566,5 +1569,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) AS BIGINT) AS n
             FROM s WHERE t3 IS NOT NULL
             GROUP BY path ORDER BY n DESC, path LIMIT 20
+        """,
+        "q_skyline": """
+            WITH c AS (
+                SELECT cu.c_custkey,
+                       CAST(floor(cu.c_acctbal * 100) AS BIGINT) AS bal_cents,
+                       CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders
+                FROM customer cu
+                LEFT JOIN orders o ON o.o_custkey = cu.c_custkey
+                GROUP BY cu.c_custkey, cu.c_acctbal
+            )
+            SELECT c_custkey, bal_cents, n_orders FROM c t
+            WHERE NOT EXISTS (
+                SELECT 1 FROM c u
+                WHERE u.bal_cents >= t.bal_cents
+                  AND u.n_orders >= t.n_orders
+                  AND (u.bal_cents > t.bal_cents OR u.n_orders > t.n_orders)
+            )
+            ORDER BY c_custkey
+        """,
+        "q_value_histogram": """
+            SELECT bin, CAST(bin * 5000 AS BIGINT) AS lo_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM (SELECT CAST(floor(value * 100) AS BIGINT) // 5000 AS bin
+                  FROM events)
+            GROUP BY bin ORDER BY bin
+        """,
+        "q_profile_orders": """
+            WITH o AS (
+                SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+                       CAST(o_custkey AS BIGINT) AS o_custkey,
+                       CAST(floor(o_totalprice * 100) AS BIGINT)
+                           AS o_totalprice_cents,
+                       epoch_us(o_orderdate) AS o_orderdate_us
+                FROM orders
+            )
+            SELECT 'o_orderkey' AS col_name, CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_null,
+                   MIN(o_orderkey) AS min_v, MAX(o_orderkey) AS max_v FROM o
+            UNION ALL
+            SELECT 'o_custkey', COUNT(*), COUNT(*) - COUNT(o_custkey),
+                   MIN(o_custkey), MAX(o_custkey) FROM o
+            UNION ALL
+            SELECT 'o_totalprice_cents', COUNT(*),
+                   COUNT(*) - COUNT(o_totalprice_cents),
+                   MIN(o_totalprice_cents), MAX(o_totalprice_cents) FROM o
+            UNION ALL
+            SELECT 'o_orderdate_us', COUNT(*),
+                   COUNT(*) - COUNT(o_orderdate_us),
+                   MIN(o_orderdate_us), MAX(o_orderdate_us) FROM o
+            ORDER BY col_name
         """,
     }

@@ -1946,3 +1946,48 @@ def test_tdigest_by_group_accuracy(ray_session):
             want = float(np.quantile(grp["v"], q))
             assert abs(est.loc[g, col] - want) / want < 0.02
         assert est.loc[g, "n"] == len(grp)
+
+
+def test_pareto_max_dominance_rules():
+    """Skyline keep/drop under every tie shape: strict dominance drops,
+    equal pairs both survive, same-x lower-y drops, larger-x equal-y wins."""
+    from unsupervised_ner_ray.stages.relational import _pareto_max
+
+    df = pd.DataFrame(
+        {
+            "id": [1, 2, 3, 4, 5, 6],
+            "x": [10, 10, 10, 5, 5, 3],
+            "y": [7, 7, 4, 9, 7, 9],
+        }
+    )
+    out = _pareto_max(df, "x", "y")
+    # (10,7)x2 survive (tie, no strict dom); (10,4) dropped by (10,7);
+    # (5,9) survives (only beaten on x by rows with y<9); (5,7) dropped by
+    # (10,7) [x>, y=]; (3,9) dropped by (5,9) [x>, y=]
+    assert sorted(out["id"]) == [1, 2, 4]
+
+
+def test_value_histogram_and_profile(ray_session):
+    """Histogram bins cover every event exactly once; profile min/max/null
+    match direct computation."""
+    import pyarrow.parquet as pq
+
+    from unsupervised_ner_ray.stages.relational import (
+        q_profile_orders,
+        q_value_histogram,
+    )
+
+    hist = q_value_histogram("/root/testdata/sf0.001").to_pandas()
+    ev = pq.read_table("/root/testdata/sf0.001/events.parquet", columns=["value"]).to_pandas()
+    assert hist["n"].sum() == len(ev)
+    cents = np.floor(ev["value"] * 100).astype(np.int64)
+    assert set(hist["bin"]) == set(cents // 5000)
+
+    prof = q_profile_orders("/root/testdata/sf0.001").to_pandas().set_index("col_name")
+    od = pq.read_table("/root/testdata/sf0.001/orders.parquet").to_pandas()
+    assert prof.loc["o_orderkey", "n"] == len(od)
+    assert prof.loc["o_orderkey", "min_v"] == od["o_orderkey"].min()
+    assert prof.loc["o_totalprice_cents", "max_v"] == int(
+        np.floor(od["o_totalprice"] * 100).max()
+    )
+    assert (prof["n_null"] == 0).all()

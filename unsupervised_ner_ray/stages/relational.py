@@ -1488,3 +1488,176 @@ def q_event_paths(sf_dir: str, k: int = 20, num_parts: int = 16):
         .aggregate(_Sum("n", alias_name="n"))
     )
     return counted.sort(["n", "path"], descending=[True, False]).limit(k)
+
+
+def _pareto_max(df: pd.DataFrame, xcol: str, ycol: str) -> pd.DataFrame:
+    """Rows not dominated under (x bigger-better, y bigger-better):
+    sort by (x desc, y desc) then keep rows whose y strictly exceeds the
+    running max of all strictly-larger-x rows — one vectorized pass."""
+    d = df.sort_values([xcol, ycol], ascending=False, kind="mergesort").reset_index(
+        drop=True
+    )
+    x = d[xcol].to_numpy()
+    y = d[ycol].to_numpy()
+    lo = np.iinfo(np.int64).min
+    # same-x rows form contiguous blocks (sorted y desc within); a survivor
+    # must (a) tie its block's max y — any same-x row with larger y strictly
+    # dominates — and (b) strictly exceed the best y among all larger-x rows
+    # (a larger-x row with >= y dominates via the strict x)
+    best = np.maximum.accumulate(y)
+    prev_best = np.concatenate([[lo], best[:-1]])
+    new_x = np.concatenate([[True], x[1:] != x[:-1]])
+    block_start = np.maximum.accumulate(np.where(new_x, np.arange(len(d)), 0))
+    before_block = np.where(block_start > 0, prev_best[block_start], lo)
+    block_max = y[block_start]
+    keep = (y == block_max) & (y > before_block)
+    return d[keep]
+
+
+def q_skyline(sf_dir: str):
+    """SKYLINE (Pareto frontier): customers not dominated on (account
+    balance, order count) — no other customer has >= both with > in at
+    least one.  The classic multi-criteria operator.
+
+    Distribution is combiner-first and provably safe: the skyline of a
+    union is a subset of the union of per-block skylines, so each batch
+    prunes to its local frontier (tiny), and a single final pass over the
+    concatenated survivors computes the global frontier — the raw table
+    never shuffles, survivors are frontier-sized.  Balances compare in
+    integer cents.  Output: c_custkey, bal_cents, n_orders, sorted."""
+    cust = read_sf(sf_dir, "customer", columns=["c_custkey", "c_acctbal"])
+    orders = read_sf(sf_dir, "orders", columns=["o_custkey"])
+    counts = (
+        orders.groupby("o_custkey").aggregate(Count(alias_name="n_orders"))
+    )
+
+    def _cnt_carrier(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.table(
+                {"c_custkey": pa.array([], pa.int64()),
+                 "bal_cents": pa.array([], pa.int64()),
+                 "n_orders": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "c_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+                "bal_cents": pa.array(np.zeros(len(t), dtype=np.int64)),
+                "n_orders": pc.cast(t.column("n_orders"), pa.int64()),
+            }
+        )
+
+    def _cust_carrier(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": pc.cast(t.column("c_custkey"), pa.int64()),
+                "bal_cents": _to_cents(t.column("c_acctbal")),
+                "n_orders": pa.array(np.zeros(len(t), dtype=np.int64)),
+            }
+        )
+
+    merged = (
+        cust.map_batches(_cust_carrier, batch_format="pyarrow")
+        .union(counts.map_batches(_cnt_carrier, batch_format="pyarrow"))
+        .groupby("c_custkey")
+        .aggregate(
+            Sum("bal_cents", alias_name="bal_cents"),
+            Sum("n_orders", alias_name="n_orders"),
+        )
+    )
+
+    def _local_frontier(df: pd.DataFrame) -> pd.DataFrame:
+        return _pareto_max(
+            df[["c_custkey", "bal_cents", "n_orders"]], "bal_cents", "n_orders"
+        )
+
+    survivors = merged.map_batches(_local_frontier, batch_format="pandas").to_pandas()
+    out = _pareto_max(survivors, "bal_cents", "n_orders").copy()
+    for c in ("c_custkey", "bal_cents", "n_orders"):
+        out[c] = out[c].astype(np.int64)
+    return out.sort_values("c_custkey").reset_index(drop=True)
+
+
+def q_value_histogram(sf_dir: str, bin_cents: int = 5000):
+    """Equi-width value histogram of event values — bin = floor(cents / w):
+    the one-pass analytics primitive behind distribution dashboards.  Pure
+    combiner + one tiny C-path Sum groupby over (bin, count) partials; the
+    value stream never shuffles.  Output: bin, lo_cents, n."""
+    from ray.data.aggregate import Sum as _Sum
+
+    ev = read_sf(sf_dir, "events", columns=["value"])
+
+    def _bins(t: pa.Table) -> pa.Table:
+        cents = _to_cents(t.column("value")).to_numpy(zero_copy_only=False)
+        b = cents // bin_cents
+        ub, n = np.unique(b, return_counts=True)
+        return pa.table(
+            {"bin": pa.array(ub.astype(np.int64)), "n": pa.array(n.astype(np.int64))}
+        )
+
+    agg = (
+        ev.map_batches(_bins, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(_Sum("n", alias_name="n"))
+    )
+
+    def _lo(t: pa.Table) -> pa.Table:
+        b = t.column("bin").to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "lo_cents", pa.array((b * bin_cents).astype(np.int64))
+        )
+
+    return agg.map_batches(_lo, batch_format="pyarrow").sort("bin")
+
+
+def q_profile_orders(sf_dir: str):
+    """One-pass data profiling of the orders table: per numeric column the
+    row/null counts and integer-domain min/max (dates as epoch-us, money as
+    cents) — the schema-sanity stage every ingest pipeline runs first.
+    Per-batch partials (one tiny row per column per batch) merge under a
+    Min/Max/Sum groupby; the table streams once.  Output: col_name, n,
+    n_null, min_v, max_v."""
+    from ray.data.aggregate import Max, Min
+    from ray.data.aggregate import Sum as _Sum
+
+    orders = read_sf(
+        sf_dir, "orders",
+        columns=["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"],
+    )
+
+    def _partials(t: pa.Table) -> pa.Table:
+        cols = {
+            "o_orderkey": pc.cast(t.column("o_orderkey"), pa.int64()),
+            "o_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+            "o_totalprice_cents": _to_cents(t.column("o_totalprice")),
+            "o_orderdate_us": pc.cast(t.column("o_orderdate"), pa.int64()),
+        }
+        names, ns, nulls, mins, maxs = [], [], [], [], []
+        for name, arr in cols.items():
+            names.append(name)
+            ns.append(len(arr))
+            nulls.append(arr.null_count)
+            v = arr.to_numpy(zero_copy_only=False)
+            v = v[~pd.isna(v)] if arr.null_count else v
+            mins.append(int(v.min()) if len(v) else np.iinfo(np.int64).max)
+            maxs.append(int(v.max()) if len(v) else np.iinfo(np.int64).min)
+        return pa.table(
+            {
+                "col_name": pa.array(names, pa.string()),
+                "n": pa.array(ns, pa.int64()),
+                "n_null": pa.array(nulls, pa.int64()),
+                "min_v": pa.array(mins, pa.int64()),
+                "max_v": pa.array(maxs, pa.int64()),
+            }
+        )
+
+    return (
+        orders.map_batches(_partials, batch_format="pyarrow")
+        .groupby("col_name")
+        .aggregate(
+            _Sum("n", alias_name="n"),
+            _Sum("n_null", alias_name="n_null"),
+            Min("min_v", alias_name="min_v"),
+            Max("max_v", alias_name="max_v"),
+        )
+        .sort("col_name")
+    )
