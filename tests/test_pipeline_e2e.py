@@ -167,3 +167,55 @@ def test_join_based_ensemble_matches_fused(ray_session):
         ftr = [tuple(sorted(t.items())) for t in fused["triples"][i]]
         strr = [tuple(sorted(t.items())) for t in split["triples"][i]]
         assert ftr == strr
+
+
+def test_dataprep_stage_checkpoint_resume(ray_session, tmp_path):
+    """Stage-level checkpoint for the corpus-wide dataprep composite:
+    output equals the uncheckpointed pipeline, completed stages are skipped
+    on resume, and a lost stage-2 checkpoint reruns ONLY stage 2 (stage 1
+    is read back from its parquet, not recomputed)."""
+    import json
+
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from unsupervised_ner_ray.pipelines.dataprep import (
+        run_dataprep,
+        run_dataprep_checkpointed,
+    )
+    from unsupervised_ner_ray.sources.io import read_sf
+
+    sf = "/root/testdata/sf0.001"
+    docs_path = os.path.join(sf, "documents.parquet")
+    out_root = str(tmp_path / "prep")
+    r1 = run_dataprep_checkpointed(docs_path, out_root)
+    assert r1["completed"] == ["survivors", "dataprep"] and r1["skipped"] == []
+    # marker bookkeeping
+    m = json.load(open(os.path.join(out_root, "_stage_survivors.json")))
+    assert m["rows"] > 0 and m["seconds"] >= 0
+    # equivalence with the single-pass pipeline
+    got = (
+        pq.read_table(os.path.join(out_root, "dataprep"))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    docs = read_sf(sf, "documents", columns=["doc_id", "text", "lang"])
+    want = (
+        run_dataprep(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got[want.columns], want)
+    # full resume: everything skipped
+    r2 = run_dataprep_checkpointed(docs_path, out_root)
+    assert r2["completed"] == [] and r2["skipped"] == ["survivors", "dataprep"]
+    # lose stage 2 -> only stage 2 reruns, result identical
+    os.remove(os.path.join(out_root, "_stage_dataprep.json"))
+    r3 = run_dataprep_checkpointed(docs_path, out_root)
+    assert r3["completed"] == ["dataprep"] and r3["skipped"] == ["survivors"]
+    got2 = (
+        pq.read_table(os.path.join(out_root, "dataprep"))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got2[want.columns], want)

@@ -158,3 +158,117 @@ def run_dataprep(
     return cut.sort("doc_id").select_columns(
         ["doc_id", "lang", "clean_text", "n_tokens", "cum_tokens"]
     )
+
+
+def run_dataprep_checkpointed(
+    docs_path: str,
+    out_root: str,
+    min_tokens: int = 5,
+    budget: int = 5_000,
+):
+    """STAGE-level checkpointed form of :func:`run_dataprep` — the resume
+    shape for CORPUS-WIDE pipelines, complementing the flagship's per-SHARD
+    manifest (`checkpoint.run_checkpointed`, which needs row-local work):
+    dedup components and the budget prefix-sum are global, so the unit of
+    resume is the completed STAGE, not an input shard.
+
+    Each stage writes its full output as parquet via the same atomic
+    tmp-dir + rename used by the shard manifest, then records a
+    ``_stage_<name>.json`` marker (rows, seconds).  On restart, completed
+    stages are SKIPPED and their outputs re-read from parquet — the stage
+    boundary is a real durability point (downstream work never re-runs
+    upstream compute), exactly how a killed `ray job submit` resumes a
+    multi-stage 100 TB run.
+
+    Stages: (1) ``survivors``  — quality >= min_tokens, PII/URL scrub,
+    near-dup losers dropped; (2) ``dataprep`` — token-budget prefix-sum cut
+    over the survivors.  Returns {"completed": [...], "skipped": [...],
+    "seconds": total}; final output parquet at ``<out_root>/dataprep``."""
+    import json
+    import os
+    import time
+
+    import ray.data as rd
+
+    from ..stages.dedup import dedup_resolve_runs
+    from ..stages.textstats import quality_scores, scrub_pii
+    from .checkpoint import atomic_write_parquet, clean_tmp_dirs
+
+    os.makedirs(out_root, exist_ok=True)
+    clean_tmp_dirs(out_root)
+
+    def _marker(name: str) -> str:
+        return os.path.join(out_root, f"_stage_{name}.json")
+
+    def _done(name: str) -> bool:
+        return os.path.exists(_marker(name)) and os.path.isdir(
+            os.path.join(out_root, name)
+        )
+
+    def _commit(name: str, ds) -> int:
+        t0 = time.time()
+        rows = atomic_write_parquet(ds, os.path.join(out_root, name))
+        with open(_marker(name), "w") as f:
+            json.dump(
+                {"stage": name, "rows": rows, "seconds": round(time.time() - t0, 3)},
+                f,
+            )
+        return rows
+
+    completed, skipped = [], []
+    t_start = time.time()
+
+    # stage 1: survivors (quality + scrub + dedup-loss filter)
+    if _done("survivors"):
+        skipped.append("survivors")
+    else:
+        docs = rd.read_parquet(docs_path)
+        q = quality_scores(docs).select_columns(["doc_id", "n_tokens"])
+        s = scrub_pii(docs).select_columns(["doc_id", "clean_text"])
+        langs = docs.select_columns(["doc_id", "lang"])
+        drop = dedup_resolve_runs(docs)
+
+        def _drop_rows(df: pd.DataFrame) -> pd.DataFrame:
+            keep = df[~df["keep"]]
+            return pd.DataFrame(
+                {"doc_id": keep["doc_id"].to_numpy().astype(np.int64)}
+            )
+
+        dropped = drop.map_batches(_drop_rows, batch_format="pandas")
+        base = langs.join(q, join_type="inner", num_partitions=8, on=("doc_id",)).join(
+            s, join_type="inner", num_partitions=8, on=("doc_id",)
+        )
+        survivors = base.join(
+            dropped.map_batches(
+                lambda df: df.assign(_dup=np.int8(1)), batch_format="pandas"
+            ),
+            join_type="left_outer",
+            num_partitions=8,
+            on=("doc_id",),
+        )
+
+        def _filter(df: pd.DataFrame) -> pd.DataFrame:
+            out = df[(df["_dup"].isna()) & (df["n_tokens"] >= min_tokens)].copy()
+            out = out.drop(columns=["_dup"])
+            out["n_tokens"] = out["n_tokens"].astype(np.int64)
+            return out
+
+        _commit("survivors", survivors.map_batches(_filter, batch_format="pandas"))
+        completed.append("survivors")
+
+    # stage 2: budget cut, READ FROM the stage-1 parquet (the checkpoint)
+    if _done("dataprep"):
+        skipped.append("dataprep")
+    else:
+        kept = rd.read_parquet(os.path.join(out_root, "survivors"))
+        cut = token_budget_filter(kept, budget=budget).sort("doc_id").select_columns(
+            ["doc_id", "lang", "clean_text", "n_tokens", "cum_tokens"]
+        )
+        _commit("dataprep", cut)
+        completed.append("dataprep")
+
+    return {
+        "completed": completed,
+        "skipped": skipped,
+        "seconds": round(time.time() - t_start, 3),
+    }
