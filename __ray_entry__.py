@@ -188,6 +188,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         codebook = similarity.train_ivf_codebook(emb, n_clusters=8)
         return similarity.ivf_topk(emb, queries_m, codebook, k=10, nprobe=3)
 
+    def q_weighted_sample(sf_dir: str):
+        from unsupervised_ner_ray.sources.io import read_sf
+
+        return textstats.weighted_sample(
+            read_sf(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"]), n=50
+        )
+
+    def q_pq_topk(sf_dir: str):
+        # product-quantization ANN: codebook train -> uint8 encode -> ADC
+        # top-k over the code table only (approximate by construction:
+        # rows-only; recall-vs-brute-force pinned by test)
+        import numpy as np
+
+        from unsupervised_ner_ray.sources.io import read_sf
+
+        emb = read_sf(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        qdf = emb.filter(lambda r: r["vec_id"] < 3).to_pandas().sort_values("vec_id")
+        queries_m = np.array([np.array(v) for v in qdf["embedding"]], dtype=np.float64)
+        books = similarity.train_pq_codebooks(emb, sample_frac=1.0)
+        codes = similarity.pq_encode(emb, books)
+        return similarity.pq_topk(codes, books, queries_m, k=10)
+
     def q_ner_tags(sf_dir: str):
         # oracle-backed via the token-tag dump: per-(doc, span) token count
         # and B_-prefix entity count, one distributed C-path groupby; DuckDB
@@ -519,6 +541,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_decontaminate": lambda sf: dedup.decontaminate(_docs(sf)),
         "q_chunk_dedup": lambda sf: dedup.chunk_dedup(_docs(sf)),
         "q_mixture_sample": q_mixture_sample,
+        # round-3c: weighted sampling without replacement (A-Res exponential
+        # keys, distributed top-n) and boilerplate n-gram detection (hot-df
+        # shingle broadcast) — both SQL-oracled
+        "q_weighted_sample": q_weighted_sample,
+        "q_boilerplate": lambda sf: textstats.boilerplate_scores(
+            _docs(sf), shingle_k=3, min_df=3
+        ),
         "q_pack_sequences": q_pack_sequences,
         "q_unigram_lm": lambda sf: textstats.unigram_lm_scores(_docs(sf)),
         # engine-new fast-hash dedup variant (no SQL twin: 64-bit
@@ -609,6 +638,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_two_hop": lambda sf: kg.two_hop_counts(_docs(sf)),
         # sketched 2-hop (per-node HLL): approximate by construction, rows-only
         "q_two_hop_approx": lambda sf: kg.two_hop_counts_approx(_docs(sf)),
+        # product-quantization ANN (approximate; recall pinned by test)
+        "q_pq_topk": q_pq_topk,
         "q_gap_fill": relational.q_gap_fill,
         "q_cross_join": relational.q_cross_join,
         "q_unpivot_stats": lambda sf: textstats.unpivot_stats(_docs(sf)),
@@ -1056,6 +1087,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, lang FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '14'
             ORDER BY doc_id
+        """,
+        # A-Res weighted sampling: identical exponential key ln(u)/w with
+        # u = (md5-32bit + 1) / 2^32; top-50 by key, output sorted by doc_id
+        "q_weighted_sample": """
+            SELECT doc_id, lang, n_chars FROM (
+                SELECT doc_id, lang, n_chars,
+                       ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT + 1)
+                          / 4294967296.0) / n_chars AS key
+                FROM documents WHERE n_chars > 0
+                ORDER BY key DESC, doc_id LIMIT 50
+            ) ORDER BY doc_id
+        """,
+        # boilerplate trigram detection: per-doc total trigram positions and
+        # positions whose trigram has corpus doc-frequency >= 3
+        "q_boilerplate": """
+            WITH t AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS toks
+                FROM documents
+            ), g AS (
+                SELECT doc_id, unnest(range(1, len(toks) - 1)) AS i, toks
+                FROM t WHERE len(toks) >= 3
+            ), sh AS (
+                SELECT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+                FROM g
+            ), hot AS (
+                SELECT s FROM sh GROUP BY s HAVING COUNT(DISTINCT doc_id) >= 3
+            )
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+                   CAST(SUM(CASE WHEN s IN (SELECT s FROM hot) THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_boiler
+            FROM sh GROUP BY doc_id ORDER BY doc_id
         """,
         "q_heavy_hitters": f"""
             SELECT token, COUNT(*) AS n FROM (

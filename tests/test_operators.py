@@ -1991,3 +1991,100 @@ def test_value_histogram_and_profile(ray_session):
         np.floor(od["o_totalprice"] * 100).max()
     )
     assert (prof["n_null"] == 0).all()
+
+
+# ---------------------------------------------------------------- round-3c ops
+
+
+def test_weighted_sample_ares_keys(ray_session):
+    """A-Res exponential-key weighted sampling: matches a local numpy
+    re-derivation of ln(u)/w top-n exactly, and heavier docs are
+    overrepresented relative to uniform."""
+    import hashlib
+
+    from unsupervised_ner_ray.sources.io import read_sf
+    from unsupervised_ner_ray.stages.textstats import weighted_sample
+
+    docs = read_sf(SF, "documents", columns=["doc_id", "lang", "n_chars"])
+    got = weighted_sample(docs, n=40).to_pandas().reset_index(drop=True)
+
+    ref = pd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "lang", "n_chars"])
+    h = ref["doc_id"].map(lambda i: int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16))
+    u = (h + 1.0) / 2**32
+    key = np.log(u) / ref["n_chars"].to_numpy()
+    exp = (
+        ref.assign(key=key)
+        .query("n_chars > 0")
+        .sort_values(["key", "doc_id"], ascending=[False, True])
+        .head(40)
+        .drop(columns="key")
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, exp)
+    # weighting sanity: sampled docs should skew longer than the corpus mean
+    assert got["n_chars"].mean() > ref["n_chars"].mean() * 0.9
+
+
+def test_boilerplate_hot_shingles(ray_session):
+    """Planted boilerplate footer appears in every doc -> hot; unique bodies
+    stay cold; counts are position-exact."""
+    rd = _rd()
+    footer = "subscribe to our newsletter now"
+    items = [
+        {"doc_id": i, "text": f"unique body {i} words here {footer}"} for i in range(5)
+    ]
+    items.append({"doc_id": 99, "text": "too short"})  # < 3 tokens after split? 2 tokens
+    docs = rd.from_items(items)
+    from unsupervised_ner_ray.stages.textstats import boilerplate_scores
+
+    out = boilerplate_scores(docs, shingle_k=3, min_df=3).to_pandas()
+    out = out.set_index("doc_id")
+    # doc 99 has 2 tokens -> no trigram rows at all
+    assert 99 not in out.index
+    for i in range(5):
+        # 10 tokens -> 8 trigram positions; the footer contributes its 3
+        # internal trigrams ('subscribe to our', 'to our newsletter',
+        # 'our newsletter now') shared by all docs; 'here subscribe to' and
+        # 'words here subscribe' also repeat across docs (df=5 >= 3)
+        assert out.loc[i, "n_shingles"] == 8
+        assert out.loc[i, "n_boiler"] == 5
+
+
+def test_pq_topk_recall_and_determinism(ray_session):
+    """PQ ADC top-k: recall@10 vs exact L2 is usable on the synthetic
+    embeddings, self-hit ranks first, and the whole path is deterministic."""
+    from unsupervised_ner_ray.sources.io import read_sf
+    from unsupervised_ner_ray.stages.similarity import (
+        pq_encode,
+        pq_topk,
+        train_pq_codebooks,
+    )
+
+    emb = read_sf(SF, "embeddings", columns=["vec_id", "embedding"])
+    epd = pd.read_parquet(f"{SF}/embeddings.parquet")
+    X = np.stack([np.asarray(v) for v in epd["embedding"]]).astype(np.float64)
+    ids = epd["vec_id"].to_numpy()
+    Q = X[:3]
+
+    books = train_pq_codebooks(emb, sample_frac=1.0)
+    assert books.shape == (16, 64, 4)
+    codes = pq_encode(emb, books)
+    cpd = codes.to_pandas()
+    assert len(cpd) == len(epd)
+    assert all(len(c) == 16 for c in cpd["codes"].head(20))
+
+    out = pq_topk(codes, books, Q, k=10).to_pandas()
+    out2 = pq_topk(codes, books, Q, k=10).to_pandas()
+    pd.testing.assert_frame_equal(out, out2)
+
+    recalls = []
+    for qi in range(3):
+        d = ((X - Q[qi]) ** 2).sum(1)
+        exact = set(ids[np.argsort(d)[:10]].tolist())
+        got = out[out["query_idx"] == qi]
+        assert got["rank"].tolist() == list(range(1, 11))
+        # the query IS vector qi -> its own code distance is minimal
+        assert got.iloc[0]["vec_id"] == ids[qi]
+        recalls.append(len(exact & set(got["vec_id"].tolist())) / 10)
+    assert min(recalls) >= 0.4 and sum(recalls) / 3 >= 0.6, recalls

@@ -1042,3 +1042,153 @@ def length_filter(docs, pct: float = 0.99):
         )
 
     return stats.map_batches(_filter, batch_format="pyarrow").sort("doc_id")
+
+
+def weighted_sample(docs, n: int = 50, weight_col: str = "n_chars"):
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis A-Res
+    exponential keys), the distributed-top-n shape: every row gets a
+    deterministic key ``ln(u) / w`` with ``u = (h32(doc_id)+1) / 2^32``
+    derived from md5 (the repo-wide reproducible-sampling contract, same as
+    ``deterministic_sample``), and the n rows with the LARGEST key are the
+    sample.  Each batch keeps only its local top-n partial, so the merge
+    sees n_blocks x n scalar rows regardless of corpus size — no shuffle,
+    no driver materialization of the data.
+
+    The SQL oracle computes the identical key (DuckDB
+    ``('0x'||substr(md5(..),1,8))::UBIGINT`` reproduces the same 32-bit
+    integer), so the selected id set is hash-checked exactly.
+    """
+
+    def _partial(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_id": pa.array([], pa.int64()),
+                "lang": pa.array([], pa.string()),
+                "n_chars": pa.array([], pa.int64()),
+                "key": pa.array([], pa.float64()),
+            }
+        )
+        if len(t) == 0:
+            return empty
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        h = np.array(
+            [int(hashlib.md5(str(i).encode()).hexdigest()[:8], 16) for i in ids],
+            dtype=np.float64,
+        )
+        u = (h + 1.0) / 4294967296.0
+        keep = w > 0
+        key = np.full(len(ids), -np.inf)
+        key[keep] = np.log(u[keep]) / w[keep]
+        kk = min(int(n), int(keep.sum()))
+        if kk == 0:
+            return empty
+        idx = np.argpartition(-key, kth=kk - 1)[:kk]
+        out = t.select(["doc_id", "lang", weight_col]).take(pa.array(idx, pa.int64()))
+        return out.append_column("key", pa.array(key[idx], pa.float64()))
+
+    partials = docs.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    top = partials.sort_values(["key", "doc_id"], ascending=[False, True]).head(n)
+    import ray.data as rd
+
+    return rd.from_pandas(
+        top.drop(columns=["key"]).sort_values("doc_id").reset_index(drop=True)
+    )
+
+
+def boilerplate_scores(docs, shingle_k: int = 3, min_df: int = 3):
+    """Boilerplate detection: per doc, how many of its token ``shingle_k``-gram
+    positions are 'hot' n-grams (corpus document-frequency >= ``min_df``) —
+    the headers/footers/navigation-chrome signal every web-scale corpus
+    cleans on.  Two streaming passes, one small shuffle:
+
+    1. df pass — each batch emits per-doc DISTINCT shingles (a doc is one
+       row, so per-doc dedup is batch-local), groupby(shingle).Count gives
+       df.  Hot shingles (df >= min_df) are bounded by
+       total_pairs / min_df, so they broadcast via ``ray.put``.
+    2. score pass — each batch rebuilds its shingle stream (object-dtype
+       vectorized concat, no per-row Python loop) and counts hot hits per
+       doc with one searchsorted against the sorted hot array +
+       ``np.add.reduceat`` per doc segment.
+
+    Output: (doc_id, n_shingles, n_boiler) — integers, hash-exact vs the
+    SQL twin.
+    """
+    from ray.data.aggregate import Count
+
+    def _doc_shingles(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids_per_shingle, shingle_strings) for a batch, vectorized:
+        flatten tokens with a doc index (empty tokens masked out, matching
+        the SQL list_filter), elementwise object-concat the k shifted
+        views, and mask windows that cross doc boundaries."""
+        tok_lists = pc.split_pattern(t.column("text"), pattern=" ")
+        counts = pc.list_value_length(tok_lists).to_numpy(zero_copy_only=False)
+        raw = pc.list_flatten(tok_lists)
+        keep = pc.not_equal(raw, pa.scalar("")).to_numpy(zero_copy_only=False)
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        doc_of = np.repeat(np.arange(len(ids)), counts)[keep]
+        flat = np.asarray(raw.filter(pa.array(keep)).to_pylist(), dtype=object)
+        if flat.size < shingle_k:
+            return np.array([], dtype=np.int64), np.array([], dtype=object)
+        sh = flat[: flat.size - shingle_k + 1].copy()
+        for j in range(1, shingle_k):
+            sh = sh + " "
+            sh = sh + flat[j : flat.size - shingle_k + 1 + j]
+        ok = doc_of[: sh.size] == doc_of[shingle_k - 1 :]  # window inside one doc
+        return ids[doc_of[: sh.size][ok]], sh[ok]
+
+    def _df_pairs(t: pa.Table) -> pa.Table:
+        did, sh = _doc_shingles(t)
+        if sh.size == 0:
+            return pa.table({"s": pa.array([], pa.string())})
+        uniq = pd.DataFrame({"doc_id": did, "s": sh}).drop_duplicates()
+        return pa.table({"s": pa.array(uniq["s"], pa.string())})
+
+    df_tbl = (
+        docs.map_batches(_df_pairs, batch_format="pyarrow")
+        .groupby("s")
+        .aggregate(Count(alias_name="df"))
+    )
+    hot = df_tbl.filter(lambda r: r["df"] >= min_df).to_pandas()
+    hot_sorted = np.sort(hot["s"].to_numpy(dtype=object)) if len(hot) else np.array([], dtype=object)
+    hot_ref = ray.put(hot_sorted)
+
+    class _Score:
+        def __init__(self):
+            self.hot = ray.get(hot_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return pa.table(
+                    {
+                        "doc_id": pa.array([], pa.int64()),
+                        "n_shingles": pa.array([], pa.int64()),
+                        "n_boiler": pa.array([], pa.int64()),
+                    }
+                )
+            did, sh = _doc_shingles(t)
+            ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+            n_sh = np.zeros(len(ids), dtype=np.int64)
+            n_hot = np.zeros(len(ids), dtype=np.int64)
+            if sh.size:
+                pos = {int(v): i for i, v in enumerate(ids)}
+                seg = np.array([pos[int(d)] for d in did], dtype=np.int64)
+                np.add.at(n_sh, seg, 1)
+                if self.hot.size:
+                    loc = np.searchsorted(self.hot, sh)
+                    loc[loc >= self.hot.size] = self.hot.size - 1
+                    is_hot = self.hot[loc] == sh
+                    np.add.at(n_hot, seg[is_hot], 1)
+            keep = n_sh > 0  # docs shorter than k grams have no shingle rows in SQL
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids[keep], pa.int64()),
+                    "n_shingles": pa.array(n_sh[keep], pa.int64()),
+                    "n_boiler": pa.array(n_hot[keep], pa.int64()),
+                }
+            )
+
+    return (
+        docs.map_batches(_Score, batch_format="pyarrow", concurrency=(1, 4))
+        .sort("doc_id")
+    )
