@@ -133,6 +133,27 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("q_posting_stats", lambda: textstats.posting_stats(docs_tbl).to_pandas())
     timed("q_gap_fill", lambda: relational.q_gap_fill(sf_dir).to_pandas())
     timed("q_triangle_count", lambda: _kg.triangle_counts(docs_tbl).to_pandas())
+    timed(
+        "q_weighted_sample",
+        lambda: textstats.weighted_sample(
+            read_sf(sf_dir, "documents", columns=["doc_id", "lang", "n_chars"]), n=50
+        ).to_pandas(),
+    )
+    timed("q_boilerplate", lambda: textstats.boilerplate_scores(docs_tbl).to_pandas())
+
+    def _pq():
+        import numpy as np
+
+        from unsupervised_ner_ray.stages import similarity
+
+        emb = read_sf(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        qdf = emb.filter(lambda r: r["vec_id"] < 3).to_pandas()
+        q = np.array([np.array(v) for v in qdf["embedding"]], dtype=np.float64)
+        books = similarity.train_pq_codebooks(emb)
+        codes = similarity.pq_encode(emb, books)
+        return similarity.pq_topk(codes, books, q, k=10).to_pandas()
+
+    timed("q_pq_topk", _pq)
 
     return {
         "metric": "flagship_ner_kg",
