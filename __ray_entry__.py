@@ -548,6 +548,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_boilerplate": lambda sf: textstats.boilerplate_scores(
             _docs(sf), shingle_k=3, min_df=3
         ),
+        # round-3d: BM25 ranked retrieval (posting-bounded single scan,
+        # integer-micro per-term contributions so the per-doc sum is
+        # summation-order-free) and per-group z-score standardization
+        # (integer moment partials -> broadcast -> vectorized standardize)
+        "q_bm25": lambda sf: textstats.bm25_rank(_docs(sf)),
+        "q_zscore_balance": relational.q_zscore_balance,
         "q_pack_sequences": q_pack_sequences,
         "q_unigram_lm": lambda sf: textstats.unigram_lm_scores(_docs(sf)),
         # engine-new fast-hash dedup variant (no SQL twin: 64-bit
@@ -1119,6 +1125,60 @@ def oracle_sql() -> dict[str, str]:
                    CAST(SUM(CASE WHEN s IN (SELECT s FROM hot) THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_boiler
             FROM sh GROUP BY doc_id ORDER BY doc_id
+        """,
+        # BM25 for the fixed query terms; each per-term contribution is
+        # floored to integer micros on identical doubles, so SUM order
+        # cannot flip the hash (ln is the only float-library op)
+        "q_bm25": f"""
+            WITH tok AS (
+                SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+            ), dl AS (
+                SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id
+            ), stats AS (
+                SELECT CAST((SELECT COUNT(*) FROM documents) AS DOUBLE) AS n,
+                       CAST((SELECT COUNT(*) FROM tok) AS DOUBLE) AS total
+            ), df AS (
+                SELECT term, CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS df
+                FROM tok WHERE term IN ('merge', 'scan', 'vector') GROUP BY term
+            ), tf AS (
+                SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM tok WHERE term IN ('merge', 'scan', 'vector')
+                GROUP BY doc_id, term
+            ), contrib AS (
+                SELECT tf.doc_id,
+                       CAST(FLOOR(
+                           1000000.0
+                           * ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+                           * (tf.tf * (1.2 + 1.0))
+                           / (tf.tf + 1.2 * (1.0 - 0.75
+                                             + 0.75 * dl.dl / (stats.total / stats.n)))
+                       ) AS BIGINT) AS c
+                FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+            )
+            SELECT doc_id, score_micros,
+                   CAST(row_number() OVER (ORDER BY score_micros DESC, doc_id)
+                        AS BIGINT) AS rank
+            FROM (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS score_micros
+                  FROM contrib GROUP BY doc_id)
+            ORDER BY score_micros DESC, doc_id LIMIT 10
+        """,
+        # z-score: integer cent moments per nation, float only in the final
+        # (x - mean)/std, computed with the exact same expression tree
+        "q_zscore_balance": """
+            WITH c AS (
+                SELECT c_custkey, c_nationkey,
+                       CAST(FLOOR(c_acctbal * 100.0) AS BIGINT) AS cents
+                FROM customer
+            ), m AS (
+                SELECT c_nationkey, CAST(COUNT(*) AS DOUBLE) AS n,
+                       CAST(SUM(cents) AS DOUBLE) AS s,
+                       CAST(SUM(cents * cents) AS DOUBLE) AS ss
+                FROM c GROUP BY c_nationkey
+            )
+            SELECT c.c_custkey, CAST(c.c_nationkey AS INTEGER) AS c_nationkey,
+                   ROUND((c.cents - m.s / m.n)
+                         / sqrt(m.ss / m.n - (m.s / m.n) * (m.s / m.n)), 6) AS zscore
+            FROM c JOIN m USING (c_nationkey) ORDER BY c_custkey
         """,
         "q_heavy_hitters": f"""
             SELECT token, COUNT(*) AS n FROM (

@@ -1661,3 +1661,72 @@ def q_profile_orders(sf_dir: str):
         )
         .sort("col_name")
     )
+
+
+def q_zscore_balance(sf_dir: str):
+    """Per-nation z-score standardization of customer balances — the
+    feature-normalization face every ML data-prep pipeline needs.  Classic
+    two-pass broadcast shape: pass 1 reduces the corpus to ONE integer
+    partial row per nation (n, sum cents, sum of squared cents — exact,
+    summation-order-free), the tiny moment table broadcasts to pass 2
+    which standardizes each row vectorized.  No shuffle ever carries fact
+    rows; both passes stream.  Floats appear only in the final per-row
+    (x - mean)/std, computed identically to the SQL twin and rounded to 6
+    places on both sides."""
+    cust = read_sf(sf_dir, "customer", columns=["c_custkey", "c_nationkey", "c_acctbal"])
+
+    def _partials(t: pa.Table) -> pa.Table:
+        cents = _to_cents(t.column("c_acctbal"))
+        df = pd.DataFrame(
+            {
+                "c_nationkey": t.column("c_nationkey").to_numpy(zero_copy_only=False),
+                "c": cents.to_numpy(zero_copy_only=False),
+            }
+        )
+        df["c2"] = df["c"] * df["c"]
+        g = (
+            df.groupby("c_nationkey", sort=False)
+            .agg(n=("c", "size"), s=("c", "sum"), ss=("c2", "sum"))
+            .reset_index()
+        )
+        for col in ("n", "s", "ss"):
+            g[col] = g[col].astype(np.int64)
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    moments = (
+        cust.map_batches(_partials, batch_format="pyarrow")
+        .groupby("c_nationkey")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("s", alias_name="s"),
+            Sum("ss", alias_name="ss"),
+        )
+        .to_pandas()
+    )
+    mean = {}
+    std = {}
+    for r in moments.itertuples():
+        m = float(r.s) / float(r.n)
+        var = float(r.ss) / float(r.n) - m * m
+        mean[int(r.c_nationkey)] = m
+        std[int(r.c_nationkey)] = float(np.sqrt(var))
+
+    def _standardize(t: pa.Table) -> pa.Table:
+        cents = (
+            _to_cents(t.column("c_acctbal"))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        nk = t.column("c_nationkey").to_numpy(zero_copy_only=False)
+        mu = pd.Series(nk).map(mean).to_numpy(np.float64)
+        sd = pd.Series(nk).map(std).to_numpy(np.float64)
+        z = (cents - mu) / sd
+        return pa.table(
+            {
+                "c_custkey": t.column("c_custkey"),
+                "c_nationkey": pc.cast(t.column("c_nationkey"), pa.int32()),
+                "zscore": pa.array(np.round(z, 6), pa.float64()),
+            }
+        )
+
+    return cust.map_batches(_standardize, batch_format="pyarrow").sort("c_custkey")

@@ -1192,3 +1192,134 @@ def boilerplate_scores(docs, shingle_k: int = 3, min_df: int = 3):
         docs.map_batches(_Score, batch_format="pyarrow", concurrency=(1, 4))
         .sort("doc_id")
     )
+
+
+def bm25_rank(
+    docs,
+    query_terms: tuple[str, ...] = ("scan", "merge", "vector"),
+    k1: float = 1.2,
+    b: float = 0.75,
+    k: int = 10,
+):
+    """BM25 ranked retrieval for a fixed query-term set — the search-side
+    face of the tf-idf family (reference consumers rank harvested entity
+    sentences the same way; engine-new operator per the driver mandate).
+
+    One streaming scan of the corpus emits ONLY (doc, term, tf, dl) rows
+    for documents that contain a query term, plus one per-batch corpus-stat
+    summary row — matched rows are bounded by the posting list of the query
+    terms, never the corpus.  The tiny materialized row set then yields
+    df / N / avgdl, and scoring is vectorized per batch with each per-term
+    contribution floored to INTEGER MICROS so the per-doc sum is
+    summation-order-free and hash-exact vs the SQL twin (float BM25 sums
+    are order-fragile; ``ln`` is the only float op and it is applied to
+    identical doubles on both sides).
+
+    score(d) = sum_t floor(1e6 * ln(1 + (N - df + .5)/(df + .5))
+                                * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)))
+
+    Output: (doc_id, score_micros, rank) — top ``k`` by (score desc, doc_id).
+    """
+    from ray.data.aggregate import Count, Sum
+
+    qarr = np.array(sorted(set(query_terms)), dtype=object)
+
+    def _rows(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        tok_lists = pc.split_pattern(batch.column("text"), pattern=" ")
+        counts = pc.list_value_length(tok_lists).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(tok_lists)
+        ne = pc.not_equal(flat, pa.scalar("")).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(n), counts)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = flat.to_numpy(zero_copy_only=False)
+        dl = np.bincount(doc_idx[ne], minlength=n).astype(np.int64)
+        qmask = ne & np.isin(toks, qarr)
+        tf = (
+            pd.DataFrame({"doc_id": ids[doc_idx[qmask]], "term": toks[qmask]})
+            .groupby(["doc_id", "term"], sort=False)
+            .size()
+            .reset_index(name="tf")
+        )
+        dl_map = pd.Series(dl, index=ids)
+        out = pd.DataFrame(
+            {
+                "doc_id": np.concatenate([tf["doc_id"].to_numpy(np.int64), [-1]]),
+                "term": np.concatenate([tf["term"].to_numpy(object), [""]]),
+                "tf": np.concatenate(
+                    [tf["tf"].to_numpy(np.int64), [np.int64(n)]]
+                ),
+                "dl": np.concatenate(
+                    [dl_map.loc[tf["doc_id"]].to_numpy(np.int64), [dl.sum()]]
+                ),
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    # matched rows + per-batch stat rows: tiny relative to the corpus, so
+    # materializing here pins only the posting-sized output of the scan
+    rows = docs.map_batches(_rows, batch_format="pyarrow").materialize()
+
+    def _stats_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.less(t.column("doc_id"), pa.scalar(0)))
+
+    def _matched_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater_equal(t.column("doc_id"), pa.scalar(0)))
+
+    stat_pd = rows.map_batches(_stats_only, batch_format="pyarrow").to_pandas()
+    n_docs = float(stat_pd["tf"].sum())
+    total_tokens = float(stat_pd["dl"].sum())
+    if n_docs == 0 or total_tokens == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "score_micros": pa.array([], pa.int64()),
+                    "rank": pa.array([], pa.int64()),
+                }
+            )
+        )
+    avgdl = total_tokens / n_docs
+
+    matched = rows.map_batches(_matched_only, batch_format="pyarrow")
+    df_pd = matched.groupby("term").aggregate(Count(alias_name="df")).to_pandas()
+    df_map = {r.term: float(r.df) for r in df_pd.itertuples()}
+
+    def _score(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], pa.int64()),
+                    "score_micros": pa.array([], pa.int64()),
+                }
+            )
+        tf = t.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        dl = t.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = (
+            pd.Series(t.column("term").to_pandas()).map(df_map).to_numpy(np.float64)
+        )
+        idf = np.log(1.0 + (n_docs - dfv + 0.5) / (dfv + 0.5))
+        contrib = np.floor(
+            1000000.0
+            * idf
+            * (tf * (k1 + 1.0))
+            / (tf + k1 * (1.0 - b + b * dl / avgdl))
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "score_micros": pa.array(contrib, pa.int64()),
+            }
+        )
+
+    scored = (
+        matched.map_batches(_score, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("score_micros", alias_name="score_micros"))
+        .sort(["score_micros", "doc_id"], descending=[True, False])
+        .limit(k)
+    )
+    top = scored.to_pandas()
+    top["score_micros"] = top["score_micros"].astype(np.int64)
+    top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
+    return top
