@@ -155,6 +155,7 @@ def _ner_dumps(sf_dir: str) -> dict[str, str]:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    from unsupervised_ner_ray.sources.io import read_sf
     from unsupervised_ner_ray.stages import dedup, kg, relational, similarity, textstats
     from unsupervised_ner_ray.stages.kg import canonicalize_mentions, build_adjacency, link_mentions
     from unsupervised_ner_ray.stages.multimodal import extract_media_refs, featurize_media
@@ -660,6 +661,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_skyline": relational.q_skyline,
         "q_value_histogram": relational.q_value_histogram,
         "q_profile_orders": relational.q_profile_orders,
+        # round-3e: cohort retention (three streaming reductions, broadcast
+        # cohort lookup), combiner-only argmax-per-group (packed int64 Max),
+        # and equi-depth quantile binning (domain histogram + broadcast cuts)
+        "q_cohort_retention": relational.q_cohort_retention,
+        "q_keep_best_doc": lambda sf: dedup.keep_best(
+            read_sf(sf, "documents", columns=["doc_id", "lang", "source", "n_chars"])
+        ),
+        "q_equidepth_bins": joins.q_equidepth_bins,
     }
 
 
@@ -1742,5 +1751,54 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) - COUNT(o_orderdate_us),
                    MIN(o_orderdate_us), MAX(o_orderdate_us) FROM o
             ORDER BY col_name
+        """,
+        # cohort day = first active calendar day per user; rows entering the
+        # final count are DISTINCT (user, day), so COUNT(*) = distinct users
+        "q_cohort_retention": """
+            WITH act AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+            ), coh AS (
+                SELECT user_id, MIN(day) AS cohort_day FROM act GROUP BY user_id
+            )
+            SELECT strftime(coh.cohort_day, '%Y-%m-%d') AS cohort_day,
+                   CAST(act.day - coh.cohort_day AS BIGINT) AS offset_days,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM act JOIN coh USING (user_id)
+            GROUP BY coh.cohort_day, act.day - coh.cohort_day
+            ORDER BY cohort_day, offset_days
+        """,
+        # argmax-per-group: highest n_chars wins, tie -> smallest doc_id —
+        # the same total order the engine packs into one int64
+        "q_keep_best_doc": """
+            WITH r AS (
+                SELECT lang, source, doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                       row_number() OVER (
+                           PARTITION BY lang, source
+                           ORDER BY n_chars DESC, doc_id
+                       ) AS rn,
+                       COUNT(*) OVER (PARTITION BY lang, source) AS n_members
+                FROM documents
+            )
+            SELECT lang, source, CAST(doc_id AS BIGINT) AS keep_id,
+                   n_chars AS best_score, CAST(n_members AS BIGINT) AS n_members
+            FROM r WHERE rn = 1 ORDER BY lang, source
+        """,
+        # equi-depth bins: PERCENTILE_DISC boundaries on integer cents, then
+        # bin = #{boundary < value} — same strict-< as the engine's
+        # searchsorted(side='left')
+        "q_equidepth_bins": """
+            WITH c AS (
+                SELECT CAST(l_orderkey AS BIGINT) AS l_orderkey,
+                       CAST(l_linenumber AS BIGINT) AS l_linenumber,
+                       CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT) AS v
+                FROM lineitem
+            ), b AS (
+                SELECT quantile_disc(v, [0.25, 0.50, 0.75]) AS qs FROM c
+            )
+            SELECT l_orderkey, l_linenumber,
+                   CAST(CAST(v > qs[1] AS INTEGER) + CAST(v > qs[2] AS INTEGER)
+                        + CAST(v > qs[3] AS INTEGER) AS BIGINT) AS bin
+            FROM c CROSS JOIN b
+            ORDER BY l_orderkey, l_linenumber
         """,
     }

@@ -2088,3 +2088,83 @@ def test_pq_topk_recall_and_determinism(ray_session):
         assert got.iloc[0]["vec_id"] == ids[qi]
         recalls.append(len(exact & set(got["vec_id"].tolist())) / 10)
     assert min(recalls) >= 0.4 and sum(recalls) / 3 >= 0.6, recalls
+
+
+def test_keep_best_argmax_tiebreak(ray_session):
+    """Packed-integer argmax: highest score wins; equal scores break to the
+    SMALLEST id; singleton groups pass through; n_members is exact."""
+    from unsupervised_ner_ray.stages.dedup import keep_best
+
+    rd = _rd()
+    rows = [
+        {"doc_id": 10, "lang": "en", "source": "web", "n_chars": 5},
+        {"doc_id": 3, "lang": "en", "source": "web", "n_chars": 9},
+        {"doc_id": 7, "lang": "en", "source": "web", "n_chars": 9},  # tie -> 3
+        {"doc_id": 2, "lang": "de", "source": "web", "n_chars": 0},
+        {"doc_id": 1, "lang": "de", "source": "pdf", "n_chars": 4},
+    ]
+    out = keep_best(rd.from_items(rows)).to_pandas()
+    got = {(r.lang, r.source): (r.keep_id, r.best_score, r.n_members) for r in out.itertuples()}
+    assert got == {
+        ("en", "web"): (3, 9, 3),
+        ("de", "web"): (2, 0, 1),
+        ("de", "pdf"): (1, 4, 1),
+    }
+
+
+def test_cohort_retention_semantics(ray_session, tmp_path):
+    """A user active on their cohort day and 2 days later lands in offsets
+    {0, 2}; two same-day events count the user once (distinct user-day)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from unsupervised_ner_ray.stages.relational import q_cohort_retention
+
+    day0 = np.datetime64("2024-03-01T08:00:00", "us")
+    h = np.timedelta64(3600, "s")
+    d = np.timedelta64(86400, "s")
+    ts = [day0, day0 + h, day0 + 2 * d, day0 + d, day0 + d + h]
+    users = [1, 1, 1, 2, 2]
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(range(5), pa.int64()),
+                "ts": pa.array(list(ts), pa.timestamp("us")),
+                "user_id": pa.array(users, pa.int64()),
+                "event_type": pa.array(["a"] * 5),
+                "value": pa.array([1.0] * 5),
+                "props": pa.array(["{}"] * 5),
+            }
+        ),
+        tmp_path / "events.parquet",
+    )
+    out = q_cohort_retention(str(tmp_path))
+    got = {
+        (r.cohort_day, r.offset_days): r.n_users for r in out.itertuples()
+    }
+    # user 1 cohort 03-01 (offsets 0 and 2); user 2 cohort 03-02 (offset 0)
+    assert got == {
+        ("2024-03-01", 0): 1,
+        ("2024-03-01", 2): 1,
+        ("2024-03-02", 0): 1,
+    }
+
+
+def test_equidepth_bins_match_duckdb(ray_session):
+    """Bin assignment matches the SQL twin exactly at sf0.001, including
+    values equal to a boundary (strict-< on both sides) and bins are
+    near-equal depth."""
+    import __ray_entry__ as entrymod
+
+    eng = entrymod.queries()["q_equidepth_bins"](SF).to_pandas()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{SF}/lineitem.parquet')"
+    )
+    ora = con.execute(entrymod.oracle_sql()["q_equidepth_bins"]).fetchdf()
+    pd.testing.assert_frame_equal(
+        eng.reset_index(drop=True), ora.reset_index(drop=True), check_dtype=False
+    )
+    counts = eng["bin"].value_counts()
+    assert set(counts.index) == {0, 1, 2, 3}
+    assert counts.max() - counts.min() <= 0.02 * len(eng) + 4

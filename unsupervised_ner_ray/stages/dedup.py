@@ -1166,3 +1166,57 @@ def chunk_dedup(docs, chunk_tokens: int = 10):
     return partitioned_apply(rows, "chunk_h", _first, num_parts=64).sort(
         ["doc_id", "pos"]
     )
+
+
+def keep_best(
+    docs,
+    key_cols=("lang", "source"),
+    score_col: str = "n_chars",
+    id_col: str = "doc_id",
+):
+    """Argmax-per-group canonical selection: within each key group keep the
+    row with the highest score, tie -> smallest id — the "keep the best
+    duplicate" step every dedup pipeline ends with (run it over
+    ``content_hash`` / MinHash cluster ids for real dedup; the default keys
+    exercise multi-member groups on the testdata corpus).
+
+    Unlike grouped top-k (sort shuffle + partition scan), the argmax here is
+    a pure COMBINER: (score, id) packs into ONE int64 — ``score << 31 |
+    (2^31-1 - id)`` — so a plain ``groupby().aggregate(Max)`` resolves both
+    the winner and its tie-break in a single pre-combined C-path pass; the
+    shuffle carries one row per (batch, group).  At 100 TB nothing but the
+    packed partials moves.  Unpack runs distributed after the aggregate.
+
+    Output: key cols + keep_id, best_score, n_members (sorted by keys).
+    SQL oracle: ``row_number() OVER (PARTITION BY keys ORDER BY score DESC,
+    id) = 1`` + a windowed COUNT(*).
+    """
+    from ray.data.aggregate import Count, Max
+
+    key_cols = list(key_cols)
+
+    def _pack(t: pa.Table) -> pa.Table:
+        ids = pc.cast(t.column(id_col), pa.int64()).to_numpy()
+        sc = pc.cast(t.column(score_col), pa.int64()).to_numpy()
+        # packed argmax needs both halves to fit their fields
+        assert ids.min() >= 0 and ids.max() < (1 << 31), "id outside packed range"
+        assert sc.min() >= 0 and sc.max() < (1 << 31), "score outside packed range"
+        cols = {k: t.column(k) for k in key_cols}
+        cols["packed"] = pa.array((sc << 31) | ((1 << 31) - 1 - ids), pa.int64())
+        return pa.table(cols)
+
+    agg = (
+        docs.map_batches(_pack, batch_format="pyarrow")
+        .groupby(key_cols)
+        .aggregate(Max("packed", alias_name="packed"), Count(alias_name="n_members"))
+    )
+
+    def _unpack(t: pa.Table) -> pa.Table:
+        packed = t.column("packed").to_numpy()
+        cols = {k: t.column(k) for k in key_cols}
+        cols["keep_id"] = pa.array(((1 << 31) - 1) - (packed & ((1 << 31) - 1)), pa.int64())
+        cols["best_score"] = pa.array(packed >> 31, pa.int64())
+        cols["n_members"] = pc.cast(t.column("n_members"), pa.int64())
+        return pa.table(cols)
+
+    return agg.map_batches(_unpack, batch_format="pyarrow").sort(key_cols)

@@ -928,3 +928,63 @@ def tdigest_quantiles_by_group(
     return partitioned_map_groups(
         sketches, "group", _merge, num_parts=num_parts
     ).sort("group")
+
+
+def q_equidepth_bins(sf_dir: str, qs=(0.25, 0.5, 0.75)):
+    """Quantile discretization (equi-depth binning) of lineitem price — the
+    feature-bucketing step tabular ML prep pipelines run before hashing /
+    embedding.  Two streaming passes: pass 1 reduces the corpus to a
+    (value, count) domain histogram exactly like :func:`q_quantiles_disc`
+    (shuffled payload = |value domain|, independent of row count) and takes
+    the PERCENTILE_DISC boundaries from the cumulative counts; pass 2
+    broadcasts the (len(qs))-element boundary array and assigns each row its
+    bin with one ``searchsorted`` — bin = #{boundary : value > boundary},
+    identical tie semantics to the SQL twin's ``(v > b1)+(v > b2)+...``.
+    All integer cents, so hash-exact.  Output: one row per lineitem
+    (l_orderkey, l_linenumber, bin)."""
+    import math
+
+    from ray.data.aggregate import Sum as _Sum
+
+    li = read_sf(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_linenumber", "l_extendedprice"]
+    )
+
+    def _hist(t: pa.Table) -> pa.Table:
+        cents = _to_cents(t.column("l_extendedprice")).to_numpy(zero_copy_only=False)
+        v, n = np.unique(cents, return_counts=True)
+        return pa.table({"v": pa.array(v, pa.int64()), "n": pa.array(n, pa.int64())})
+
+    hist = (
+        li.map_batches(_hist, batch_format="pyarrow")
+        .groupby("v")
+        .aggregate(_Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values("v", kind="mergesort")
+    )
+    cum = np.cumsum(hist["n"].to_numpy(np.int64))
+    vals = hist["v"].to_numpy(np.int64)
+    n = int(cum[-1])
+    bounds = np.array(
+        [vals[np.searchsorted(cum, math.ceil(q * n))] for q in qs], dtype=np.int64
+    )
+    ref = ray.put(bounds)
+
+    class _Assign:
+        def __init__(self):
+            self.bounds = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            cents = _to_cents(t.column("l_extendedprice")).to_numpy(zero_copy_only=False)
+            bins = np.searchsorted(self.bounds, cents, side="left")
+            return pa.table(
+                {
+                    "l_orderkey": pc.cast(t.column("l_orderkey"), pa.int64()),
+                    "l_linenumber": pc.cast(t.column("l_linenumber"), pa.int64()),
+                    "bin": pa.array(bins.astype(np.int64), pa.int64()),
+                }
+            )
+
+    return li.map_batches(_Assign, batch_format="pyarrow", concurrency=(1, 4)).sort(
+        ["l_orderkey", "l_linenumber"]
+    )
