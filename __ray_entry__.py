@@ -669,6 +669,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             read_sf(sf, "documents", columns=["doc_id", "lang", "source", "n_chars"])
         ),
         "q_equidepth_bins": joins.q_equidepth_bins,
+        # round-3e: FastSS fuzzy surface pairs + robust median/MAD stats
+        "q_fuzzy_pairs": lambda sf: dedup.fuzzy_pairs(
+            read_sf(sf, "part", columns=["p_name"])
+        ),
+        "q_mad_value": joins.q_mad_value,
     }
 
 
@@ -1800,5 +1805,34 @@ def oracle_sql() -> dict[str, str]:
                         + CAST(v > qs[3] AS INTEGER) AS BIGINT) AS bin
             FROM c CROSS JOIN b
             ORDER BY l_orderkey, l_linenumber
+        """,
+        # all distinct-surface pairs within ONE edit (FastSS blocking on the
+        # engine side; the oracle brute-forces levenshtein over the cross
+        # product — same result set)
+        "q_fuzzy_pairs": """
+            WITH v AS (SELECT DISTINCT p_name AS s FROM part)
+            SELECT a.s AS name_a, b.s AS name_b
+            FROM v a JOIN v b
+              ON a.s < b.s AND levenshtein(a.s, b.s) <= 1
+            ORDER BY name_a, name_b
+        """,
+        # discrete median + MAD on integer cents; quantile_disc shares the
+        # engine's ceil(q*n)-1 index (same contract as q_quantiles_disc)
+        "q_mad_value": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(FLOOR(value * 100.0) AS BIGINT) AS v
+                FROM events
+            ), m AS (
+                SELECT event_type, quantile_disc(v, 0.5) AS med
+                FROM c GROUP BY event_type
+            )
+            SELECT event_type,
+                   CAST(m.med AS BIGINT) AS median_cents,
+                   CAST(quantile_disc(abs(c.v - m.med), 0.5) AS BIGINT)
+                       AS mad_cents
+            FROM c JOIN m USING (event_type)
+            GROUP BY event_type, m.med
+            ORDER BY event_type
         """,
     }

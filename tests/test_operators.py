@@ -2168,3 +2168,61 @@ def test_equidepth_bins_match_duckdb(ray_session):
     counts = eng["bin"].value_counts()
     assert set(counts.index) == {0, 1, 2, 3}
     assert counts.max() - counts.min() <= 0.02 * len(eng) + 4
+
+
+def test_fuzzy_pairs_d1_semantics(ray_session):
+    """FastSS blocking + byte-matrix verify: substitutions, insertions at
+    every position, and the classic false candidate ("ab"/"ba" share
+    deletion variants at distance 2) are all resolved correctly."""
+    from unsupervised_ner_ray.stages.dedup import fuzzy_pairs
+
+    rd = _rd()
+    names = [
+        "cold bolt", "old bolt",      # deletion at position 0
+        "colt bolt",                  # substitution vs "cold bolt"
+        "cold bolts",                 # insertion at end
+        "ab", "ba",                   # false candidate, distance 2
+        "xyzzy",                      # no neighbors
+        "cold  bolt",                 # insertion in the middle (double space)
+    ]
+    ds = rd.from_items([{"p_name": n} for n in names])
+    out = fuzzy_pairs(ds).to_pandas()
+    got = set(map(tuple, out[["name_a", "name_b"]].itertuples(index=False)))
+    import itertools
+
+    def lev(a, b):
+        d = np.arange(len(b) + 1)
+        for i, ca in enumerate(a, 1):
+            prev, d[0] = d[0], i
+            for j, cb in enumerate(b, 1):
+                prev, d[j] = d[j], min(d[j] + 1, d[j - 1] + 1, prev + (ca != cb))
+        return d[len(b)]
+
+    want = {
+        tuple(sorted((a, b)))
+        for a, b in itertools.combinations(names, 2)
+        if lev(a, b) <= 1
+    }
+    assert got == want and ("ab", "ba") not in got and len(got) >= 4
+
+
+def test_mad_value_matches_numpy(ray_session):
+    """Per-type median/MAD from the domain histogram equal the direct
+    discrete-quantile computation on the raw rows."""
+    import math
+
+    from unsupervised_ner_ray.stages.joins import q_mad_value
+
+    out = q_mad_value(SF).set_index("event_type")
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value"])
+    ev["v"] = np.floor(ev["value"].to_numpy() * 100.0).astype(np.int64)
+
+    def disc_med(a):
+        a = np.sort(a)
+        return int(a[math.ceil(0.5 * len(a)) - 1])
+
+    for etype, g in ev.groupby("event_type"):
+        med = disc_med(g["v"].to_numpy())
+        mad = disc_med(np.abs(g["v"].to_numpy() - med))
+        assert out.loc[etype, "median_cents"] == med
+        assert out.loc[etype, "mad_cents"] == mad

@@ -1220,3 +1220,107 @@ def keep_best(
         return pa.table(cols)
 
     return agg.map_batches(_unpack, batch_format="pyarrow").sort(key_cols)
+
+
+def fuzzy_pairs(ds, col: str = "p_name"):
+    """All surface-form pairs within edit distance 1 — the fuzzy face of
+    surface canonicalization (spelling variants of the same entity collapse
+    before linking; the NER canonicalize stage consumes exactly such pairs).
+
+    FastSS / symmetric-delete blocking, provably complete for d<=1: two
+    strings within one edit ALWAYS share a member of their single-deletion
+    neighborhoods, so each distinct surface replicates to its L+1 deletion
+    variants (one C-path ``str.slice`` concat per position — vectorized over
+    the batch, the loop is over string POSITIONS, bounded by max length, not
+    rows), candidate pairs form per variant group with a partition-local
+    self-merge, and a vectorized byte-matrix check keeps exactly the true
+    distance-1 pairs (sharing a variant is necessary, not sufficient —
+    e.g. "ab"/"ba" share variants at distance 2).  Every stage is bounded:
+    replication by max surface length, groups by variant collisions, verify
+    by candidate volume; nothing ever materializes the corpus.  Byte-level
+    compare — exact for ASCII surfaces (the oracle's levenshtein is
+    char-level; multi-byte UTF-8 would need a codepoint decode first).
+
+    Output: (name_a, name_b) with name_a < name_b, sorted.
+    """
+    from ray.data.aggregate import Count
+
+    from .grouping import partitioned_apply
+
+    def _distinct(t: pa.Table) -> pa.Table:
+        return pa.table({col: pc.unique(t.column(col))})
+
+    names = (
+        ds.map_batches(_distinct, batch_format="pyarrow")
+        .groupby(col)
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
+    def _variants(t: pa.Table) -> pa.Table:
+        ser = t.column(col).to_pandas().astype(str)
+        outs = [pd.DataFrame({"variant": ser, "name": ser})]
+        lens = ser.str.len()
+        for k in range(int(lens.max()) if len(ser) else 0):
+            sub = ser[lens > k]
+            outs.append(
+                pd.DataFrame(
+                    {"variant": sub.str.slice(0, k) + sub.str.slice(k + 1), "name": sub}
+                )
+            )
+        return pa.Table.from_pandas(
+            pd.concat(outs, ignore_index=True), preserve_index=False
+        )
+
+    var = names.map_batches(_variants, batch_format="pyarrow")
+
+    def _cand(part: pd.DataFrame) -> pd.DataFrame:
+        m = part.merge(part, on="variant")
+        m = m[m["name_x"] < m["name_y"]]
+        return m[["name_x", "name_y"]].drop_duplicates()
+
+    cand = (
+        partitioned_apply(var, "variant", _cand)
+        .groupby(["name_x", "name_y"])
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+
+    def _verify(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"name_a": pa.array([], pa.string()), "name_b": pa.array([], pa.string())}
+        )
+        if len(t) == 0:
+            return empty
+        x = t.column("name_x").to_pandas().to_numpy(object)
+        y = t.column("name_y").to_pandas().to_numpy(object)
+        lx = np.fromiter((len(s) for s in x), np.int64, len(x))
+        ly = np.fromiter((len(s) for s in y), np.int64, len(y))
+        # orient a = shorter, b = longer (output keeps the x/y lexic order)
+        swap = lx > ly
+        a, b = np.where(swap, y, x), np.where(swap, x, y)
+        la, lb = np.minimum(lx, ly), np.maximum(lx, ly)
+        keep_len = (lb - la) <= 1
+        w = int(lb.max()) + 1
+        A = np.array([s.encode() for s in a], dtype=f"S{w}").view(np.uint8).reshape(len(a), w)
+        B = np.array([s.encode() for s in b], dtype=f"S{w}").view(np.uint8).reshape(len(b), w)
+        pos = np.arange(w)[None, :]
+        same_len = la == lb
+        n_mismatch = ((A != B) & (pos < la[:, None])).sum(axis=1)
+        ok_sub = same_len & (n_mismatch == 1)
+        # deletion case: first mismatch at i, then a[i:] must equal b[i+1:]
+        diff = (A != B) & (pos < la[:, None])
+        first = np.where(diff.any(axis=1), diff.argmax(axis=1), la)
+        Bs = np.zeros_like(B)
+        Bs[:, :-1] = B[:, 1:]
+        eq_shift = (A == Bs) | (pos >= la[:, None])
+        # suffix_all[:, i] == True iff a[i:la] == b[i+1:la+1]
+        suffix_all = np.flip(np.cumprod(np.flip(eq_shift, axis=1), axis=1), axis=1).astype(bool)
+        padded = np.concatenate([suffix_all, np.ones((len(a), 1), bool)], axis=1)
+        ok_del = (~same_len) & keep_len & padded[np.arange(len(a)), first]
+        keep = ok_sub | ok_del
+        return pa.table(
+            {"name_a": pa.array(x[keep], pa.string()), "name_b": pa.array(y[keep], pa.string())}
+        )
+
+    return cand.map_batches(_verify, batch_format="pyarrow").sort(["name_a", "name_b"])

@@ -988,3 +988,62 @@ def q_equidepth_bins(sf_dir: str, qs=(0.25, 0.5, 0.75)):
     return li.map_batches(_Assign, batch_format="pyarrow", concurrency=(1, 4)).sort(
         ["l_orderkey", "l_linenumber"]
     )
+
+
+def q_mad_value(sf_dir: str):
+    """Per-event-type robust statistics: median and MAD (median absolute
+    deviation) of the value column — the outlier-resistant companion of
+    :func:`q_group_stats`'s mean/stddev, standard in data-quality screens.
+
+    ONE streaming pass reduces the corpus to a (event_type, cents, count)
+    value-domain histogram (payload = |types| x |value domain|, independent
+    of row count).  Both medians then fall out of the tiny histogram on the
+    driver: the deviation histogram |v - median| is REGROUPED from the value
+    histogram itself — no second corpus scan, the classic advantage of
+    holding the domain distribution rather than per-row samples.  Integer
+    cents end-to-end; the discrete-quantile index (ceil(q*n)-1) matches
+    DuckDB's quantile_disc exactly (same contract as q_quantiles_disc)."""
+    import math
+
+    from ray.data.aggregate import Sum as _Sum
+
+    ev = read_sf(sf_dir, "events", columns=["event_type", "value"])
+
+    def _hist(t: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "event_type": t.column("event_type").to_pandas(),
+                "v": np.floor(
+                    t.column("value").to_numpy(zero_copy_only=False) * 100.0
+                ).astype(np.int64),
+            }
+        )
+        g = df.groupby(["event_type", "v"], sort=False).size().reset_index(name="n")
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    hist = (
+        ev.map_batches(_hist, batch_format="pyarrow")
+        .groupby(["event_type", "v"])
+        .aggregate(_Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["event_type", "v"], kind="mergesort")
+    )
+
+    def _disc_median(vals: np.ndarray, counts: np.ndarray) -> int:
+        cum = np.cumsum(counts)
+        idx = math.ceil(0.5 * int(cum[-1])) - 1
+        return int(vals[np.searchsorted(cum, idx + 1)])
+
+    rows = []
+    for etype, g in hist.groupby("event_type", sort=True):
+        vals = g["v"].to_numpy(np.int64)
+        counts = g["n"].to_numpy(np.int64)
+        med = _disc_median(vals, counts)
+        dev = pd.DataFrame({"d": np.abs(vals - med), "n": counts})
+        dg = dev.groupby("d", sort=True)["n"].sum().reset_index()
+        mad = _disc_median(dg["d"].to_numpy(np.int64), dg["n"].to_numpy(np.int64))
+        rows.append({"event_type": etype, "median_cents": med, "mad_cents": mad})
+    out = pd.DataFrame(rows)
+    out["median_cents"] = out["median_cents"].astype(np.int64)
+    out["mad_cents"] = out["mad_cents"].astype(np.int64)
+    return out.reset_index(drop=True)
