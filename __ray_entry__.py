@@ -674,6 +674,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             read_sf(sf, "part", columns=["p_name"])
         ),
         "q_mad_value": joins.q_mad_value,
+        "q_pca_top": lambda sf: similarity.pca_top(
+            read_sf(sf, "embeddings", columns=["embedding"])
+        ),
     }
 
 

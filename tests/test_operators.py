@@ -2226,3 +2226,51 @@ def test_mad_value_matches_numpy(ray_session):
         mad = disc_med(np.abs(g["v"].to_numpy() - med))
         assert out.loc[etype, "median_cents"] == med
         assert out.loc[etype, "mad_cents"] == mad
+
+
+def test_pca_top_cov_matches_svd(ray_session):
+    """Exact covariance regime equals numpy SVD of the centered matrix to
+    machine precision; deterministic across runs."""
+    from unsupervised_ner_ray.sources.io import read_sf
+    from unsupervised_ner_ray.stages.similarity import pca_top
+
+    emb = read_sf(SF, "embeddings", columns=["embedding"])
+    out = pca_top(emb)
+    out2 = pca_top(emb)
+    pd.testing.assert_frame_equal(out, out2)
+
+    epd = pd.read_parquet(f"{SF}/embeddings.parquet")
+    X = np.stack([np.asarray(v) for v in epd["embedding"]]).astype(np.float64)
+    Xc = X - X.mean(axis=0)
+    _, s, vt = np.linalg.svd(Xc, full_matrices=False)
+    ref_v, ref_eig = vt[0], s[0] ** 2 / len(X)
+
+    v = out[out["dim"] > 0]["weight"].to_numpy()
+    eig = float(out.loc[out["dim"] == 0, "weight"].iloc[0])
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+    assert abs(abs(v @ ref_v) - 1.0) < 1e-9, abs(v @ ref_v)
+    assert abs(eig - ref_eig) / ref_eig < 1e-9
+
+
+def test_pca_top_power_regime(ray_session):
+    """Forced block-power regime recovers the planted spike direction on a
+    synthetic corpus (clear spectrum) and agrees with the exact cov path."""
+    from unsupervised_ner_ray.stages.similarity import pca_top
+
+    rd = _rd()
+    rng = np.random.default_rng(11)
+    d, n = 24, 400
+    u = rng.standard_normal(d)
+    u /= np.linalg.norm(u)
+    X = rng.standard_normal((n, d)) * 0.3 + np.outer(rng.standard_normal(n) * 2.0, u)
+    ds = rd.from_items([{"embedding": row.tolist()} for row in X]).repartition(4)
+
+    pw = pca_top(ds, method="power", iters=30, block=6)
+    cv = pca_top(ds, method="cov")
+    vp = pw[pw["dim"] > 0]["weight"].to_numpy()
+    vc = cv[cv["dim"] > 0]["weight"].to_numpy()
+    assert abs(abs(vp @ vc) - 1.0) < 1e-8
+    ep = float(pw.loc[pw["dim"] == 0, "weight"].iloc[0])
+    ec = float(cv.loc[cv["dim"] == 0, "weight"].iloc[0])
+    assert abs(ep - ec) / ec < 1e-8
+    assert abs(abs(vp @ u)) > 0.98

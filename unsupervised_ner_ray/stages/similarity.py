@@ -479,3 +479,145 @@ def pq_topk(codes_ds, codebooks: np.ndarray, queries: np.ndarray, k: int = 10):
     import ray.data as rd
 
     return rd.from_pandas(out)
+
+
+def pca_top(embeds, method: str = "auto", cov_max_dim: int = 2048,
+            iters: int = 30, block: int = 8, seed: int = 7):
+    """Top principal component of the embedding matrix — the spectral face
+    of the iterative family (k-means = centroid EM, PageRank =
+    stochastic-matrix fixpoint, this = dominant eigenvector of the
+    covariance).  LSA / PCA whitening / spectral outlier screens in
+    training-data prep all reduce to this.
+
+    Two regimes, split on dimensionality (``method="auto"``):
+
+    * ``cov`` (d <= ``cov_max_dim``, the usual embedding case): ONE
+      streaming pass accumulates the uncentered second-moment partials
+      ``X'X`` (d x d), column sums and count per batch; a C-path groupby
+      Sum merges the (i, j) partial rows and the driver finishes with a
+      dense ``eigh`` on the d x d matrix — EXACT (no iteration), driver
+      state O(d^2), corpus never shuffles.  Centering folds in
+      analytically: Cov = X'X/n - mu mu'.
+    * ``power`` (huge d, where d^2 partials are too big): block power
+      iteration with Rayleigh-Ritz — per iteration the d x ``block``
+      orthonormal basis broadcasts via ``ray.put``; each batch emits
+      ``X'(XV)`` partials (d x block) and the driver re-orthonormalizes
+      (QR) and extracts the Ritz vector.  Convergence is governed by
+      lambda_{block+1}/lambda_1 — the block buys convergence on clustered
+      spectra where plain power iteration stalls.  Deterministic: seeded
+      start, fixed iteration count, QR with sign-fixed R diagonal.
+
+    Both regimes fix the output sign (largest-|w| component positive).
+    Output: (dim, weight) rows — dim 0 carries the eigenvalue (variance
+    along the component), dims 1..d the unit eigenvector.  No SQL twin
+    (spectral op) — pinned by numpy-SVD parity tests on both paths.
+    """
+    first = embeds.take(1)[0]
+    d = len(first["embedding"])
+    if method == "auto":
+        method = "cov" if d <= cov_max_dim else "power"
+
+    def _finish(v: np.ndarray, eigval: float) -> pd.DataFrame:
+        if v[np.argmax(np.abs(v))] < 0:
+            v = -v
+        return pd.DataFrame(
+            {
+                "dim": np.arange(0, d + 1, dtype=np.int64),
+                "weight": np.concatenate([[eigval], v]),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    if method == "cov":
+
+        def _moments(t: pa.Table) -> pa.Table:
+            n = len(t)
+            if n == 0:
+                return pa.table({"i": pa.array([], pa.int64()),
+                                 "val": pa.array([], pa.float64())})
+            X = _list_col_to_matrix(t.column("embedding"))
+            # row layout: d*d gram entries, then d column sums, then count
+            vals = np.concatenate([(X.T @ X).ravel(), X.sum(axis=0), [float(n)]])
+            return pa.table(
+                {"i": pa.array(np.arange(vals.size, dtype=np.int64)),
+                 "val": pa.array(vals, pa.float64())}
+            )
+
+        out = (
+            embeds.map_batches(_moments, batch_format="pyarrow")
+            .groupby("i")
+            .aggregate(Sum("val", alias_name="val"))
+            .to_pandas()
+            .sort_values("i")["val"]
+            .to_numpy(np.float64)
+        )
+        gram, colsum, n_rows = out[: d * d].reshape(d, d), out[d * d : d * d + d], out[-1]
+        mu = colsum / n_rows
+        cov = gram / n_rows - np.outer(mu, mu)
+        w, V = np.linalg.eigh(cov)
+        return _finish(V[:, -1], float(w[-1]))
+
+    # ---- block power iteration (huge-d regime) ----
+    def _factory(vref, mode):
+        class _P:
+            def __init__(self):
+                self.V = ray.get(vref)
+
+            def __call__(self, t: pa.Table) -> pa.Table:
+                n = len(t)
+                if n == 0:
+                    return pa.table({"i": pa.array([], pa.int64()),
+                                     "val": pa.array([], pa.float64())})
+                X = _list_col_to_matrix(t.column("embedding"))
+                if mode == "stats":
+                    vals = np.concatenate([X.sum(axis=0), [float(n)]])
+                else:
+                    XV = X @ self.V              # (n, p)
+                    vals = np.concatenate(
+                        [(X.T @ XV).ravel(), XV.sum(axis=0)]
+                    )                            # d*p partials + p col sums
+                return pa.table(
+                    {"i": pa.array(np.arange(vals.size, dtype=np.int64)),
+                     "val": pa.array(vals, pa.float64())}
+                )
+
+        return _P
+
+    def _reduce(ds_partials) -> np.ndarray:
+        out = (
+            ds_partials.groupby("i").aggregate(Sum("val", alias_name="val")).to_pandas()
+        )
+        return out.sort_values("i")["val"].to_numpy(np.float64)
+
+    stats = _reduce(
+        embeds.map_batches(
+            _factory(ray.put(np.zeros(d)), "stats"),
+            batch_format="pyarrow", concurrency=(1, 4),
+        )
+    )
+    n_rows = stats[d]
+    mu = stats[:d] / n_rows
+
+    rng = np.random.default_rng(seed)
+    p = min(block, d)
+    V, _ = np.linalg.qr(rng.standard_normal((d, p)))
+    ritz_val, ritz_vec = 0.0, V[:, 0]
+    for _ in range(iters):
+        part = _reduce(
+            embeds.map_batches(
+                _factory(ray.put(V), "iter"),
+                batch_format="pyarrow", concurrency=(1, 4),
+            )
+        )
+        gramV = part[: d * p].reshape(d, p)
+        colsV = part[d * p :]
+        AV = gramV / n_rows - np.outer(mu, colsV / n_rows)  # Cov @ V
+        # Rayleigh-Ritz on the current subspace, then re-orthonormalize
+        H = V.T @ AV
+        w, U = np.linalg.eigh((H + H.T) / 2.0)
+        ritz_val, ritz_vec = float(w[-1]), V @ U[:, -1]
+        Q, R = np.linalg.qr(AV)
+        Q = Q * np.sign(np.where(np.diag(R) == 0, 1.0, np.diag(R)))[None, :]
+        V = Q
+    return _finish(ritz_vec / np.linalg.norm(ritz_vec), ritz_val)
