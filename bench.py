@@ -154,6 +154,26 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         return similarity.pq_topk(codes, books, q, k=10).to_pandas()
 
     timed("q_pq_topk", _pq)
+    timed("q_bm25", lambda: textstats.bm25_rank(docs_tbl))
+    timed("q_cohort_retention", lambda: relational.q_cohort_retention(sf_dir))
+    timed(
+        "q_keep_best_doc",
+        lambda: dedup.keep_best(
+            read_sf(sf_dir, "documents", columns=["doc_id", "lang", "source", "n_chars"])
+        ).to_pandas(),
+    )
+    timed(
+        "q_fuzzy_pairs",
+        lambda: dedup.fuzzy_pairs(
+            read_sf(sf_dir, "part", columns=["p_name"])
+        ).to_pandas(),
+    )
+    timed(
+        "q_pca_top",
+        lambda: __import__(
+            "unsupervised_ner_ray.stages.similarity", fromlist=["pca_top"]
+        ).pca_top(read_sf(sf_dir, "embeddings", columns=["embedding"])),
+    )
 
     return {
         "metric": "flagship_ner_kg",

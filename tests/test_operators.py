@@ -2274,3 +2274,62 @@ def test_pca_top_power_regime(ray_session):
     ec = float(cv.loc[cv["dim"] == 0, "weight"].iloc[0])
     assert abs(ep - ec) / ec < 1e-8
     assert abs(abs(vp @ u)) > 0.98
+
+
+@pytest.mark.skipif(
+    __import__("os").environ.get("RUN_SCALE_SMOKE") != "1",
+    reason="large fuzzy-join smoke; run with RUN_SCALE_SMOKE=1 "
+    "(result recorded in BASELINE.md)",
+)
+def test_fuzzy_pairs_scale_smoke(ray_session):
+    """100k distinct random surfaces (~1M deletion variants after the
+    bounded L+1 replication): all 500 planted distance-1 variants are
+    recovered, every reported pair verifies at distance exactly 1, and the
+    pair volume stays candidate-bounded (no quadratic blowup)."""
+    import time
+
+    rd = _rd()
+    from unsupervised_ner_ray.stages.dedup import fuzzy_pairs
+
+    rng = np.random.default_rng(5)
+    alpha = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    n = 100_000
+    lens = rng.integers(8, 13, n)
+    base = ["".join(alpha[rng.integers(0, 26, l)]) for l in lens]
+    base = sorted(set(base))
+    planted = []
+    for i in range(500):
+        s = base[i * 37]
+        mut = s[:3] + chr(ord("a") + (ord(s[3]) - ord("a") + 1) % 26) + s[4:]
+        planted.append((min(s, mut), max(s, mut)))
+        base.append(mut)
+    names = sorted(set(base))
+    ds = rd.from_items([{"p_name": s} for s in names]).repartition(32)
+    t0 = time.time()
+    out = fuzzy_pairs(ds).to_pandas()
+    dt = time.time() - t0
+    got = set(map(tuple, out[["name_a", "name_b"]].itertuples(index=False)))
+    missing = [p for p in planted if p[0] != p[1] and p not in got]
+    assert not missing, missing[:5]
+
+    # random-word vocab: essentially all true pairs are the planted ones
+    assert len(got) < len(planted) + 50, len(got)
+
+    def lev1(a, b):  # exact d<=1 check
+        if a == b:
+            return True
+        la, lb = len(a), len(b)
+        if abs(la - lb) > 1:
+            return False
+        if la == lb:
+            return sum(x != y for x, y in zip(a, b)) == 1
+        if la > lb:
+            a, b, la, lb = b, a, lb, la
+        i = 0
+        while i < la and a[i] == b[i]:
+            i += 1
+        return a[i:] == b[i + 1:]
+
+    sample = list(got)[:200]
+    assert all(lev1(a, b) for a, b in sample)
+    print(f"fuzzy_pairs scale smoke: {len(names)} names, {len(got)} pairs, {dt:.1f}s")
