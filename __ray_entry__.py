@@ -674,6 +674,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             read_sf(sf, "part", columns=["p_name"])
         ),
         "q_mad_value": joins.q_mad_value,
+        "q_skew_join": joins.q_skew_join_events,
         "q_pca_top": lambda sf: similarity.pca_top(
             read_sf(sf, "embeddings", columns=["embedding"])
         ),
@@ -1837,5 +1838,14 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN m USING (event_type)
             GROUP BY event_type, m.med
             ORDER BY event_type
+        """,
+        # the hybrid hot/cold routing must be invisible in the result —
+        # plain inner-join twin
+        "q_skew_join": """
+            SELECT CAST(e.event_id AS BIGINT) AS event_id,
+                   CAST(e.user_id AS BIGINT) AS user_id,
+                   CAST(c.c_nationkey AS BIGINT) AS c_nationkey
+            FROM events e JOIN customer c ON e.user_id = c.c_custkey
+            ORDER BY event_id
         """,
     }

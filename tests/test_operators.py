@@ -2333,3 +2333,39 @@ def test_fuzzy_pairs_scale_smoke(ray_session):
     sample = list(got)[:200]
     assert all(lev1(a, b) for a, b in sample)
     print(f"fuzzy_pairs scale smoke: {len(names)} names, {len(got)} pairs, {dt:.1f}s")
+
+
+def test_skew_join_routes_hot_and_cold(ray_session):
+    """Hybrid skew join equals a plain merge on a Zipf-headed key column in
+    BOTH configurations: head key forced hot (broadcast path carries ~40% of
+    rows) and nothing hot (pure shuffle join); duplicate build payloads and
+    probe keys missing from the build side behave like a plain inner join."""
+    from unsupervised_ner_ray.stages.joins import skew_join
+
+    rd = _rd()
+    rng = np.random.default_rng(13)
+    n = 5_000
+    keys = np.where(rng.random(n) < 0.4, 7, rng.integers(0, 200, n))
+    probe = rd.from_items(
+        [{"event_id": i, "user_id": int(k)} for i, k in enumerate(keys)]
+    ).repartition(8)
+    # build covers only keys 0..149 -> ~25% of cold probe rows drop (inner)
+    build = rd.from_items(
+        [{"c_custkey": k, "c_nationkey": k % 25} for k in range(150)]
+    )
+    ppd = pd.DataFrame({"event_id": np.arange(n), "user_id": keys})
+    bpd = pd.DataFrame({"c_custkey": np.arange(150), "c_nationkey": np.arange(150) % 25})
+    want = (
+        ppd.merge(bpd, left_on="user_id", right_on="c_custkey")
+        .drop(columns=["c_custkey"])
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    for kwargs in ({"sample_mod": 1, "hot_frac": 0.2}, {"hot_frac": 2.0}):
+        got = (
+            skew_join(probe, build, "user_id", "c_custkey", **kwargs)
+            .sort("event_id")
+            .to_pandas()[["event_id", "user_id", "c_nationkey"]]
+        )
+        got = got.astype({c: np.int64 for c in got.columns}).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, want.astype(np.int64))

@@ -1047,3 +1047,162 @@ def q_mad_value(sf_dir: str):
     out["median_cents"] = out["median_cents"].astype(np.int64)
     out["mad_cents"] = out["mad_cents"].astype(np.int64)
     return out.reset_index(drop=True)
+
+
+def skew_join(
+    probe,
+    build,
+    probe_key: str,
+    build_key: str,
+    sample_mod: int = 64,
+    hot_frac: float = 0.01,
+    num_partitions: int = 16,
+):
+    """Skew-aware hybrid equi-join: hash-shuffle joins die on hot keys (one
+    partition receives a key's entire row mass), so the probe side's hot
+    keys are detected up front and routed around the shuffle.
+
+    1. HOT-KEY DETECTION — one streaming pass over a deterministic 1/``sample_mod``
+       hash-sample of probe keys (``hash_pandas_object % mod == 0``; payload
+       bounded by sampled distinct keys, no full-key histogram).  Keys whose
+       sampled share exceeds ``hot_frac`` are declared hot — the Zipf head
+       is exactly what a sample sees reliably; misclassified tail keys only
+       cost a slightly bigger broadcast.
+    2. HOT PATH — build rows for hot keys (tiny: |hot| rows) broadcast via
+       ``ray.put``; hot probe rows join by vectorized searchsorted lookup
+       inside ``map_batches`` — the hot mass never shuffles at all.
+    3. COLD PATH — everything else takes the ordinary hash-partitioned
+       ``Dataset.join``; with the head removed, partitions are balanced.
+
+    Inner-join semantics, result = union of both paths.  Columns: probe
+    columns + build columns (minus ``build_key``).
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    def _sampled_counts(t: pa.Table) -> pa.Table:
+        keys = t.column(probe_key).to_pandas()
+        h = pd.util.hash_pandas_object(keys, index=False).to_numpy(np.uint64)
+        sel = (h % np.uint64(sample_mod)) == 0
+        if not sel.any():
+            return pa.table({"k": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
+        v, n = np.unique(keys.to_numpy()[sel], return_counts=True)
+        return pa.table({"k": pa.array(v.astype(np.int64)), "n": pa.array(n.astype(np.int64))})
+
+    sampled = (
+        probe.map_batches(_sampled_counts, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(_Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    total = float(sampled["n"].sum())
+    hot_keys = (
+        np.sort(sampled.loc[sampled["n"] >= max(1.0, hot_frac * total), "k"].to_numpy(np.int64))
+        if total > 0
+        else np.array([], dtype=np.int64)
+    )
+
+    build_cols = [c for c in build.schema().names if c != build_key]
+
+    if hot_keys.size == 0:
+        # no head detected — the hybrid degenerates to the plain hash join
+        return probe.join(
+            build,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=(probe_key,),
+            right_on=(build_key,),
+        )
+
+    def _build_hot(t: pa.Table) -> pa.Table:
+        k = pc.cast(t.column(build_key), pa.int64()).to_numpy()
+        sel = np.isin(k, hot_keys)
+        out = {build_key: pa.array(k[sel], pa.int64())}
+        for c in build_cols:
+            out[c] = t.column(c).filter(pa.array(sel))
+        return pa.table(out)
+
+    hot_build = build.map_batches(_build_hot, batch_format="pyarrow").to_pandas()
+    hot_build = hot_build.sort_values(build_key, kind="mergesort")
+    hb_keys = hot_build[build_key].to_numpy(np.int64)
+    hb_ref = ray.put((hb_keys, {c: hot_build[c].to_numpy() for c in build_cols}))
+    hot_ref = ray.put(hot_keys)
+
+    class _HotJoin:
+        def __init__(self):
+            self.keys, self.vals = ray.get(hb_ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            k = pc.cast(t.column(probe_key), pa.int64()).to_numpy()
+            idx = np.searchsorted(self.keys, k)
+            idx_c = np.minimum(idx, max(len(self.keys) - 1, 0))
+            ok = (len(self.keys) > 0) & (self.keys[idx_c] == k)
+            out = {c: t.column(c).filter(pa.array(ok)) for c in t.schema.names}
+            for c, arr in self.vals.items():
+                out[c] = pa.array(arr[idx_c[ok]])
+            return pa.table(out)
+
+    import functools
+
+    hot_out = probe.map_batches(
+        functools.partial(_split_filter, hot_ref, True, probe_key),
+        batch_format="pyarrow",
+    ).map_batches(_HotJoin, batch_format="pyarrow", concurrency=(1, 4))
+    cold_probe = probe.map_batches(
+        functools.partial(_split_filter, hot_ref, False, probe_key),
+        batch_format="pyarrow",
+    )
+
+    def _build_cold(t: pa.Table) -> pa.Table:
+        k = pc.cast(t.column(build_key), pa.int64()).to_numpy()
+        sel = ~np.isin(k, hot_keys)
+        return t.filter(pa.array(sel))
+
+    cold_out = cold_probe.join(
+        build.map_batches(_build_cold, batch_format="pyarrow"),
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=(probe_key,),
+        right_on=(build_key,),
+    )
+    # Dataset.join drops the right-side key; the hot path keeps only probe
+    # columns + build payload, so both sides line up
+    return hot_out.union(cold_out)
+
+
+def _split_filter(hot_ref, want_hot: bool, key: str, t: pa.Table) -> pa.Table:
+    hot = ray.get(hot_ref)
+    k = pc.cast(t.column(key), pa.int64()).to_numpy()
+    m = np.isin(k, hot)
+    return t.filter(pa.array(m if want_hot else ~m))
+
+
+def q_skew_join_events(sf_dir: str):
+    """Events joined to customer nation through the skew-aware hybrid join
+    (user_id = c_custkey) — same result as a plain hash join, pinned by the
+    SQL twin; the hybrid routing is what changes at scale."""
+    probe = read_sf(sf_dir, "events", columns=["event_id", "user_id"])
+    build = read_sf(sf_dir, "customer", columns=["c_custkey", "c_nationkey"])
+
+    def _nk(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "c_custkey": pc.cast(t.column("c_custkey"), pa.int64()),
+                "c_nationkey": pc.cast(t.column("c_nationkey"), pa.int64()),
+            }
+        )
+
+    out = skew_join(
+        probe, build.map_batches(_nk, batch_format="pyarrow"),
+        probe_key="user_id", build_key="c_custkey",
+    )
+
+    def _fix(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": pc.cast(t.column("event_id"), pa.int64()),
+                "user_id": pc.cast(t.column("user_id"), pa.int64()),
+                "c_nationkey": pc.cast(t.column("c_nationkey"), pa.int64()),
+            }
+        )
+
+    return out.map_batches(_fix, batch_format="pyarrow").sort("event_id")
