@@ -2369,3 +2369,39 @@ def test_skew_join_routes_hot_and_cold(ray_session):
         )
         got = got.astype({c: np.int64 for c in got.columns}).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, want.astype(np.int64))
+
+
+def test_skew_join_hot_key_missing_from_build(ray_session):
+    """A hot probe key with NO build rows must simply drop (inner-join
+    semantics) — exercises the empty-hot-build cold-routing guard."""
+    from unsupervised_ner_ray.stages.joins import skew_join
+
+    rd = _rd()
+    probe = rd.from_items(
+        [{"event_id": i, "user_id": 999} for i in range(400)]
+        + [{"event_id": 400 + i, "user_id": i % 5} for i in range(100)]
+    ).repartition(4)
+    build = rd.from_items([{"c_custkey": k, "c_nationkey": k * 10} for k in range(5)])
+    out = (
+        skew_join(probe, build, "user_id", "c_custkey", sample_mod=1, hot_frac=0.3)
+        .sort("event_id")
+        .to_pandas()
+    )
+    assert len(out) == 100 and (out["user_id"] != 999).all()
+    assert (out["c_nationkey"].to_numpy() == out["user_id"].to_numpy() * 10).all()
+
+
+def test_fuzzy_pairs_non_ascii_no_false_positives(ray_session):
+    """Multi-byte surfaces: byte-level compare stays CONSERVATIVE (a 1-char
+    multi-byte substitution costs 2 byte edits, so it is not reported) and
+    ASCII pairs are unaffected."""
+    from unsupervised_ner_ray.stages.dedup import fuzzy_pairs
+
+    rd = _rd()
+    names = ["caffe", "caffé", "latte", "latt"]
+    ds = rd.from_items([{"p_name": n} for n in names])
+    out = fuzzy_pairs(ds).to_pandas()
+    got = set(map(tuple, out[["name_a", "name_b"]].itertuples(index=False)))
+    assert ("latt", "latte") in got
+    # 'caffe' vs 'caffé' is 1 CHAR but 2 BYTE edits -> conservatively absent
+    assert ("caffe", "caffé") not in got

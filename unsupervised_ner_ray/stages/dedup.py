@@ -1294,16 +1294,20 @@ def fuzzy_pairs(ds, col: str = "p_name"):
             return empty
         x = t.column("name_x").to_pandas().to_numpy(object)
         y = t.column("name_y").to_pandas().to_numpy(object)
-        lx = np.fromiter((len(s) for s in x), np.int64, len(x))
-        ly = np.fromiter((len(s) for s in y), np.int64, len(y))
+        xb = np.array([s.encode() for s in x], dtype=object)
+        yb = np.array([s.encode() for s in y], dtype=object)
+        # BYTE lengths (a multi-byte char costs several byte edits here —
+        # exact for ASCII, conservative otherwise; see docstring)
+        lx = np.fromiter((len(s) for s in xb), np.int64, len(xb))
+        ly = np.fromiter((len(s) for s in yb), np.int64, len(yb))
         # orient a = shorter, b = longer (output keeps the x/y lexic order)
         swap = lx > ly
-        a, b = np.where(swap, y, x), np.where(swap, x, y)
+        a, b = np.where(swap, yb, xb), np.where(swap, xb, yb)
         la, lb = np.minimum(lx, ly), np.maximum(lx, ly)
         keep_len = (lb - la) <= 1
         w = int(lb.max()) + 1
-        A = np.array([s.encode() for s in a], dtype=f"S{w}").view(np.uint8).reshape(len(a), w)
-        B = np.array([s.encode() for s in b], dtype=f"S{w}").view(np.uint8).reshape(len(b), w)
+        A = np.array(list(a), dtype=f"S{w}").view(np.uint8).reshape(len(a), w)
+        B = np.array(list(b), dtype=f"S{w}").view(np.uint8).reshape(len(b), w)
         pos = np.arange(w)[None, :]
         same_len = la == lb
         n_mismatch = ((A != B) & (pos < la[:, None])).sum(axis=1)

@@ -1103,8 +1103,7 @@ def skew_join(
 
     build_cols = [c for c in build.schema().names if c != build_key]
 
-    if hot_keys.size == 0:
-        # no head detected — the hybrid degenerates to the plain hash join
+    def _plain_join():
         return probe.join(
             build,
             join_type="inner",
@@ -1112,6 +1111,10 @@ def skew_join(
             on=(probe_key,),
             right_on=(build_key,),
         )
+
+    if hot_keys.size == 0:
+        # no head detected — the hybrid degenerates to the plain hash join
+        return _plain_join()
 
     def _build_hot(t: pa.Table) -> pa.Table:
         k = pc.cast(t.column(build_key), pa.int64()).to_numpy()
@@ -1122,6 +1125,11 @@ def skew_join(
         return pa.table(out)
 
     hot_build = build.map_batches(_build_hot, batch_format="pyarrow").to_pandas()
+    if hot_build.empty:
+        # hot probe keys have NO build rows at all — inner-join semantics
+        # already drop them in the plain join, so route everything cold
+        # (a fully-empty hot side would also lose its schema via to_pandas)
+        return _plain_join()
     hot_build = hot_build.sort_values(build_key, kind="mergesort")
     hb_keys = hot_build[build_key].to_numpy(np.int64)
     hb_ref = ray.put((hb_keys, {c: hot_build[c].to_numpy() for c in build_cols}))
@@ -1132,10 +1140,11 @@ def skew_join(
             self.keys, self.vals = ray.get(hb_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
+            # hot_build is guaranteed non-empty here (empty routes cold above)
             k = pc.cast(t.column(probe_key), pa.int64()).to_numpy()
             idx = np.searchsorted(self.keys, k)
-            idx_c = np.minimum(idx, max(len(self.keys) - 1, 0))
-            ok = (len(self.keys) > 0) & (self.keys[idx_c] == k)
+            idx_c = np.minimum(idx, len(self.keys) - 1)
+            ok = self.keys[idx_c] == k
             out = {c: t.column(c).filter(pa.array(ok)) for c in t.schema.names}
             for c, arr in self.vals.items():
                 out[c] = pa.array(arr[idx_c[ok]])
