@@ -1732,22 +1732,24 @@ def q_zscore_balance(sf_dir: str):
     return cust.map_batches(_standardize, batch_format="pyarrow").sort("c_custkey")
 
 
-def q_cohort_retention(sf_dir: str):
+def q_cohort_retention(sf_dir: str, num_parts: int = 32):
     """Cohort retention over the event stream: users are cohorted by their
     FIRST active calendar day; the output counts how many of each cohort
     were active again ``offset_days`` later — the standard growth-analytics
-    triangle.  Three streaming reductions, no fact-row shuffle: (1) each
-    batch emits its distinct (user, day) pairs and one groupby-Count
-    dedups them globally (days as int64 epoch days — pure integer math);
-    (2) a groupby-Min over that already-deduped table yields one cohort row
-    per user, which broadcasts as a numpy lookup (users are the small
-    dimension; above broadcast size co-partition activity and cohorts on
-    user_id and resolve per partition — the q_kg_entities_shuffled shape);
-    (3) offsets resolve vectorized and a final tiny groupby counts
-    (cohort, offset) cells.  Rows entering (3) are distinct user-days, so
-    Count IS count-distinct-users."""
-    from ray.data.aggregate import Count as _Count
-    from ray.data.aggregate import Min as _Min
+    triangle.
+
+    ONE coarse user-hash shuffle resolves everything: each batch first
+    collapses to its distinct (user, day) pairs (days as int64 epoch days —
+    pure integer math), the pairs co-partition by user so a partition holds
+    every day of its users, and the per-partition finalize is fully
+    vectorized (drop_duplicates -> per-user transform('min') cohort ->
+    offset -> local (cohort, offset) counts).  A final tiny groupby sums the
+    per-partition cells.  Rows entering the local count are distinct
+    user-days, so the count IS count-distinct-users; no cohort table is
+    ever broadcast or driver-resident."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from .grouping import partitioned_apply
 
     ev = read_sf(sf_dir, "events", columns=["user_id", "ts"])
 
@@ -1760,39 +1762,29 @@ def q_cohort_retention(sf_dir: str):
         ).drop_duplicates()
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    act = (
-        ev.map_batches(_days, batch_format="pyarrow")
-        .groupby(["user_id", "day"])
-        .aggregate(_Count(alias_name="_n"))
-        .drop_columns(["_n"])
-        .materialize()  # consumed twice (cohort build + offset pass)
-    )
-    coh = act.groupby("user_id").aggregate(_Min("day", alias_name="cohort_day")).to_pandas()
-    users = coh["user_id"].to_numpy(np.int64)
-    order = np.argsort(users, kind="mergesort")
-    users = users[order]
-    cohort_days = coh["cohort_day"].to_numpy(np.int64)[order]
-    ref = ray.put((users, cohort_days))
-
-    class _Offsets:
-        def __init__(self):
-            self.users, self.cohort_days = ray.get(ref)
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            u = t.column("user_id").to_numpy(zero_copy_only=False)
-            day = t.column("day").to_numpy(zero_copy_only=False)
-            cd = self.cohort_days[np.searchsorted(self.users, u)]
-            return pa.table(
+    def _cells(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.drop_duplicates(["user_id", "day"])
+        cohort = part.groupby("user_id", sort=False)["day"].transform("min")
+        out = (
+            pd.DataFrame(
                 {
-                    "cohort_day": pa.array(cd, pa.int64()),
-                    "offset_days": pa.array(day - cd, pa.int64()),
+                    "cohort_day": cohort.to_numpy(np.int64),
+                    "offset_days": part["day"].to_numpy(np.int64) - cohort.to_numpy(np.int64),
                 }
             )
+            .groupby(["cohort_day", "offset_days"], sort=False)
+            .size()
+            .reset_index(name="n_users")
+        )
+        return out
 
     out = (
-        act.map_batches(_Offsets, batch_format="pyarrow", concurrency=(1, 4))
+        partitioned_apply(
+            ev.map_batches(_days, batch_format="pyarrow"), "user_id", _cells,
+            num_parts=num_parts,
+        )
         .groupby(["cohort_day", "offset_days"])
-        .aggregate(_Count(alias_name="n_users"))
+        .aggregate(_Sum("n_users", alias_name="n_users"))
         .to_pandas()
         .sort_values(["cohort_day", "offset_days"], kind="mergesort")
         .reset_index(drop=True)
