@@ -675,6 +675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "q_mad_value": joins.q_mad_value,
         "q_skew_join": joins.q_skew_join_events,
+        "q_bpe_train": lambda sf: textstats.bpe_train(_docs(sf), num_merges=10),
         "q_pca_top": lambda sf: similarity.pca_top(
             read_sf(sf, "embeddings", columns=["embedding"])
         ),

@@ -2405,3 +2405,62 @@ def test_fuzzy_pairs_non_ascii_no_false_positives(ray_session):
     assert ("latt", "latte") in got
     # 'caffe' vs 'caffé' is 1 CHAR but 2 BYTE edits -> conservatively absent
     assert ("caffe", "caffé") not in got
+
+
+def _reference_bpe(word_counts: dict, num_merges: int):
+    """Pure-python greedy BPE with the engine's tie-break (count desc, pair
+    lex asc) — the conformance reference."""
+    vocab = {w: list(w) for w in word_counts}
+    merges = []
+    for rank in range(num_merges):
+        counts = {}
+        for w, syms in vocab.items():
+            n = word_counts[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + n
+        if not counts:
+            break
+        pair = min(counts, key=lambda p: (-counts[p], p[0], p[1]))
+        merges.append((rank, pair[0], pair[1], counts[pair]))
+        new_tok = pair[0] + pair[1]
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and (syms[i], syms[i + 1]) == pair:
+                    out.append(new_tok)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def test_bpe_train_matches_reference(ray_session):
+    """Distributed BPE merge list equals the local greedy reference on the
+    sf corpus AND on an overlap-adversarial synthetic ("aaaa", shared
+    prefixes), including tie-breaks."""
+    from collections import Counter
+
+    from unsupervised_ner_ray.stages.textstats import bpe_train
+
+    rd = _rd()
+    # adversarial: overlapping runs + cross-word shared pairs + ties
+    texts = ["aaaa aaa baab", "abab baba aaaa", "cc cc dd dd"]
+    ds = rd.from_items([{"doc_id": i, "text": t} for i, t in enumerate(texts)])
+    wc = Counter(tok for t in texts for tok in t.split() if tok)
+    want = _reference_bpe(dict(wc), 8)
+    got = bpe_train(ds, num_merges=8)
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+    import pyarrow.parquet as pq
+
+    docs = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    wc2 = Counter(
+        tok for t in docs.column("text").to_pylist() for tok in t.split() if tok
+    )
+    want2 = _reference_bpe(dict(wc2), 10)
+    from unsupervised_ner_ray.sources.io import read_sf
+
+    got2 = bpe_train(read_sf(SF, "documents", columns=["doc_id", "text"]), 10)
+    assert [tuple(r) for r in got2.itertuples(index=False)] == want2

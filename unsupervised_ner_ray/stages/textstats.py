@@ -1323,3 +1323,143 @@ def bm25_rank(
     top["score_micros"] = top["score_micros"].astype(np.int64)
     top["rank"] = np.arange(1, len(top) + 1, dtype=np.int64)
     return top
+
+
+def bpe_train(docs, num_merges: int = 10):
+    """Distributed byte-pair-encoding tokenizer training — the merge loop
+    every LLM data pipeline runs before tokenizing a corpus.
+
+    Classic two-level shape: ONE distributed groupby reduces the corpus to
+    its word-frequency table (payload = |vocab|, not corpus rows — the same
+    reduction HF/SentencePiece trainers perform), then each merge iteration
+    runs over the bounded word table: per batch the symbol sequences flatten
+    to one numpy array, adjacent-pair counts weight by word frequency
+    (shift-compare, no per-word Python), a tiny groupby Sum + deterministic
+    argmax (count desc, pair lex asc) picks the merge on the driver
+    (O(1) scalars), and the winning pair broadcasts for a vectorized
+    leftmost-greedy rewrite (run-parity mask handles overlapping matches
+    like "aaaa").  The word table re-materializes between iterations —
+    bounded state, the corpus itself is read exactly once.
+
+    Output: merges table (rank, left, right, count).  No SQL twin
+    (iterative); pinned by a pure-python reference-BPE parity test.
+    """
+    from ray.data.aggregate import Sum
+
+    def _words(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(t.column("text"), pattern=" "))
+        toks = toks.filter(pc.not_equal(toks, pa.scalar("")))
+        v, n = np.unique(toks.to_numpy(zero_copy_only=False), return_counts=True)
+        return pa.table({"word": pa.array(v), "n": pa.array(n.astype(np.int64))})
+
+    words = (
+        docs.map_batches(_words, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(Sum("n", alias_name="n"))
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "syms": pa.array(
+                        [list(w) for w in t.column("word").to_pylist()],
+                        pa.list_(pa.string()),
+                    ),
+                    "n": t.column("n"),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .materialize()
+    )
+
+    def _pair_counts(t: pa.Table) -> pa.Table:
+        syms = t.column("syms")
+        if isinstance(syms, pa.ChunkedArray):
+            syms = syms.combine_chunks()
+        lens = pc.list_value_length(syms).to_numpy(zero_copy_only=False)
+        flat = syms.flatten().to_numpy(zero_copy_only=False)
+        if flat.size == 0:
+            return pa.table({"left": pa.array([], pa.string()),
+                             "right": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        wid = np.repeat(np.arange(len(t)), lens)
+        wn = t.column("n").to_numpy(zero_copy_only=False)
+        # adjacent pairs within the same word
+        same = wid[:-1] == wid[1:]
+        df = pd.DataFrame(
+            {
+                "left": flat[:-1][same],
+                "right": flat[1:][same],
+                "n": wn[wid[:-1][same]],
+            }
+        )
+        g = df.groupby(["left", "right"], sort=False)["n"].sum().reset_index()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    def _apply_merge(left: str, right: str):
+        def _f(t: pa.Table) -> pa.Table:
+            syms = t.column("syms")
+            if isinstance(syms, pa.ChunkedArray):
+                syms = syms.combine_chunks()
+            lens = pc.list_value_length(syms).to_numpy(zero_copy_only=False)
+            flat = syms.flatten().to_numpy(zero_copy_only=False)
+            wid = np.repeat(np.arange(len(t)), lens)
+            match = np.zeros(flat.size, dtype=bool)
+            if flat.size > 1:
+                match[:-1] = (
+                    (flat[:-1] == left) & (flat[1:] == right) & (wid[:-1] == wid[1:])
+                )
+            # leftmost-greedy: inside a run of consecutive matches keep every
+            # other one starting from the run head ("aaaa" -> merge 0-1, 2-3)
+            m = np.flatnonzero(match)
+            if m.size:
+                run_head = np.r_[True, np.diff(m) > 1]
+                run_id = np.cumsum(run_head) - 1
+                head_pos = m[run_head][run_id]
+                keep = ((m - head_pos) % 2) == 0
+                merged_at = m[keep]
+                drop = np.zeros(flat.size, dtype=bool)
+                drop[merged_at + 1] = True
+                out_flat = flat.copy()
+                out_flat[merged_at] = left + right
+                sel = ~drop
+                new_lens = lens - np.bincount(
+                    wid[merged_at + 1], minlength=len(t)
+                )
+                flat2 = out_flat[sel]
+            else:
+                new_lens, flat2 = lens, flat
+            offsets = np.r_[0, np.cumsum(new_lens)].astype(np.int32)
+            arr = pa.ListArray.from_arrays(
+                pa.array(offsets, pa.int32()), pa.array(flat2, pa.string())
+            )
+            return pa.table({"syms": arr, "n": t.column("n")})
+
+        return _f
+
+    merges = []
+    for rank in range(num_merges):
+        counts = (
+            words.map_batches(_pair_counts, batch_format="pyarrow")
+            .groupby(["left", "right"])
+            .aggregate(Sum("n", alias_name="n"))
+            .to_pandas()
+        )
+        if counts.empty:
+            break
+        counts = counts.sort_values(
+            ["n", "left", "right"], ascending=[False, True, True], kind="mergesort"
+        )
+        top = counts.iloc[0]
+        merges.append(
+            {"rank": rank, "left": top["left"], "right": top["right"],
+             "count": int(top["n"])}
+        )
+        words = words.map_batches(
+            _apply_merge(str(top["left"]), str(top["right"])),
+            batch_format="pyarrow",
+        ).materialize()
+    out = pd.DataFrame(merges, columns=["rank", "left", "right", "count"])
+    if len(out):
+        out["rank"] = out["rank"].astype(np.int64)
+        out["count"] = out["count"].astype(np.int64)
+    return out
