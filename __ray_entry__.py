@@ -676,6 +676,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_mad_value": joins.q_mad_value,
         "q_skew_join": joins.q_skew_join_events,
         "q_bpe_train": lambda sf: textstats.bpe_train(_docs(sf), num_merges=10),
+        # entity-resolution capstone: fuzzy pairs -> transitive clusters ->
+        # canonical surface per cluster (lexicographic min), sizes attached
+        "q_entity_resolution": lambda sf: dedup.surface_resolution(
+            read_sf(sf, "part", columns=["p_name"]),
+            dedup.fuzzy_pairs(read_sf(sf, "part", columns=["p_name"])),
+        ),
         "q_pca_top": lambda sf: similarity.pca_top(
             read_sf(sf, "embeddings", columns=["embedding"])
         ),
@@ -1848,5 +1854,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(c.c_nationkey AS BIGINT) AS c_nationkey
             FROM events e JOIN customer c ON e.user_id = c.c_custkey
             ORDER BY event_id
+        """,
+        # transitive closure over the distance-1 pair graph via recursive
+        # CTE reachability; canonical = min reachable surface
+        "q_entity_resolution": """
+            WITH RECURSIVE v AS (
+                SELECT DISTINCT p_name AS s FROM part
+            ), p AS (
+                SELECT a.s AS a, b.s AS b
+                FROM v a JOIN v b ON a.s < b.s AND levenshtein(a.s, b.s) <= 1
+            ), e AS (
+                SELECT a, b FROM p UNION ALL SELECT b AS a, a AS b FROM p
+            ), walk(s, reach) AS (
+                SELECT s, s FROM v
+                UNION
+                SELECT w.s, e.b FROM walk w JOIN e ON e.a = w.reach
+            ), canon AS (
+                SELECT s AS surface, MIN(reach) AS canonical
+                FROM walk GROUP BY s
+            )
+            SELECT surface, canonical,
+                   CAST(COUNT(*) OVER (PARTITION BY canonical) AS BIGINT)
+                       AS cluster_size
+            FROM canon ORDER BY surface
         """,
     }

@@ -2464,3 +2464,21 @@ def test_bpe_train_matches_reference(ray_session):
 
     got2 = bpe_train(read_sf(SF, "documents", columns=["doc_id", "text"]), 10)
     assert [tuple(r) for r in got2.itertuples(index=False)] == want2
+
+
+def test_surface_resolution_transitive_chain(ray_session):
+    """a~b and b~c (but a!~c) must still collapse into ONE cluster with the
+    lexicographic-min canonical; untouched surfaces stay singletons."""
+    from unsupervised_ner_ray.stages.dedup import fuzzy_pairs, surface_resolution
+
+    rd = _rd()
+    names = ["aaa", "aab", "abb", "zzz"]
+    ds = rd.from_items([{"p_name": n} for n in names])
+    out = surface_resolution(ds, fuzzy_pairs(ds)).to_pandas()
+    got = {r.surface: (r.canonical, r.cluster_size) for r in out.itertuples()}
+    assert got == {
+        "aaa": ("aaa", 3),
+        "aab": ("aaa", 3),
+        "abb": ("aaa", 3),
+        "zzz": ("zzz", 1),
+    }

@@ -1328,3 +1328,79 @@ def fuzzy_pairs(ds, col: str = "p_name"):
         )
 
     return cand.map_batches(_verify, batch_format="pyarrow").sort(["name_a", "name_b"])
+
+
+def surface_resolution(names, pairs, col: str = "p_name"):
+    """End-to-end surface entity resolution: near-match pairs (e.g. from
+    :func:`fuzzy_pairs`) collapse transitively into clusters and every
+    distinct surface maps to its canonical form (lexicographic minimum of
+    its cluster — "old bolt" and "cold bolt" both resolve to "cold bolt").
+    This is the surface-canonicalization capstone the NER linker consumes.
+
+    Scale shape: the PAIR set is bounded by true near-matches (tiny next to
+    the surface table), so union-find over it runs on the driver exactly
+    like :func:`dedup_resolve`'s small regime (the distributed min-label
+    propagation there generalizes verbatim to string labels when pairs
+    outgrow the driver).  The resulting mapping and the >1 cluster sizes —
+    both bounded by pair-touched surfaces — broadcast via ``ray.put``; the
+    full surface table streams through one vectorized map that defaults
+    untouched surfaces to themselves with size 1.  Nothing corpus-sized
+    ever sits on the driver.
+
+    Output: (surface, canonical, cluster_size), sorted by surface.
+    """
+    import ray
+
+    ppd = pairs.to_pandas()
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(ppd["name_a"], ppd["name_b"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    canon = {s: find(s) for s in parent}
+    sizes: dict[str, int] = {}
+    for s, c in canon.items():
+        sizes[c] = sizes.get(c, 0) + 1
+    ref = ray.put((canon, sizes))
+
+    class _Resolve:
+        def __init__(self):
+            self.canon, self.sizes = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            s = t.column(col).to_pandas()
+            c = s.map(self.canon).fillna(s)
+            n = c.map(self.sizes).fillna(1).astype(np.int64)
+            return pa.table(
+                {
+                    "surface": pa.array(s, pa.string()),
+                    "canonical": pa.array(c, pa.string()),
+                    "cluster_size": pa.array(n.to_numpy(), pa.int64()),
+                }
+            )
+
+    from ray.data.aggregate import Count
+
+    def _distinct(t: pa.Table) -> pa.Table:
+        return pa.table({col: pc.unique(t.column(col))})
+
+    distinct = (
+        names.map_batches(_distinct, batch_format="pyarrow")
+        .groupby(col)
+        .aggregate(Count(alias_name="_n"))
+        .drop_columns(["_n"])
+    )
+    return distinct.map_batches(
+        _Resolve, batch_format="pyarrow", concurrency=(1, 4)
+    ).sort("surface")
