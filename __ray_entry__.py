@@ -682,6 +682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             read_sf(sf, "part", columns=["p_name"]),
             dedup.fuzzy_pairs(read_sf(sf, "part", columns=["p_name"])),
         ),
+        "q_snapshot_diff": relational.q_snapshot_diff,
         "q_pca_top": lambda sf: similarity.pca_top(
             read_sf(sf, "embeddings", columns=["embedding"])
         ),
@@ -1877,5 +1878,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COUNT(*) OVER (PARTITION BY canonical) AS BIGINT)
                        AS cluster_size
             FROM canon ORDER BY surface
+        """,
+        # CDC twin: FULL OUTER JOIN of the two derived snapshots; -1
+        # sentinels mirror the engine's missing-side encoding
+        "q_snapshot_diff": """
+            WITH o AS (
+                SELECT CAST(o_orderkey AS BIGINT) AS k,
+                       CAST(FLOOR(o_totalprice * 100.0) AS BIGINT) AS cents
+                FROM orders WHERE o_orderkey % 101 <> 0
+            ), n AS (
+                SELECT CAST(o_orderkey AS BIGINT) AS k,
+                       CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)
+                           + CASE WHEN o_orderkey % 89 = 0 THEN 100 ELSE 0 END
+                           AS cents
+                FROM orders WHERE o_orderkey % 97 <> 0
+            ), j AS (
+                SELECT COALESCE(o.k, n.k) AS o_orderkey,
+                       COALESCE(o.cents, -1) AS old_cents,
+                       COALESCE(n.cents, -1) AS new_cents
+                FROM o FULL OUTER JOIN n ON o.k = n.k
+            )
+            SELECT o_orderkey,
+                   CASE WHEN old_cents = -1 THEN 'added'
+                        WHEN new_cents = -1 THEN 'removed'
+                        ELSE 'changed' END AS change,
+                   old_cents, new_cents
+            FROM j WHERE old_cents <> new_cents
+            ORDER BY o_orderkey
         """,
     }

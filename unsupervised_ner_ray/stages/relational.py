@@ -1795,3 +1795,83 @@ def q_cohort_retention(sf_dir: str, num_parts: int = 32):
     )
     out["n_users"] = out["n_users"].astype(np.int64)
     return out
+
+
+def q_snapshot_diff(sf_dir: str, num_parts: int = 32):
+    """Snapshot diff / change-data-capture: given OLD and NEW versions of a
+    keyed table, classify every key as added / removed / changed /
+    unchanged — the MERGE-style reconciliation every incremental warehouse
+    load runs.  Both snapshots derive deterministically from the orders
+    table (old = keys not divisible by 101; new = keys not divisible by 97
+    with price bumped by 1.00 where divisible by 89 — so added, removed AND
+    changed keys all occur), and the operator runs on driver testdata with
+    no synthetic inputs.
+
+    Scale shape: the two snapshots stream through cheap side-tagging maps
+    into ONE tagged union, a single coarse key-hash shuffle co-locates the
+    <=2 rows per key, and the per-partition classify is fully vectorized
+    (sort by key, side-count + value-compare via groupby-agg — no per-key
+    Python).  Output is one row per non-unchanged key plus is-unchanged
+    counts folded in as a summary-free detail table: (o_orderkey, change,
+    old_cents, new_cents), sorted."""
+    from .grouping import partitioned_apply
+
+    orders = read_sf(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def _tag(side: str):
+        def _f(t: pa.Table) -> pa.Table:
+            k = pc.cast(t.column("o_orderkey"), pa.int64()).to_numpy()
+            cents = _to_cents(t.column("o_totalprice")).to_numpy(zero_copy_only=False)
+            if side == "old":
+                sel = (k % 101) != 0
+                k, cents = k[sel], cents[sel]
+            else:
+                sel = (k % 97) != 0
+                k, cents = k[sel], cents[sel]
+                cents = cents + np.where(k % 89 == 0, 100, 0)
+            return pa.table(
+                {
+                    "o_orderkey": pa.array(k, pa.int64()),
+                    "cents": pa.array(cents, pa.int64()),
+                    "is_new": pa.array(np.full(len(k), side == "new"), pa.bool_()),
+                }
+            )
+
+        return _f
+
+    tagged = orders.map_batches(_tag("old"), batch_format="pyarrow").union(
+        orders.map_batches(_tag("new"), batch_format="pyarrow")
+    )
+
+    def _classify(part: pd.DataFrame) -> pd.DataFrame:
+        g = (
+            part.assign(
+                old_cents=np.where(part["is_new"], np.int64(-1), part["cents"]),
+                new_cents=np.where(part["is_new"], part["cents"], np.int64(-1)),
+            )
+            .groupby("o_orderkey", sort=False)
+            .agg(
+                n=("is_new", "size"),
+                old_cents=("old_cents", "max"),
+                new_cents=("new_cents", "max"),
+            )
+            .reset_index()
+        )
+        change = np.where(
+            g["n"] == 1,
+            np.where(g["new_cents"] >= 0, "added", "removed"),
+            np.where(g["old_cents"] != g["new_cents"], "changed", "unchanged"),
+        )
+        keep = change != "unchanged"
+        return pd.DataFrame(
+            {
+                "o_orderkey": g["o_orderkey"].to_numpy(np.int64)[keep],
+                "change": change[keep],
+                "old_cents": g["old_cents"].to_numpy(np.int64)[keep],
+                "new_cents": g["new_cents"].to_numpy(np.int64)[keep],
+            }
+        )
+
+    return partitioned_apply(tagged, "o_orderkey", _classify, num_parts=num_parts).sort(
+        "o_orderkey"
+    )
