@@ -683,6 +683,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             dedup.fuzzy_pairs(read_sf(sf, "part", columns=["p_name"])),
         ),
         "q_snapshot_diff": relational.q_snapshot_diff,
+        "q_constraint_checks": relational.q_constraint_checks,
         "q_pca_top": lambda sf: similarity.pca_top(
             read_sf(sf, "embeddings", columns=["embedding"])
         ),
@@ -1905,5 +1906,28 @@ def oracle_sql() -> dict[str, str]:
                    old_cents, new_cents
             FROM j WHERE old_cents <> new_cents
             ORDER BY o_orderkey
+        """,
+        # constraint suite twin: each rule as one counting subquery
+        "q_constraint_checks": """
+            SELECT 'enum_status' AS rule, CAST(
+                (SELECT COUNT(*) FROM orders
+                 WHERE o_orderstatus NOT IN ('F', 'O', 'P')) AS BIGINT)
+                AS violations
+            UNION ALL
+            SELECT 'fk_customer', CAST(
+                (SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                   WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+            UNION ALL
+            SELECT 'nonnull_date', CAST(
+                (SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL) AS BIGINT)
+            UNION ALL
+            SELECT 'pk_unique', CAST(
+                (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+                AS BIGINT)
+            UNION ALL
+            SELECT 'range_price', CAST(
+                (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0) AS BIGINT)
+            ORDER BY rule
         """,
     }

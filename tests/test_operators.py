@@ -2482,3 +2482,42 @@ def test_surface_resolution_transitive_chain(ray_session):
         "abb": ("aaa", 3),
         "zzz": ("zzz", 1),
     }
+
+
+def test_constraint_checks_planted_violations(ray_session, tmp_path):
+    """Each rule counts exactly its planted violations: duplicate PK, two
+    dangling FKs, a NULL date, a negative price, a bad status code."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from unsupervised_ner_ray.stages.relational import q_constraint_checks
+
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([1, 2, 3], pa.int64())}),
+        tmp_path / "customer.parquet",
+    )
+    import datetime
+
+    d = datetime.date(2024, 1, 5)
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([10, 11, 11, 12, 13, 14], pa.int64()),
+                "o_custkey": pa.array([1, 2, 9, 8, 3, 1], pa.int64()),
+                "o_orderdate": pa.array(
+                    [d, d, d, None, d, d], pa.date32()
+                ),
+                "o_totalprice": pa.array([5.0, 1.0, 2.0, 3.0, -4.0, 6.0]),
+                "o_orderstatus": pa.array(["F", "O", "P", "X", "F", "O"]),
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    out = q_constraint_checks(str(tmp_path)).set_index("rule")["violations"]
+    assert out.to_dict() == {
+        "enum_status": 1,
+        "fk_customer": 2,
+        "nonnull_date": 1,
+        "pk_unique": 1,
+        "range_price": 1,
+    }

@@ -1875,3 +1875,109 @@ def q_snapshot_diff(sf_dir: str, num_parts: int = 32):
     return partitioned_apply(tagged, "o_orderkey", _classify, num_parts=num_parts).sort(
         "o_orderkey"
     )
+
+
+def q_constraint_checks(sf_dir: str):
+    """Declarative data-quality constraint suite over orders — the
+    Deequ/dbt-test face every production pipeline runs before publishing a
+    table.  Five constraint classes in ONE streaming pass + one combiner
+    groupby, violations only ever counted, never materialized:
+
+    * ``pk_unique``      — duplicate o_orderkey rows (total - distinct via a
+                           key-count groupby; payload = distinct keys)
+    * ``fk_customer``    — o_custkey missing from customer (build side
+                           broadcast as a sorted key array, vectorized
+                           searchsorted membership per batch)
+    * ``nonnull_date``   — NULL o_orderdate (per-batch null_count partials)
+    * ``range_price``    — o_totalprice <= 0
+    * ``enum_status``    — o_orderstatus outside {F, O, P}
+
+    Output: (rule, violations), sorted — a table the pipeline gate
+    can assert against; identical aggregation shape at 100 TB."""
+    from ray.data.aggregate import Count as _Count
+    from ray.data.aggregate import Sum as _Sum
+
+    cust_keys = np.sort(
+        read_sf(sf_dir, "customer", columns=["c_custkey"])
+        .to_pandas()["c_custkey"]
+        .to_numpy(np.int64)
+    )
+    ref = ray.put(cust_keys)
+
+    orders = read_sf(
+        sf_dir,
+        "orders",
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice", "o_orderstatus"],
+    )
+
+    class _Partials:
+        def __init__(self):
+            self.cust = ray.get(ref)
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            ck = t.column("o_custkey").to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(self.cust, ck)
+            idx_c = np.minimum(idx, len(self.cust) - 1)
+            fk_bad = int((self.cust[idx_c] != ck).sum()) if len(self.cust) else len(ck)
+            null_date = t.column("o_orderdate").null_count
+            price_bad = int(
+                pc.sum(
+                    pc.cast(
+                        pc.less_equal(t.column("o_totalprice"), pa.scalar(0.0)),
+                        pa.int64(),
+                    )
+                ).as_py()
+                or 0
+            )
+            status_bad = int(
+                len(t)
+                - (
+                    pc.sum(
+                        pc.cast(
+                            pc.is_in(
+                                t.column("o_orderstatus"),
+                                value_set=pa.array(["F", "O", "P"]),
+                            ),
+                            pa.int64(),
+                        )
+                    ).as_py()
+                    or 0
+                )
+            )
+            return pa.table(
+                {
+                    "rule": pa.array(
+                        ["fk_customer", "nonnull_date", "range_price", "enum_status"]
+                    ),
+                    "violations": pa.array(
+                        [fk_bad, null_date, price_bad, status_bad], pa.int64()
+                    ),
+                }
+            )
+
+    scalar = (
+        orders.map_batches(_Partials, batch_format="pyarrow", concurrency=(1, 4))
+        .groupby("rule")
+        .aggregate(_Sum("violations", alias_name="violations"))
+        .to_pandas()
+    )
+
+    # pk_unique: duplicates = total - distinct keys (distinct via groupby)
+    key_counts = (
+        orders.select_columns(["o_orderkey"])
+        .groupby("o_orderkey")
+        .aggregate(_Count(alias_name="n"))
+    )
+    n_total = orders.count()
+    n_distinct = key_counts.count()
+    out = pd.concat(
+        [
+            scalar,
+            pd.DataFrame(
+                [{"rule": "pk_unique", "violations": n_total - n_distinct}]
+            ),
+        ],
+        ignore_index=True,
+    ).sort_values("rule", kind="mergesort").reset_index(drop=True)
+    out["violations"] = out["violations"].astype(np.int64)
+    return out
