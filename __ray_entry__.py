@@ -684,6 +684,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
         "q_snapshot_diff": relational.q_snapshot_diff,
         "q_constraint_checks": relational.q_constraint_checks,
+        # personalized PageRank around the two highest-degree token seeds
+        # (rows-only: iterative spectral op, pinned by numpy-reference test)
+        "q_kg_ppr": lambda sf: kg.pagerank(
+            kg.bigram_triples(_docs(sf)), iters=10,
+            personalization={"the": 1.0, "of": 1.0},
+        ).sort("node_id"),
         "q_pca_top": lambda sf: similarity.pca_top(
             read_sf(sf, "embeddings", columns=["embedding"])
         ),

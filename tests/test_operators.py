@@ -2521,3 +2521,51 @@ def test_constraint_checks_planted_violations(ray_session, tmp_path):
         "pk_unique": 1,
         "range_price": 1,
     }
+
+
+def test_personalized_pagerank_both_regimes(ray_session):
+    """Personalized teleport: seed nodes dominate, both regimes agree to
+    1e-12, and the result matches a local numpy PPR reference."""
+    rd = _rd()
+    from unsupervised_ner_ray.stages.kg import pagerank
+
+    rng = np.random.default_rng(19)
+    edges = [
+        (f"n{int(a)}", f"n{int(b)}")
+        for a, b in rng.integers(0, 40, (200, 2))
+        if a != b
+    ]
+    ds = rd.from_items([{"subj_id": s, "obj_id": o} for s, o in edges])
+    seeds = {"n0": 2.0, "n1": 1.0}  # deliberately unnormalized
+
+    bc = (
+        pagerank(ds, iters=4, personalization=seeds)
+        .to_pandas().set_index("node_id")["rank"]
+    )
+    sh = (
+        pagerank(ds, iters=4, personalization=seeds, broadcast_threshold=0)
+        .to_pandas().set_index("node_id")["rank"]
+    )
+    assert set(bc.index) == set(sh.index)
+    assert np.allclose(bc.sort_index().to_numpy(), sh.sort_index().to_numpy(), atol=1e-12)
+    assert abs(bc.sum() - 1.0) < 1e-9
+
+    # local reference
+    nodes = sorted(bc.index)
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    src = np.fromiter((idx[s] for s, _ in edges), np.int64, len(edges))
+    dst = np.fromiter((idx[o] for _, o in edges), np.int64, len(edges))
+    np.add.at(outdeg, src, 1.0)
+    tele = np.zeros(n)
+    tele[idx["n0"]], tele[idx["n1"]] = 2.0 / 3.0, 1.0 / 3.0
+    r = tele.copy()
+    for _ in range(4):
+        w = r / np.maximum(outdeg, 1.0)
+        c = np.zeros(n)
+        np.add.at(c, dst, w[src])
+        r = 0.15 * tele + 0.85 * (c + r[outdeg == 0].sum() * tele)
+    assert np.allclose(bc.loc[nodes].to_numpy(), r, atol=1e-12)
+    # the seed neighborhood holds most of the mass
+    assert bc[["n0", "n1"]].sum() > 1.0 / n * 5

@@ -87,6 +87,7 @@ def pagerank(
     tol: float = 1e-12,
     num_partitions: int = 16,
     broadcast_threshold: int = 2_000_000,
+    personalization: dict | None = None,
 ):
     """Distributed PageRank by power iteration with two regimes chosen by
     node count — neither keeps a dense per-batch vector or an id dict, and
@@ -110,8 +111,16 @@ def pagerank(
       reach the driver.
 
     Both regimes are the same algorithm — a forced-path equivalence test
-    pins them equal bit-for-bit.  Dangling mass redistributes uniformly.
-    Returns a Dataset (node_id, rank); ranks sum to 1.
+    pins them equal bit-for-bit.  Dangling mass redistributes uniformly
+    (or over the teleport set when personalized).
+
+    ``personalization`` makes this PERSONALIZED PageRank — the entity-
+    relatedness ranking KGs run around seed entities: teleport mass
+    concentrates on the given ``{node_id: weight}`` seed set (normalized
+    here) instead of 1/n.  A seed set is small by definition, so it
+    broadcasts via ``ray.put`` into both regimes — the at-scale path still
+    keeps no node-sized driver state.  Returns a Dataset (node_id, rank);
+    ranks sum to 1.
     """
     import pyarrow.compute as pc
     import ray.data as rd
@@ -190,10 +199,17 @@ def pagerank(
     if n == 0:
         return rd.from_pandas(pd.DataFrame({"node_id": [], "rank": []}))
 
+    seeds = None
+    if personalization:
+        total_w = float(sum(personalization.values()))
+        if total_w <= 0:
+            raise ValueError("personalization weights must sum to > 0")
+        seeds = {str(k): float(v) / total_w for k, v in personalization.items()}
+
     if n <= broadcast_threshold:
-        return _pagerank_broadcast_regime(edges, nodes, n, damping, iters, tol)
+        return _pagerank_broadcast_regime(edges, nodes, n, damping, iters, tol, seeds)
     return _pagerank_shuffle_regime(
-        edges, nodes, n, damping, iters, tol, num_partitions, _CARRIER
+        edges, nodes, n, damping, iters, tol, num_partitions, _CARRIER, seeds
     )
 
 
@@ -214,7 +230,7 @@ def _coalesce_for_iteration(ds, min_blocks: int, target_block_bytes: int = 128 <
     return ds
 
 
-def _pagerank_broadcast_regime(edges, nodes, n, damping, iters, tol):
+def _pagerank_broadcast_regime(edges, nodes, n, damping, iters, tol, seeds=None):
     """Small-node-count regime: rank vector with the driver (same bound as
     broadcasting it), ONE shuffle-free edges pass per iteration, per-batch
     partial sums as the combiner."""
@@ -224,7 +240,11 @@ def _pagerank_broadcast_regime(edges, nodes, n, damping, iters, tol):
     node_index = pd.Index(nd["node_id"])
     outdeg = nd["outdeg"].to_numpy().astype(np.float64)
     active = outdeg > 0
-    r = np.full(n, 1.0 / n)
+    if seeds is None:
+        tele = np.full(n, 1.0 / n)
+    else:
+        tele = node_index.map(seeds).fillna(0.0).to_numpy(np.float64)
+    r = tele.copy()
     _P = pa.schema([("node_id", pa.string()), ("v", pa.float64())])
     for _ in range(iters):
         w_ser = pd.Series(r[active] / outdeg[active], index=node_index[active])
@@ -251,7 +271,11 @@ def _pagerank_broadcast_regime(edges, nodes, n, damping, iters, tol):
             .reindex(node_index).fillna(0.0).to_numpy()
         )
         dangling = float(r[~active].sum())
-        new = (1.0 - damping) / n + damping * (c + dangling / n)
+        if seeds is None:
+            # keep the scalar form — bit-identical to the shuffle regime
+            new = (1.0 - damping) / n + damping * (c + dangling / n)
+        else:
+            new = (1.0 - damping) * tele + damping * (c + dangling * tele)
         delta = float(np.abs(new - r).sum())
         r = new
         if delta < tol:
@@ -260,13 +284,19 @@ def _pagerank_broadcast_regime(edges, nodes, n, damping, iters, tol):
 
 
 def _pagerank_shuffle_regime(
-    edges, nodes, n, damping, iters, tol, num_partitions, _CARRIER
+    edges, nodes, n, damping, iters, tol, num_partitions, _CARRIER, seeds=None
 ):
     """At-scale regime: no node-sized driver state; 2 bounded shuffles per
-    iteration over pre-combined partials."""
+    iteration over pre-combined partials.  ``seeds`` (personalized teleport,
+    already normalized) rides along as a small broadcast dict — looked up
+    vectorized in the init and update maps, never a node-sized column."""
+    import ray
+
     import pyarrow.compute as pc
 
     from ray.data.aggregate import Sum
+
+    seeds_ref = ray.put(seeds)
 
     _RANKS = pa.schema(
         [("node_id", pa.string()), ("rank", pa.float64()), ("outdeg", pa.int64())]
@@ -279,10 +309,17 @@ def _pagerank_shuffle_regime(
     def _init_ranks(t: pa.Table) -> pa.Table:
         if t.num_columns == 0:
             return _RANKS.empty_table()
+        sd = ray.get(seeds_ref)
+        if sd is None:
+            init = np.full(len(t), 1.0 / n)
+        else:
+            init = (
+                t.column("node_id").to_pandas().map(sd).fillna(0.0).to_numpy(np.float64)
+            )
         return pa.table(
             {
                 "node_id": pc.cast(t.column("node_id"), pa.string()),
-                "rank": pa.array(np.full(len(t), 1.0 / n), pa.float64()),
+                "rank": pa.array(init, pa.float64()),
                 "outdeg": pc.cast(t.column("outdeg"), pa.int64()),
             }
         )
@@ -428,7 +465,15 @@ def _pagerank_shuffle_regime(
                 ).empty_table()
             v = t.column("v").to_numpy(zero_copy_only=False)
             old = t.column("old").to_numpy(zero_copy_only=False)
-            new = (1.0 - damping) / n + damping * (v + _dang / n)
+            sd = ray.get(seeds_ref)
+            if sd is None:
+                new = (1.0 - damping) / n + damping * (v + _dang / n)
+            else:
+                tele = (
+                    t.column("node_id").to_pandas().map(sd).fillna(0.0)
+                    .to_numpy(np.float64)
+                )
+                new = (1.0 - damping) * tele + damping * (v + _dang * tele)
             return pa.table(
                 {
                     "node_id": t.column("node_id"),
