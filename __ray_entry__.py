@@ -686,6 +686,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_constraint_checks": relational.q_constraint_checks,
         # personalized PageRank around the two highest-degree token seeds
         # (rows-only: iterative spectral op, pinned by numpy-reference test)
+        # incremental-load maintenance: merge of per-load mergeable
+        # partials must equal the full recompute (same SQL twin as
+        # q_token_histogram by construction)
+        "q_incremental_histogram": lambda sf: textstats.incremental_token_histogram(
+            _docs(sf)
+        ),
         "q_kg_ppr": lambda sf: kg.pagerank(
             kg.bigram_triples(_docs(sf)), iters=10,
             personalization={"the": 1.0, "of": 1.0},
@@ -1060,6 +1066,11 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "q_token_histogram": f"""
+            SELECT token, COUNT(*) AS n FROM (
+                SELECT unnest({_TOKS}) AS token FROM documents
+            ) GROUP BY token ORDER BY n DESC, token LIMIT 100
+        """,
+        "q_incremental_histogram": f"""
             SELECT token, COUNT(*) AS n FROM (
                 SELECT unnest({_TOKS}) AS token FROM documents
             ) GROUP BY token ORDER BY n DESC, token LIMIT 100

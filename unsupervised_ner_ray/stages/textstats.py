@@ -107,6 +107,9 @@ def token_histogram(docs, limit: int = 100):
 
     partials = docs.map_batches(_combine, batch_format="pyarrow")
     agg = partials.groupby("token").aggregate(Sum("n", alias_name="n"))
+    if limit is None:
+        # unlimited mergeable-partial form (incremental maintenance)
+        return agg
     top = agg.sort(["n", "token"], descending=[True, False]).limit(limit)
     return top
 
@@ -1462,4 +1465,48 @@ def bpe_train(docs, num_merges: int = 10):
     if len(out):
         out["rank"] = out["rank"].astype(np.int64)
         out["count"] = out["count"].astype(np.int64)
+    return out
+
+
+def incremental_token_histogram(docs, limit: int = 100, split_mod: int = 2):
+    """Incremental-load aggregate maintenance: the corpus arrives as
+    ``split_mod`` separate loads (split here deterministically by
+    ``doc_id % split_mod``), each load reduces to its own MERGEABLE partial
+    histogram — the artifact an incremental pipeline persists per load —
+    and the published result is the UNION + groupby-Sum of the saved
+    partials, NOT a recompute over raw data.  Mergeability is the property
+    that makes per-load checkpointing sound: merge(partials(A),
+    partials(B)) == aggregate(A ∪ B), pinned by sharing
+    ``q_token_histogram``'s exact SQL twin (full-corpus recompute).
+
+    Same final (token, n) top-``limit`` contract as
+    :func:`token_histogram`."""
+    from ray.data.aggregate import Sum
+
+    def _load(i: int):
+        def _f(t: pa.Table) -> pa.Table:
+            ids = pc.cast(t.column("doc_id"), pa.int64()).to_numpy()
+            return t.filter(pa.array(ids % split_mod == i))
+
+        return _f
+
+    # per-load partials: full (token, n) tables — unlimited, because a
+    # top-k boundary is NOT mergeable; the limit applies only at publish
+    partials = []
+    for i in range(split_mod):
+        load = docs.map_batches(_load(i), batch_format="pyarrow")
+        partials.append(token_histogram(load, limit=None))
+
+    merged = partials[0]
+    for p in partials[1:]:
+        merged = merged.union(p)
+    out = (
+        merged.groupby("token")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+        .sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
+        .head(limit)
+        .reset_index(drop=True)
+    )
+    out["n"] = out["n"].astype(np.int64)
     return out
