@@ -2361,7 +2361,11 @@ def test_skew_join_routes_hot_and_cold(ray_session):
         .sort_values("event_id")
         .reset_index(drop=True)
     )
-    for kwargs in ({"sample_mod": 1, "hot_frac": 0.2}, {"hot_frac": 2.0}):
+    for kwargs in (
+        {"sample_mod": 1, "hot_frac": 0.2},
+        {"sample_mod": 8, "hot_frac": 0.2},  # row-sampled detection still sees the head
+        {"hot_frac": 2.0},
+    ):
         got = (
             skew_join(probe, build, "user_id", "c_custkey", **kwargs)
             .sort("event_id")

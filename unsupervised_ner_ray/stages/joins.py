@@ -1062,12 +1062,16 @@ def skew_join(
     partition receives a key's entire row mass), so the probe side's hot
     keys are detected up front and routed around the shuffle.
 
-    1. HOT-KEY DETECTION — one streaming pass over a deterministic 1/``sample_mod``
-       hash-sample of probe keys (``hash_pandas_object % mod == 0``; payload
-       bounded by sampled distinct keys, no full-key histogram).  Keys whose
-       sampled share exceeds ``hot_frac`` are declared hot — the Zipf head
-       is exactly what a sample sees reliably; misclassified tail keys only
-       cost a slightly bigger broadcast.
+    1. HOT-KEY DETECTION — one streaming pass over a deterministic
+       1/``sample_mod`` systematic ROW sample of probe keys (every
+       ``sample_mod``-th row per batch; payload bounded by sampled distinct
+       keys, no full-key histogram).  Row-level sampling is essential: a
+       key-hash sample would keep or drop each KEY wholesale, missing a hot
+       key (mod-1)/mod of the time — row sampling sees every key at a rate
+       proportional to its frequency, so the Zipf head is exactly what it
+       detects reliably.  Keys whose sampled share exceeds ``hot_frac`` are
+       declared hot; misclassified tail keys only cost a slightly bigger
+       broadcast.
     2. HOT PATH — build rows for hot keys (tiny: |hot| rows) broadcast via
        ``ray.put``; hot probe rows join by vectorized searchsorted lookup
        inside ``map_batches`` — the hot mass never shuffles at all.
@@ -1080,13 +1084,12 @@ def skew_join(
     from ray.data.aggregate import Sum as _Sum
 
     def _sampled_counts(t: pa.Table) -> pa.Table:
-        keys = t.column(probe_key).to_pandas()
-        h = pd.util.hash_pandas_object(keys, index=False).to_numpy(np.uint64)
-        sel = (h % np.uint64(sample_mod)) == 0
-        if not sel.any():
+        keys = pc.cast(t.column(probe_key), pa.int64()).to_numpy()
+        sampled = keys[::sample_mod]
+        if sampled.size == 0:
             return pa.table({"k": pa.array([], pa.int64()), "n": pa.array([], pa.int64())})
-        v, n = np.unique(keys.to_numpy()[sel], return_counts=True)
-        return pa.table({"k": pa.array(v.astype(np.int64)), "n": pa.array(n.astype(np.int64))})
+        v, n = np.unique(sampled, return_counts=True)
+        return pa.table({"k": pa.array(v, pa.int64()), "n": pa.array(n.astype(np.int64))})
 
     sampled = (
         probe.map_batches(_sampled_counts, batch_format="pyarrow")
