@@ -175,6 +175,17 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ).pca_top(read_sf(sf_dir, "embeddings", columns=["embedding"])),
     )
 
+    from unsupervised_ner_ray.stages import joins as _joins
+
+    timed("q_skew_join", lambda: _joins.q_skew_join_events(sf_dir).to_pandas())
+    timed("q_snapshot_diff", lambda: relational.q_snapshot_diff(sf_dir).to_pandas())
+    timed("q_constraint_checks", lambda: relational.q_constraint_checks(sf_dir))
+    timed("q_entity_resolution", lambda: dedup.surface_resolution(
+        read_sf(sf_dir, "part", columns=["p_name"]),
+        dedup.fuzzy_pairs(read_sf(sf_dir, "part", columns=["p_name"])),
+    ).to_pandas())
+    timed("q_bpe_train", lambda: textstats.bpe_train(docs_tbl, num_merges=10))
+
     return {
         "metric": "flagship_ner_kg",
         "value": headline,
