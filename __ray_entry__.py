@@ -689,6 +689,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # incremental-load maintenance: merge of per-load mergeable
         # partials must equal the full recompute (same SQL twin as
         # q_token_histogram by construction)
+        "q_group_regression": relational.q_group_regression,
         "q_incremental_histogram": lambda sf: textstats.incremental_token_histogram(
             _docs(sf)
         ),
@@ -1864,6 +1865,34 @@ def oracle_sql() -> dict[str, str]:
             FROM c JOIN m USING (event_type)
             GROUP BY event_type, m.med
             ORDER BY event_type
+        """,
+        # per-group OLS from exact integer moments — same expression tree as
+        # the engine (equivalent to regr_slope/regr_intercept(cents, hour),
+        # spelled out so both sides share identical float ops)
+        "q_group_regression": """
+            WITH c AS (
+                SELECT event_type,
+                       CAST(FLOOR(value * 100.0) AS BIGINT) AS x,
+                       CAST(EXTRACT(hour FROM ts) AS BIGINT) AS y
+                FROM events
+            ), m AS (
+                SELECT event_type,
+                       CAST(COUNT(*) AS BIGINT) AS n,
+                       CAST(SUM(x) AS BIGINT) AS sx,
+                       CAST(SUM(y) AS BIGINT) AS sy,
+                       CAST(SUM(y * y) AS BIGINT) AS syy,
+                       CAST(SUM(x * y) AS BIGINT) AS sxy
+                FROM c GROUP BY event_type
+            )
+            SELECT event_type, n,
+                   ROUND((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                         / (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy),
+                         6) AS slope,
+                   ROUND((sx - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                                / (CAST(n AS DOUBLE) * syy
+                                   - CAST(sy AS DOUBLE) * sy)) * sy)
+                         / CAST(n AS DOUBLE), 6) AS intercept
+            FROM m ORDER BY event_type
         """,
         # the hybrid hot/cold routing must be invisible in the result —
         # plain inner-join twin

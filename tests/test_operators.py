@@ -2573,3 +2573,19 @@ def test_personalized_pagerank_both_regimes(ray_session):
     assert np.allclose(bc.loc[nodes].to_numpy(), r, atol=1e-12)
     # the seed neighborhood holds most of the mass
     assert bc[["n0", "n1"]].sum() > 1.0 / n * 5
+
+
+def test_group_regression_matches_numpy(ray_session):
+    """Per-type OLS fit equals np.polyfit on the raw rows (slope and
+    intercept within float tolerance)."""
+    from unsupervised_ner_ray.stages.relational import q_group_regression
+
+    out = q_group_regression(SF).set_index("event_type")
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "ts", "value"])
+    ev["x"] = np.floor(ev["value"].to_numpy() * 100.0).astype(np.int64)
+    ev["y"] = pd.to_datetime(ev["ts"]).dt.hour.astype(np.int64)
+    for etype, g in ev.groupby("event_type"):
+        slope, intercept = np.polyfit(g["y"].to_numpy(float), g["x"].to_numpy(float), 1)
+        assert abs(out.loc[etype, "slope"] - slope) < 1e-4, etype
+        assert abs(out.loc[etype, "intercept"] - intercept) < 1e-2, etype
+        assert out.loc[etype, "n"] == len(g)

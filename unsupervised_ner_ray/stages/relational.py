@@ -1981,3 +1981,33 @@ def q_constraint_checks(sf_dir: str):
     ).sort_values("rule", kind="mergesort").reset_index(drop=True)
     out["violations"] = out["violations"].astype(np.int64)
     return out
+
+
+def q_group_regression(sf_dir: str):
+    """Per-group OLS regression (value cents ~ hour-of-day per event_type) —
+    the many-small-model trend-feature fit tabular prep pipelines run per
+    segment.  Same exact-integer-moment shape as :func:`q_corr_partials`
+    (combiner per batch + one C-path Sum groupby — the distributed payload
+    is |groups| x 6 integers, never rows), but this operator FINISHES the
+    fit: slope = (n*sxy - sx*sy) / (n*syy - sy^2) and intercept =
+    (sx - slope*sy) / n, computed from the exact moments with the same
+    expression tree as the SQL twin (DuckDB regr_slope/regr_intercept with
+    x<->y roles: we regress value on hour) and rounded to 6 places on both
+    sides.  Float appears only in this final O(|groups|) step."""
+    moments = q_corr_partials(sf_dir).to_pandas()
+    n = moments["n"].to_numpy(np.float64)
+    sx = moments["sx"].to_numpy(np.float64)   # sum value cents (dependent)
+    sy = moments["sy"].to_numpy(np.float64)   # sum hour (independent)
+    syy = moments["syy"].to_numpy(np.float64)
+    sxy = moments["sxy"].to_numpy(np.float64)
+    slope = (n * sxy - sx * sy) / (n * syy - sy * sy)
+    intercept = (sx - slope * sy) / n
+    out = pd.DataFrame(
+        {
+            "event_type": moments["event_type"],
+            "n": moments["n"].astype(np.int64),
+            "slope": np.round(slope, 6),
+            "intercept": np.round(intercept, 6),
+        }
+    )
+    return out.sort_values("event_type", kind="mergesort").reset_index(drop=True)
