@@ -690,6 +690,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # partials must equal the full recompute (same SQL twin as
         # q_token_histogram by construction)
         "q_group_regression": relational.q_group_regression,
+        "q_bootstrap_mean": relational.q_bootstrap_mean,  # randomized: rows-only
         "q_incremental_histogram": lambda sf: textstats.incremental_token_histogram(
             _docs(sf)
         ),

@@ -2589,3 +2589,25 @@ def test_group_regression_matches_numpy(ray_session):
         assert abs(out.loc[etype, "slope"] - slope) < 1e-4, etype
         assert abs(out.loc[etype, "intercept"] - intercept) < 1e-2, etype
         assert out.loc[etype, "n"] == len(g)
+
+
+def test_bootstrap_mean_coverage_and_determinism(ray_session):
+    """Poisson-bootstrap CI: deterministic across runs, brackets both the
+    true mean and the sample mean, and has sane width (shrinks like
+    1/sqrt(n): the sf0.001 events CI is non-degenerate but narrow relative
+    to the value spread)."""
+    from unsupervised_ner_ray.stages.relational import q_bootstrap_mean
+
+    a = q_bootstrap_mean(SF)
+    b = q_bootstrap_mean(SF)
+    pd.testing.assert_frame_equal(a, b)
+    row = a.iloc[0]
+    ev = pd.read_parquet(f"{SF}/events.parquet", columns=["value"])
+    true_mean = np.floor(ev["value"].to_numpy() * 100.0).mean()
+    assert abs(row["mean_cents"] - true_mean) < 0.5
+    assert row["ci_lo_cents"] < row["mean_cents"] < row["ci_hi_cents"]
+    spread = ev["value"].std() * 100.0
+    width = row["ci_hi_cents"] - row["ci_lo_cents"]
+    n = len(ev)
+    # percentile CI width ~ 2*1.96*sigma/sqrt(n); allow generous slack
+    assert 0.5 * spread / np.sqrt(n) < width < 10.0 * spread / np.sqrt(n)

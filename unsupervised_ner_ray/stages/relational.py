@@ -2011,3 +2011,81 @@ def q_group_regression(sf_dir: str):
         }
     )
     return out.sort_values("event_type", kind="mergesort").reset_index(drop=True)
+
+
+def q_bootstrap_mean(sf_dir: str, reps: int = 200, seed: int = 5, alpha: float = 0.05):
+    """Poisson-bootstrap confidence interval for the mean event value — the
+    uncertainty-quantification primitive that classic resampling cannot do
+    distributed (a true resample needs global coordination; the Poisson
+    approximation gives each ROW an independent Poisson(1) weight per
+    replicate, exact in distribution as n grows — the standard streaming
+    bootstrap).
+
+    Fully combiner-shaped: per batch, a deterministic splitmix64 hash of
+    (event_id, replicate, seed) becomes a uniform, inverted through the
+    Poisson(1) CDF table to a weight; the batch contributes one
+    (replicate, sum_wx, sum_w) partial row per replicate — 2 x ``reps``
+    numbers regardless of batch size — and one C-path groupby Sum merges
+    them.  The driver finishes with the percentile interval over ``reps``
+    replicate means.  Deterministic end to end (seeded hash, fixed reps).
+
+    Output: one row (n, mean_cents, ci_lo_cents, ci_hi_cents).  No SQL twin
+    (randomized estimator) — pinned by coverage + determinism tests."""
+    # Poisson(1) CDF, k = 0..9 (1 - tail beyond 1e-7; weights cap at 10)
+    _CDF = np.cumsum(np.exp(-1.0) / np.cumprod(np.r_[1.0, np.arange(1.0, 10.0)]))
+
+    ev = read_sf(sf_dir, "events", columns=["event_id", "value"])
+
+    def _splitmix(z: np.ndarray) -> np.ndarray:
+        z = (z + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        return z ^ (z >> np.uint64(31))
+
+    def _partials(t: pa.Table) -> pa.Table:
+        x = _to_cents(t.column("value")).to_numpy(zero_copy_only=False).astype(np.float64)
+        ids = pc.cast(t.column("event_id"), pa.int64()).to_numpy().astype(np.uint64)
+        r = np.arange(reps, dtype=np.uint64)
+        # (rows, reps) uniforms from one vectorized hash
+        h = _splitmix(
+            ids[:, None] * np.uint64(reps) + r[None, :] + np.uint64(seed) * np.uint64(0x1000003)
+        )
+        u = h.astype(np.float64) / float(1 << 64)
+        w = np.searchsorted(_CDF, u).astype(np.float64)  # Poisson(1) draws
+        out = pd.DataFrame(
+            {
+                "rep": np.arange(reps, dtype=np.int64),
+                "swx": (w * x[:, None]).sum(axis=0),
+                "sw": w.sum(axis=0),
+                "n": np.full(reps, len(x), dtype=np.int64),
+                "sx": np.full(reps, x.sum()),
+            }
+        )
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    agg = (
+        ev.map_batches(_partials, batch_format="pyarrow")
+        .groupby("rep")
+        .aggregate(
+            Sum("swx", alias_name="swx"),
+            Sum("sw", alias_name="sw"),
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+        )
+        .to_pandas()
+        .sort_values("rep", kind="mergesort")
+    )
+    means = (agg["swx"] / agg["sw"]).to_numpy(np.float64)
+    n_rows = int(agg["n"].iloc[0])
+    mean = float(agg["sx"].iloc[0]) / n_rows
+    lo, hi = np.quantile(means, [alpha / 2.0, 1.0 - alpha / 2.0])
+    return pd.DataFrame(
+        [
+            {
+                "n": np.int64(n_rows),
+                "mean_cents": round(mean, 4),
+                "ci_lo_cents": round(float(lo), 4),
+                "ci_hi_cents": round(float(hi), 4),
+            }
+        ]
+    )
