@@ -154,6 +154,24 @@ def _ner_dumps(sf_dir: str) -> dict[str, str]:
     return paths
 
 
+def _query_matrix(emb):
+    """First 3 embedding vectors as the ANN query matrix (vectorized Arrow
+    filter — no per-row Python predicate)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    qdf = (
+        emb.map_batches(
+            lambda t: t.filter(pc.less(t.column("vec_id"), pa.scalar(3))),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    return np.array([np.array(v) for v in qdf["embedding"]], dtype=np.float64)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from unsupervised_ner_ray.sources.io import read_sf
     from unsupervised_ner_ray.stages import dedup, kg, relational, similarity, textstats
@@ -162,13 +180,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from unsupervised_ner_ray.stages.ner import explode_mentions, explode_triples
 
     def q_embedding_topk(sf_dir: str):
-        import numpy as np
-
         from unsupervised_ner_ray.sources.io import read_sf
 
         emb = read_sf(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-        qdf = emb.filter(lambda r: r["vec_id"] < 3).to_pandas().sort_values("vec_id")
-        queries_m = np.array([np.array(v) for v in qdf["embedding"]], dtype=np.float64)
+        queries_m = _query_matrix(emb)
         out = similarity.brute_force_topk(emb, queries_m, k=10)
 
         def _round(df):
@@ -179,13 +194,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out.map_batches(_round, batch_format="pandas")
 
     def q_ivf_topk(sf_dir: str):
-        import numpy as np
-
         from unsupervised_ner_ray.sources.io import read_sf
 
         emb = read_sf(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-        qdf = emb.filter(lambda r: r["vec_id"] < 3).to_pandas().sort_values("vec_id")
-        queries_m = np.array([np.array(v) for v in qdf["embedding"]], dtype=np.float64)
+        queries_m = _query_matrix(emb)
         codebook = similarity.train_ivf_codebook(emb, n_clusters=8)
         return similarity.ivf_topk(emb, queries_m, codebook, k=10, nprobe=3)
 
@@ -200,13 +212,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # product-quantization ANN: codebook train -> uint8 encode -> ADC
         # top-k over the code table only (approximate by construction:
         # rows-only; recall-vs-brute-force pinned by test)
-        import numpy as np
-
         from unsupervised_ner_ray.sources.io import read_sf
 
         emb = read_sf(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-        qdf = emb.filter(lambda r: r["vec_id"] < 3).to_pandas().sort_values("vec_id")
-        queries_m = np.array([np.array(v) for v in qdf["embedding"]], dtype=np.float64)
+        queries_m = _query_matrix(emb)
         books = similarity.train_pq_codebooks(emb, sample_frac=1.0)
         codes = similarity.pq_encode(emb, books)
         return similarity.pq_topk(codes, books, queries_m, k=10)

@@ -1196,11 +1196,18 @@ def keep_best(
     key_cols = list(key_cols)
 
     def _pack(t: pa.Table) -> pa.Table:
+        if len(t) == 0:
+            cols = {k: t.column(k) for k in key_cols}
+            cols["packed"] = pa.array([], pa.int64())
+            return pa.table(cols)
         ids = pc.cast(t.column(id_col), pa.int64()).to_numpy()
         sc = pc.cast(t.column(score_col), pa.int64()).to_numpy()
-        # packed argmax needs both halves to fit their fields
-        assert ids.min() >= 0 and ids.max() < (1 << 31), "id outside packed range"
-        assert sc.min() >= 0 and sc.max() < (1 << 31), "score outside packed range"
+        # packed argmax needs both halves to fit their fields; explicit
+        # raises (not asserts) so python -O can't silently corrupt bits
+        if ids.min() < 0 or ids.max() >= (1 << 31):
+            raise ValueError("keep_best: id outside packed 31-bit range")
+        if sc.min() < 0 or sc.max() >= (1 << 31):
+            raise ValueError("keep_best: score outside packed 31-bit range")
         cols = {k: t.column(k) for k in key_cols}
         cols["packed"] = pa.array((sc << 31) | ((1 << 31) - 1 - ids), pa.int64())
         return pa.table(cols)

@@ -1143,14 +1143,27 @@ def skew_join(
             self.keys, self.vals = ray.get(hb_ref)
 
         def __call__(self, t: pa.Table) -> pa.Table:
-            # hot_build is guaranteed non-empty here (empty routes cold above)
+            # hot_build is guaranteed non-empty here (empty routes cold above).
+            # Build keys may be DUPLICATED (the generic inner join must emit
+            # one row per matching build row), so each probe row expands to
+            # its full [lo, hi) span in the sorted build-key array rather
+            # than a single lookup.
             k = pc.cast(t.column(probe_key), pa.int64()).to_numpy()
-            idx = np.searchsorted(self.keys, k)
-            idx_c = np.minimum(idx, len(self.keys) - 1)
-            ok = self.keys[idx_c] == k
-            out = {c: t.column(c).filter(pa.array(ok)) for c in t.schema.names}
+            lo = np.searchsorted(self.keys, k, side="left")
+            hi = np.searchsorted(self.keys, k, side="right")
+            cnt = hi - lo  # 0 -> probe row has no build match (dropped)
+            probe_idx = np.repeat(np.arange(len(k)), cnt)
+            # per-expanded-row offset within its span: global position minus
+            # the span start, shifted by the span's base index in build
+            span_starts = np.cumsum(cnt) - cnt
+            build_idx = (
+                np.arange(int(cnt.sum())) - np.repeat(span_starts, cnt)
+                + np.repeat(lo, cnt)
+            )
+            taken = t.take(pa.array(probe_idx, pa.int64()))
+            out = {c: taken.column(c) for c in t.schema.names}
             for c, arr in self.vals.items():
-                out[c] = pa.array(arr[idx_c[ok]])
+                out[c] = pa.array(arr[build_idx])
             return pa.table(out)
 
     import functools

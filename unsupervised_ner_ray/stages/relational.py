@@ -1929,8 +1929,11 @@ def q_constraint_checks(sf_dir: str):
                 ).as_py()
                 or 0
             )
+            # NOT IN ('F','O','P') is NULL for NULL status in SQL — exclude
+            # nulls from the violation count so engine and oracle agree
             status_bad = int(
                 len(t)
+                - t.column("o_orderstatus").null_count
                 - (
                     pc.sum(
                         pc.cast(

@@ -1063,16 +1063,14 @@ def weighted_sample(docs, n: int = 50, weight_col: str = "n_chars"):
     """
 
     def _partial(t: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {
-                "doc_id": pa.array([], pa.int64()),
-                "lang": pa.array([], pa.string()),
-                "n_chars": pa.array([], pa.int64()),
-                "key": pa.array([], pa.float64()),
-            }
-        )
+        # passthrough = whatever columns the caller provided (not a
+        # hardcoded set) so the operator works on any schema carrying
+        # doc_id + weight_col
+        def _empty() -> pa.Table:
+            return t.slice(0, 0).append_column("key", pa.array([], pa.float64()))
+
         if len(t) == 0:
-            return empty
+            return _empty()
         ids = t.column("doc_id").to_numpy(zero_copy_only=False)
         w = t.column(weight_col).to_numpy(zero_copy_only=False).astype(np.float64)
         h = np.array(
@@ -1085,9 +1083,9 @@ def weighted_sample(docs, n: int = 50, weight_col: str = "n_chars"):
         key[keep] = np.log(u[keep]) / w[keep]
         kk = min(int(n), int(keep.sum()))
         if kk == 0:
-            return empty
+            return _empty()
         idx = np.argpartition(-key, kth=kk - 1)[:kk]
-        out = t.select(["doc_id", "lang", weight_col]).take(pa.array(idx, pa.int64()))
+        out = t.take(pa.array(idx, pa.int64()))
         return out.append_column("key", pa.array(key[idx], pa.float64()))
 
     partials = docs.map_batches(_partial, batch_format="pyarrow").to_pandas()
@@ -1152,7 +1150,13 @@ def boilerplate_scores(docs, shingle_k: int = 3, min_df: int = 3):
         .groupby("s")
         .aggregate(Count(alias_name="df"))
     )
-    hot = df_tbl.filter(lambda r: r["df"] >= min_df).to_pandas()
+    hot = (
+        df_tbl.map_batches(
+            lambda t: t.filter(pc.greater_equal(t.column("df"), pa.scalar(min_df))),
+            batch_format="pyarrow",
+        )
+        .to_pandas()
+    )
     hot_sorted = np.sort(hot["s"].to_numpy(dtype=object)) if len(hot) else np.array([], dtype=object)
     hot_ref = ray.put(hot_sorted)
 
