@@ -330,14 +330,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return adj.select_columns(["subj_id", "subj_norm", "degree"])
 
     def q_media_features(sf_dir: str):
-        return featurize_media(extract_media_refs(_ner_corpus(sf_dir)))
+        # REAL decode path: synthesized format bytes -> own byte decoders ->
+        # features from the decoded pixels/samples (rows-only)
+        from unsupervised_ner_ray.stages.multimodal import synthesize_payloads
+
+        return featurize_media(
+            synthesize_payloads(extract_media_refs(_ner_corpus(sf_dir)))
+        )
 
     def q_media_resize(sf_dir: str):
-        from unsupervised_ner_ray.stages.multimodal import resize_media
-
-        return resize_media(extract_media_refs(_ner_corpus(sf_dir))).drop_columns(
-            ["resized"]
+        # REAL decode->letterbox-resample->re-encode over synthesized image
+        # payloads (rows-only; pixel round-trip pinned by test)
+        from unsupervised_ner_ray.stages.multimodal import (
+            resize_media,
+            synthesize_payloads,
         )
+
+        return resize_media(
+            synthesize_payloads(extract_media_refs(_ner_corpus(sf_dir)))
+        ).drop_columns(["resized"])
 
     def q_media_decode(sf_dir: str):
         # REAL byte decode: synthesized PPM/BMP/PNG/GIF/JPEG/WAV/AVI

@@ -201,10 +201,28 @@ def pagerank(
 
     seeds = None
     if personalization:
-        total_w = float(sum(personalization.values()))
+        # normalize over seeds actually PRESENT in the graph — absent seeds
+        # would silently drop their teleport mass and ranks would no longer
+        # sum to 1.  Membership check is bounded by |seeds| rows: filter the
+        # node table to the seed keys (streaming pass, tiny result).
+        seed_keys = [str(k) for k in personalization]
+        seed_set = pa.array(seed_keys, pa.string())
+        present = set(
+            nodes.map_batches(
+                lambda t: t.select(["node_id"]).filter(
+                    pc.is_in(t.column("node_id"), value_set=seed_set)
+                ),
+                batch_format="pyarrow",
+            )
+            .to_pandas()["node_id"]
+        )
+        live = {str(k): float(v) for k, v in personalization.items() if str(k) in present}
+        if not live:
+            raise ValueError("no personalization seed is present in the graph")
+        total_w = float(sum(live.values()))
         if total_w <= 0:
             raise ValueError("personalization weights must sum to > 0")
-        seeds = {str(k): float(v) / total_w for k, v in personalization.items()}
+        seeds = {k: v / total_w for k, v in live.items()}
 
     if n <= broadcast_threshold:
         return _pagerank_broadcast_regime(edges, nodes, n, damping, iters, tol, seeds)
@@ -966,6 +984,58 @@ def _sorted_member(sorted_keys: np.ndarray, probes: np.ndarray) -> np.ndarray:
     return out
 
 
+def _pair_membership_filter(
+    cands,
+    edges,
+    left_col: str,
+    right_col: str,
+    keep: bool,
+    num_parts: int = 64,
+):
+    """At-scale twin of the broadcast edge-key membership test used by the
+    graph statistics operators: hash-CO-PARTITION candidate pairs and the
+    distinct edge table on the pair key, then test membership inside each
+    partition (sorted-array ``searchsorted``), so the full edge set never
+    leaves the cluster and never lands on the driver.  ``keep=True`` keeps
+    candidates that ARE edges (semi-join, triangle closure); ``keep=False``
+    keeps those that are NOT (anti-join, 2-hop distance filter).  Candidate
+    payload columns pass through untouched; edge rows are consumed by the
+    filter and never emitted."""
+    from .grouping import partitioned_apply
+
+    _SIDE = "__is_edge"
+    payload = [c for c in cands.schema().names if c not in (left_col, right_col)]
+
+    def _tag_edges(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({left_col: df["a"], right_col: df["b"]})
+        for c in payload:
+            out[c] = None
+        out[_SIDE] = np.int8(1)
+        return out
+
+    def _tag_cands(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df[_SIDE] = np.int8(0)
+        return df
+
+    both = edges.map_batches(_tag_edges, batch_format="pandas").union(
+        cands.map_batches(_tag_cands, batch_format="pandas")
+    )
+
+    def _filter(part: pd.DataFrame) -> pd.DataFrame:
+        is_e = part[_SIDE].to_numpy() == 1
+        keys = (
+            part[left_col].astype(object) + "\x00" + part[right_col].astype(object)
+        ).to_numpy(dtype=object)
+        ekeys = np.sort(keys[is_e])
+        cand = part[~is_e]
+        hit = _sorted_member(ekeys, keys[~is_e])
+        out = cand[hit] if keep else cand[~hit]
+        return out.drop(columns=[_SIDE])
+
+    return partitioned_apply(both, [left_col, right_col], _filter, num_parts=num_parts)
+
+
 def undirected_bigram_edges(docs):
     """documents -> DISTINCT undirected bigram edges (a < b), materialized.
     Per-batch vectorized pair extraction + local dedup, then one combiner
@@ -1001,7 +1071,7 @@ def undirected_bigram_edges(docs):
     )
 
 
-def triangle_counts(docs):
+def triangle_counts(docs, broadcast_threshold: int = 2_000_000):
     """Per-node triangle participation counts over the undirected bigram
     graph — the classic KG/graph-quality statistic (clustering structure;
     a node in many triangles is a hub of mutually-related terms).
@@ -1016,17 +1086,20 @@ def triangle_counts(docs):
     degrades to O(sum deg^2) — quadratic in the hottest hub's degree (a
     'the'-like token in a bigram graph).
 
-    Distribution: the distinct-edge table is built by one combiner groupby
-    (pairs, not instances, shuffle); degrees by one more Count groupby.
-    The degree LUT and the edge-key SET broadcast once via ``ray.put``
-    (both are vocabulary-bounded — orders of magnitude smaller than the
-    corpus; for billion-edge graphs the same wedge stream instead
-    hash-joins against the edge table, the documented alternative).  Wedge
-    generation runs inside `partitioned_apply` on the wedge center: per
-    center, ``np.triu_indices`` pairs its sorted out-neighbors — a
-    per-CENTER (vocab-bounded, not corpus-bounded) loop with vectorized
-    membership (one `np.searchsorted` against the pre-sorted broadcast key
-    array per center) per partition.
+    Distribution (SIZE-GATED dual regime, like the other broadcast ops):
+    the distinct-edge table is built by one combiner groupby (pairs, not
+    instances, shuffle); degrees by one more Count groupby.  The degree LUT
+    (node-bounded — orders of magnitude smaller than the edge set)
+    broadcasts once via ``ray.put`` in both regimes.  The edge-key
+    MEMBERSHIP test that closes each wedge is the size-gated part: at or
+    below ``broadcast_threshold`` edges the sorted key set broadcasts once
+    and each wedge batch probes it locally; ABOVE the threshold no edge
+    list ever reaches the driver — wedge rows (center, y, z) stream into
+    :func:`_pair_membership_filter`, a co-partitioned hash SEMI-join
+    against the edge table (both regimes pinned equal by a forced-path
+    test).  Wedge generation runs inside ``partitioned_apply`` on the
+    wedge center: per center, ``np.triu_indices`` pairs its sorted
+    out-neighbors.
     Output: node, n_triangles (nodes in >= 1 triangle, sorted)."""
     from ray.data.aggregate import Sum
 
@@ -1060,10 +1133,7 @@ def triangle_counts(docs):
             deg_pd["deg"].to_numpy(np.int64),
         )
     )
-    ekeys = edges.to_pandas()
-    key_ref = ray.put(
-        np.sort((ekeys["a"] + "\x00" + ekeys["b"]).to_numpy(dtype=object))
-    )
+    distributed = edges.count() > broadcast_threshold  # metadata: materialized
 
     def _orient(t: pa.Table) -> pa.Table:
         nodes, degs = ray.get(deg_ref)
@@ -1082,44 +1152,98 @@ def triangle_counts(docs):
 
     oriented = edges.map_batches(_orient, batch_format="pyarrow")
 
-    def _wedges(part: pd.DataFrame) -> pd.DataFrame:
-        keys = ray.get(key_ref)
-        nodes, counts = [], []
-        for center, grp in part.groupby("src", sort=False):
-            nbrs = np.sort(grp["dst"].to_numpy(dtype=object))
-            if len(nbrs) < 2:
-                continue
-            i, j = np.triu_indices(len(nbrs), k=1)
-            wy, wz = nbrs[i], nbrs[j]
-            hit = _sorted_member(keys, wy + "\x00" + wz)
-            if not hit.any():
-                continue
-            wy, wz = wy[hit], wz[hit]
-            tri_nodes, tri_counts = np.unique(
-                np.concatenate([np.repeat(center, len(wy)), wy, wz]),
-                return_counts=True,
-            )
-            nodes.append(tri_nodes)
-            counts.append(tri_counts)
-        if not nodes:
+    def _contrib(part: pd.DataFrame) -> pd.DataFrame:
+        """Closed wedges -> per-batch partial (node, n_triangles) counts."""
+        if not len(part):
             return pd.DataFrame({"node": pd.Series([], dtype=object),
                                  "n_triangles": pd.Series([], dtype=np.int64)})
+        tri_nodes, tri_counts = np.unique(
+            np.concatenate(
+                [
+                    part["center"].to_numpy(dtype=object),
+                    part["y"].to_numpy(dtype=object),
+                    part["z"].to_numpy(dtype=object),
+                ]
+            ),
+            return_counts=True,
+        )
         return pd.DataFrame(
-            {
-                "node": np.concatenate(nodes),
-                "n_triangles": np.concatenate(counts).astype(np.int64),
-            }
+            {"node": tri_nodes, "n_triangles": tri_counts.astype(np.int64)}
         )
 
+    if distributed:
+        # wedge rows stream to a co-partitioned semi-join; the driver never
+        # sees an edge list
+        def _wedge_rows(part: pd.DataFrame) -> pd.DataFrame:
+            cs, ys, zs = [], [], []
+            for center, grp in part.groupby("src", sort=False):
+                nbrs = np.sort(grp["dst"].to_numpy(dtype=object))
+                if len(nbrs) < 2:
+                    continue
+                i, j = np.triu_indices(len(nbrs), k=1)
+                cs.append(np.repeat(center, len(i)))
+                ys.append(nbrs[i])
+                zs.append(nbrs[j])
+            if not cs:
+                return pd.DataFrame({"center": pd.Series([], dtype=object),
+                                     "y": pd.Series([], dtype=object),
+                                     "z": pd.Series([], dtype=object)})
+            return pd.DataFrame(
+                {
+                    "center": np.concatenate(cs),
+                    "y": np.concatenate(ys),
+                    "z": np.concatenate(zs),
+                }
+            )
+
+        wedges = partitioned_apply(oriented, "src", _wedge_rows, num_parts=32)
+        closed = _pair_membership_filter(wedges, edges, "y", "z", keep=True)
+        partials = closed.map_batches(_contrib, batch_format="pandas")
+    else:
+        ekeys = edges.to_pandas()
+        key_ref = ray.put(
+            np.sort((ekeys["a"] + "\x00" + ekeys["b"]).to_numpy(dtype=object))
+        )
+
+        def _wedges(part: pd.DataFrame) -> pd.DataFrame:
+            keys = ray.get(key_ref)
+            nodes, counts = [], []
+            for center, grp in part.groupby("src", sort=False):
+                nbrs = np.sort(grp["dst"].to_numpy(dtype=object))
+                if len(nbrs) < 2:
+                    continue
+                i, j = np.triu_indices(len(nbrs), k=1)
+                wy, wz = nbrs[i], nbrs[j]
+                hit = _sorted_member(keys, wy + "\x00" + wz)
+                if not hit.any():
+                    continue
+                wy, wz = wy[hit], wz[hit]
+                tri_nodes, tri_counts = np.unique(
+                    np.concatenate([np.repeat(center, len(wy)), wy, wz]),
+                    return_counts=True,
+                )
+                nodes.append(tri_nodes)
+                counts.append(tri_counts)
+            if not nodes:
+                return pd.DataFrame({"node": pd.Series([], dtype=object),
+                                     "n_triangles": pd.Series([], dtype=np.int64)})
+            return pd.DataFrame(
+                {
+                    "node": np.concatenate(nodes),
+                    "n_triangles": np.concatenate(counts).astype(np.int64),
+                }
+            )
+
+        partials = partitioned_apply(oriented, "src", _wedges, num_parts=32)
+
     return (
-        partitioned_apply(oriented, "src", _wedges, num_parts=32)
-        .groupby("node")
+        partials.groupby("node")
         .aggregate(Sum("n_triangles", alias_name="n_triangles"))
         .sort("node")
     )
 
 
-def two_hop_counts(docs):
+def two_hop_counts(docs, broadcast_threshold: int = 2_000_000):
     """Per-node count of DISTINCT nodes exactly two hops away (reachable
     through a neighbor, not a neighbor itself, not the node) over the
     undirected bigram graph — the KG neighborhood-expansion statistic
@@ -1130,23 +1254,30 @@ def two_hop_counts(docs):
     ``np.triu_indices`` pairs its sorted neighbor list, so every 2-path
     endpoint pair {u, w} is emitted where its mid lives; per-partition
     dedup shrinks the stream before one global distinct groupby.  Direct
-    edges are excluded by vectorized sorted-array membership against the broadcast
-    edge-key set (vocab-bounded, like :func:`triangle_counts`; a hash
-    anti-join replaces the broadcast above memory).  The wedge bound is
-    O(sum deg^2) inherent to exact 2-hop enumeration — at billion-edge
-    scale the per-mid pair stream is capped (sampled neighborhoods) or
-    replaced by sketched distinct counts (HLL per node over the same
-    stream); both alternatives keep this exact operator's shuffle shape.
+    edges (distance 1, not 2) are excluded by a SIZE-GATED membership
+    test: at or below ``broadcast_threshold`` edges, vectorized
+    sorted-array probes against the broadcast edge-key set; above it, the
+    candidate pair stream anti-joins the edge table co-partitioned on the
+    pair key (:func:`_pair_membership_filter`) — no edge list on the
+    driver, both regimes pinned equal by a forced-path test.  The wedge
+    bound is O(sum deg^2) inherent to exact 2-hop enumeration — at
+    billion-edge scale the per-mid pair stream is capped (sampled
+    neighborhoods) or replaced by sketched distinct counts
+    (:func:`two_hop_counts_approx`); both alternatives keep this exact
+    operator's shuffle shape.
     Output: node, n_two_hop (sorted)."""
     from ray.data.aggregate import Count as _Count
 
     from .grouping import partitioned_apply
 
     edges = undirected_bigram_edges(docs)
-    ekeys = edges.to_pandas()
-    key_ref = ray.put(
-        np.sort((ekeys["a"] + "\x00" + ekeys["b"]).to_numpy(dtype=object))
-    )
+    distributed = edges.count() > broadcast_threshold
+    key_ref = None
+    if not distributed:
+        ekeys = edges.to_pandas()
+        key_ref = ray.put(
+            np.sort((ekeys["a"] + "\x00" + ekeys["b"]).to_numpy(dtype=object))
+        )
 
     def _sym(t: pa.Table) -> pa.Table:
         a = t.column("a").to_numpy(zero_copy_only=False)
@@ -1161,7 +1292,7 @@ def two_hop_counts(docs):
     sym = edges.map_batches(_sym, batch_format="pyarrow")
 
     def _pairs(part: pd.DataFrame) -> pd.DataFrame:
-        keys = ray.get(key_ref)
+        keys = ray.get(key_ref) if key_ref is not None else None
         us, ws = [], []
         for _mid, grp in part.groupby("mid", sort=False):
             nbrs = np.sort(grp["nbr"].to_numpy(dtype=object))
@@ -1169,10 +1300,12 @@ def two_hop_counts(docs):
                 continue
             i, j = np.triu_indices(len(nbrs), k=1)
             u, w = nbrs[i], nbrs[j]
-            # drop pairs that are themselves edges (distance 1, not 2)
-            far = ~_sorted_member(keys, u + "\x00" + w)
-            us.append(u[far])
-            ws.append(w[far])
+            if keys is not None:
+                # drop pairs that are themselves edges (distance 1, not 2)
+                far = ~_sorted_member(keys, u + "\x00" + w)
+                u, w = u[far], w[far]
+            us.append(u)
+            ws.append(w)
         if not us:
             return pd.DataFrame({"u": pd.Series([], dtype=object),
                                  "w": pd.Series([], dtype=object)})
@@ -1181,9 +1314,12 @@ def two_hop_counts(docs):
             .drop_duplicates()  # per-partition combiner before the shuffle
         )
 
+    cands = partitioned_apply(sym, "mid", _pairs, num_parts=32)
+    if distributed:
+        # co-partitioned anti-join drops the distance-1 pairs at scale
+        cands = _pair_membership_filter(cands, edges, "u", "w", keep=False)
     pairs = (
-        partitioned_apply(sym, "mid", _pairs, num_parts=32)
-        .groupby(["u", "w"])
+        cands.groupby(["u", "w"])
         .aggregate(_Count(alias_name="_n"))  # global distinct {u, w}
         .select_columns(["u", "w"])
     )
@@ -1203,14 +1339,19 @@ def two_hop_counts(docs):
     )
 
 
-def two_hop_counts_approx(docs, max_mid_neighbors: int | None = None):
+def two_hop_counts_approx(
+    docs,
+    max_mid_neighbors: int | None = None,
+    broadcast_threshold: int = 2_000_000,
+):
     """Sketched variant of :func:`two_hop_counts` — per-node HLL distinct
     counts over the SAME wedge stream, the at-scale path named in the exact
     operator's docstring made real: the global distinct-pair groupby (the
     exact form's widest shuffle — pair rows) is replaced by mergeable
     2^p-byte HLL sketches per node, so the reduce payload is node-bounded
     regardless of how many 2-hop pairs exist.  Per-partition pair dedup and
-    the direct-edge exclusion are shared with the exact path.
+    the direct-edge exclusion (same size-gated broadcast-vs-co-partitioned
+    anti-join dual regime) are shared with the exact path.
 
     ``max_mid_neighbors`` additionally bounds WEDGE GENERATION (the part
     the sketch cannot bound — inherently sum-deg² around hub mids): a mid
@@ -1225,10 +1366,13 @@ def two_hop_counts_approx(docs, max_mid_neighbors: int | None = None):
     from .joins import hll_distinct_by_group
 
     edges = undirected_bigram_edges(docs)
-    ekeys = edges.to_pandas()
-    key_ref = ray.put(
-        np.sort((ekeys["a"] + "\x00" + ekeys["b"]).to_numpy(dtype=object))
-    )
+    distributed = edges.count() > broadcast_threshold
+    key_ref = None
+    if not distributed:
+        ekeys = edges.to_pandas()
+        key_ref = ray.put(
+            np.sort((ekeys["a"] + "\x00" + ekeys["b"]).to_numpy(dtype=object))
+        )
 
     def _sym(t: pa.Table) -> pa.Table:
         a = t.column("a").to_numpy(zero_copy_only=False)
@@ -1241,7 +1385,7 @@ def two_hop_counts_approx(docs, max_mid_neighbors: int | None = None):
         )
 
     def _pair_rows(part: pd.DataFrame) -> pd.DataFrame:
-        keys = ray.get(key_ref)
+        keys = ray.get(key_ref) if key_ref is not None else None
         us, ws = [], []
         for _mid, grp in part.groupby("mid", sort=False):
             nbrs = np.sort(grp["nbr"].to_numpy(dtype=object))
@@ -1251,26 +1395,39 @@ def two_hop_counts_approx(docs, max_mid_neighbors: int | None = None):
                 continue
             i, j = np.triu_indices(len(nbrs), k=1)
             u, w = nbrs[i], nbrs[j]
-            far = ~_sorted_member(keys, u + "\x00" + w)
-            us.append(u[far])
-            ws.append(w[far])
+            if keys is not None:
+                far = ~_sorted_member(keys, u + "\x00" + w)
+                u, w = u[far], w[far]
+            us.append(u)
+            ws.append(w)
         if not us:
-            return pd.DataFrame({"node": pd.Series([], dtype=object),
-                                 "other": pd.Series([], dtype=object)})
-        u = np.concatenate(us)
-        w = np.concatenate(ws)
-        dd = pd.DataFrame({"u": u, "w": w}).drop_duplicates()
+            return pd.DataFrame({"u": pd.Series([], dtype=object),
+                                 "w": pd.Series([], dtype=object)})
         return pd.DataFrame(
-            {
-                "node": np.concatenate([dd["u"].to_numpy(), dd["w"].to_numpy()]),
-                "other": np.concatenate([dd["w"].to_numpy(), dd["u"].to_numpy()]),
-            }
-        )
+            {"u": np.concatenate(us), "w": np.concatenate(ws)}
+        ).drop_duplicates()
 
-    rows = partitioned_apply(
+    cands = partitioned_apply(
         edges.map_batches(_sym, batch_format="pyarrow"), "mid", _pair_rows,
         num_parts=32,
     )
+    if distributed:
+        cands = _pair_membership_filter(cands, edges, "u", "w", keep=False)
+
+    def _expand(t: pa.Table) -> pa.Table:
+        # {u, w} -> both directed (node, other) rows for the per-node sketch
+        import pyarrow.compute as pc
+
+        u = pc.cast(t.column("u"), pa.string()).combine_chunks()
+        w = pc.cast(t.column("w"), pa.string()).combine_chunks()
+        return pa.table(
+            {
+                "node": pa.concat_arrays([u, w]),
+                "other": pa.concat_arrays([w, u]),
+            }
+        )
+
+    rows = cands.map_batches(_expand, batch_format="pyarrow")
     est = hll_distinct_by_group(rows, "node", "other")
 
     def _ren(df: pd.DataFrame) -> pd.DataFrame:

@@ -1,14 +1,20 @@
 """Multimodal column stages (image/audio/video as opaque binary + metadata).
 
-The decode kernels themselves are STUBBED (no PIL/ffmpeg/torchaudio in this
-container — ``decode=`` raises ``NotImplementedError`` unless the deterministic
-fake is selected), but the Ray-side plumbing is real and tested: schema,
-actor-pool signature, batch sizing for large binary payloads, and output
-layout match what a real decoder drops into.
+Decode kernels are REAL for every format ``functions/media_codecs`` handles
+(P6 PPM / 24-bit BMP / PNG / GIF / baseline JPEG / PCM WAV / AVI-MJPEG —
+own zlib/LZW/DCT+Huffman byte decoders, no PIL/ffmpeg): ``backend="real"``
+on the featurize/resize stages decodes the ``payload`` column and computes
+features / letterbox resamples from the decoded pixels or samples.  Only
+codecs outside that set (WebP/MP3/H.264...) stay behind the gated
+PIL/ffmpeg seam in media_codecs.  ``backend="fake"`` remains for corpora
+that carry refs but no bytes: deterministic ref-hash features/dims with the
+same schema (the Ray-side plumbing — actor pool, batch sizing, output
+layout — is identical either way).
 
 Media spans ride the interleaved documents table (BASELINE.json input_hint);
 ``extract_media_refs`` explodes them to a media table without touching the
-text pipeline.
+text pipeline; ``synthesize_payloads`` attaches real encoded bytes where the
+corpus has none (a production run swaps it for a blob-store fetch).
 """
 
 from __future__ import annotations
@@ -46,21 +52,29 @@ def extract_media_refs(docs):
 
 
 class MediaFeaturizer:
-    """Actor-pool stage: media_ref -> fixed-dim feature vector.
+    """Actor-pool stage: media row -> fixed-dim feature vector.
 
-    ``backend="fake"`` (default here) derives a deterministic feature vector
-    from the ref hash — the tested path.  ``backend="real"`` is the seam for
-    an actual image/audio model: weights would load once in __init__ and
-    batches decode on __call__ (small batch_size for large payloads).
+    ``backend="real"`` (default when the input carries a ``payload``
+    column) DECODES the payload bytes — decode_image / decode_wav /
+    decode_avi_mjpeg from ``functions/media_codecs``, all real byte
+    decoders — and computes features from the decoded pixels/samples
+    (mean-RGB + luminance histogram for images and frames, duration / RMS /
+    ZCR + segment RMS for audio; video features are the per-frame mean).
+    Decoder tables load once per actor in ``__init__``; undecodable
+    payloads degrade to a zero vector with ``feat_ok=false`` (quarantine
+    shape, never a poisoned batch).  ``backend="fake"`` derives a
+    deterministic vector from the ref hash — for corpora with refs but no
+    bytes.
     """
 
-    def __init__(self, dim: int = 8, backend: str = "fake"):
+    def __init__(self, dim: int = 8, backend: str = "real", target: int = 224):
+        from ..functions import media_codecs as mc
+
+        self.mc = mc
         self.dim = dim
-        if backend == "real":  # pragma: no cover
-            raise NotImplementedError(
-                "real media decode requires PIL/ffmpeg/torch (absent here); "
-                "use backend='fake'"
-            )
+        self.target = target
+        if backend not in ("real", "fake"):
+            raise ValueError(f"unknown backend {backend!r}")
         self.backend = backend
 
     def _fake_features(self, ref: str) -> np.ndarray:
@@ -68,22 +82,64 @@ class MediaFeaturizer:
         arr = np.frombuffer(h, dtype=np.uint32).astype(np.float64)
         return arr / np.float64(2**32)
 
+    def _real_features(self, buf: bytes, kind: str) -> np.ndarray:
+        mc = self.mc
+        if kind == "audio":
+            samples, rate = mc.decode_wav(buf)
+            return mc.audio_features(samples, rate, self.dim)
+        if kind == "video":
+            frames, _fps = mc.decode_avi_mjpeg(buf)
+            fmat = np.stack(
+                [
+                    mc.image_features(mc.letterbox_resize(f, self.target)[0], self.dim)
+                    for f in frames
+                ]
+            )
+            return fmat.mean(axis=0)
+        img = mc.decode_image(buf)
+        return mc.image_features(mc.letterbox_resize(img, self.target)[0], self.dim)
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        feats = [
-            self._fake_features(r).tolist()
-            for r in batch.column("media_ref").to_pylist()
-        ]
+        if self.backend == "fake":
+            feats = [
+                self._fake_features(r).tolist()
+                for r in batch.column("media_ref").to_pylist()
+            ]
+            ok = [True] * len(batch)
+        else:
+            if "payload" not in batch.column_names:
+                raise ValueError(
+                    "backend='real' needs a payload column "
+                    "(synthesize_payloads or a blob-store fetch upstream)"
+                )
+            feats, ok = [], []
+            for buf, kind in zip(
+                batch.column("payload").to_pylist(), batch.column("kind").to_pylist()
+            ):
+                try:
+                    feats.append(self._real_features(buf, kind).tolist())
+                    ok.append(True)
+                except (ValueError, NotImplementedError):
+                    feats.append([0.0] * self.dim)
+                    ok.append(False)
+            batch = batch.drop_columns(["payload"])
         return batch.append_column(
             "features", pa.array(feats, pa.list_(pa.float64()))
-        )
+        ).append_column("feat_ok", pa.array(ok, pa.bool_()))
 
 
-def featurize_media(media, dim: int = 8, concurrency: int = 2, batch_size: int = 64):
+def featurize_media(
+    media,
+    dim: int = 8,
+    concurrency: int = 2,
+    batch_size: int = 64,
+    backend: str = "real",
+):
     """Small batch_size on purpose: with real payloads each row is large
     binary; batch x concurrency must fit worker heaps."""
     return media.map_batches(
         MediaFeaturizer,
-        fn_constructor_kwargs={"dim": dim},
+        fn_constructor_kwargs={"dim": dim, "backend": backend},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=(1, concurrency),
@@ -92,36 +148,80 @@ def featurize_media(media, dim: int = 8, concurrency: int = 2, batch_size: int =
 
 
 class MediaResizer:
-    """Image-resize actor stage.  ``backend="fake"`` (tested path) derives
-    the source dims deterministically from the ref hash and computes the
-    REAL letterbox geometry — the target dims, scale factor and output
-    byte estimate a true resampler produces; ``backend="real"`` is the seam
-    where PIL/cv2 would decode the binary payload once per batch (decoder
-    context held per actor).  Output schema is what a real pipeline writes:
-    (.., src_w, src_h, dst_w, dst_h, scale, resized: binary)."""
+    """Image-resize actor stage.  ``backend="real"`` DECODES the image
+    payload (media_codecs byte decoders), letterbox-resamples the actual
+    pixels (area-mean downscale / nearest upscale) and re-encodes the
+    resized raster as P6 PPM bytes in ``resized`` — a genuine
+    decode->resample->encode hop per row.  Non-image kinds (audio/video)
+    and undecodable payloads pass through with zeroed dims and an empty
+    buffer (``resize_ok=false``).  ``backend="fake"`` derives source dims
+    deterministically from the ref hash and computes only the letterbox
+    GEOMETRY (for corpora with refs but no bytes).  Output schema is
+    identical either way: (.., src_w, src_h, dst_w, dst_h, scale,
+    resized: binary, resize_ok)."""
 
-    def __init__(self, target: int = 224, backend: str = "fake"):
-        if backend == "real":  # pragma: no cover
-            raise NotImplementedError(
-                "real image resize requires PIL/cv2 (absent here); use backend='fake'"
-            )
+    def __init__(self, target: int = 224, backend: str = "real"):
+        from ..functions import media_codecs as mc
+
+        self.mc = mc
         self.target = target
+        if backend not in ("real", "fake"):
+            raise ValueError(f"unknown backend {backend!r}")
+        self.backend = backend
+
+    def _fake_row(self, ref: str):
+        h = hashlib.blake2b(ref.encode(), digest_size=4).digest()
+        w0 = 64 + h[0] * 8  # deterministic fake source dims
+        h0 = 64 + h[1] * 8
+        s = self.target / max(w0, h0)
+        w1, h1 = max(1, round(w0 * s)), max(1, round(h0 * s))
+        return w0, h0, w1, h1, s, h * (w1 * h1 * 3 // 4 + 1), True
+
+    def _real_row(self, buf: bytes, kind: str):
+        if kind not in ("image",):
+            return 0, 0, 0, 0, 0.0, b"", False
+        mc = self.mc
+        try:
+            img = mc.decode_image(buf)
+        except (ValueError, NotImplementedError):
+            return 0, 0, 0, 0, 0.0, b"", False
+        resized, s = mc.letterbox_resize(img, self.target)
+        return (
+            img.shape[1],
+            img.shape[0],
+            resized.shape[1],
+            resized.shape[0],
+            float(s),
+            mc.encode_ppm(resized),
+            True,
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        refs = batch.column("media_ref").to_pylist()
-        src_w, src_h, dst_w, dst_h, scale, payload = [], [], [], [], [], []
-        for r in refs:
-            h = hashlib.blake2b(r.encode(), digest_size=4).digest()
-            w0 = 64 + h[0] * 8  # deterministic fake source dims
-            h0 = 64 + h[1] * 8
-            s = self.target / max(w0, h0)
-            w1, h1 = max(1, round(w0 * s)), max(1, round(h0 * s))
+        src_w, src_h, dst_w, dst_h, scale, payload, ok = [], [], [], [], [], [], []
+        if self.backend == "fake":
+            rows = [self._fake_row(r) for r in batch.column("media_ref").to_pylist()]
+        else:
+            if "payload" not in batch.column_names:
+                raise ValueError(
+                    "backend='real' needs a payload column "
+                    "(synthesize_payloads or a blob-store fetch upstream)"
+                )
+            rows = [
+                self._real_row(buf, kind)
+                for buf, kind in zip(
+                    batch.column("payload").to_pylist(),
+                    batch.column("kind").to_pylist(),
+                )
+            ]
+            batch = batch.drop_columns(["payload"])
+        for w0, h0, w1, h1, s, buf, good in rows:
             src_w.append(w0)
             src_h.append(h0)
             dst_w.append(w1)
             dst_h.append(h1)
             scale.append(s)
-            payload.append(h * (w1 * h1 * 3 // 4 + 1))  # stand-in pixel buffer
+            payload.append(buf)
+            ok.append(good)
         return (
             batch.append_column("src_w", pa.array(src_w, pa.int32()))
             .append_column("src_h", pa.array(src_h, pa.int32()))
@@ -129,15 +229,22 @@ class MediaResizer:
             .append_column("dst_h", pa.array(dst_h, pa.int32()))
             .append_column("scale", pa.array(scale, pa.float64()))
             .append_column("resized", pa.array(payload, pa.binary()))
+            .append_column("resize_ok", pa.array(ok, pa.bool_()))
         )
 
 
-def resize_media(media, target: int = 224, concurrency: int = 2, batch_size: int = 32):
+def resize_media(
+    media,
+    target: int = 224,
+    concurrency: int = 2,
+    batch_size: int = 32,
+    backend: str = "real",
+):
     """batch_size smaller still than featurize: resized pixel buffers are the
     largest rows in the pipeline (batch x concurrency bounds heap)."""
     return media.map_batches(
         MediaResizer,
-        fn_constructor_kwargs={"target": target},
+        fn_constructor_kwargs={"target": target, "backend": backend},
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=(1, concurrency),
