@@ -150,6 +150,13 @@ def _ner_dumps(sf_dir: str) -> dict[str, str]:
             ["doc_id", "subj_id", "subj_norm", "pred", "obj_id", "obj_norm"]
         ),
     )
+    # gold surface->type label table (vocab-derived, static) so the eval
+    # oracle joins the SAME labels the engine broadcasts
+    import ray.data as rd
+
+    from unsupervised_ner_ray.assets import build_gold_labels
+
+    _write("labels", rd.from_pandas(build_gold_labels()))
     _NER_DUMP_CACHE[sf_dir] = paths
     return paths
 
@@ -306,6 +313,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         tri = rd.read_parquet(path).drop_columns(["n_docs_total"])
         adj = build_adjacency(tri, reduce_partitions=16)
         return adj.select_columns(["subj_id", "subj_norm", "degree"]).sort("subj_norm")
+
+    def q_ner_eval(sf_dir: str):
+        # distributed accuracy evaluation (the reference's ner_test loop):
+        # per-type TP/FP/FN + integer-ppm P/R/F1 of the engine's own
+        # mentions vs the gold vocab labels — both sides of the gate read
+        # the same dumps, so the oracle is exact
+        import ray.data as rd
+
+        from unsupervised_ner_ray.stages.ner import ner_eval
+
+        paths = _ner_dumps(sf_dir)
+        mentions = rd.read_parquet(
+            paths["mentions"], columns=["surface_norm", "etype"]
+        )
+        return ner_eval(mentions)
 
     def q_ner_triples(sf_dir: str):
         return explode_triples(_tagged(sf_dir))
@@ -490,28 +512,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     # ORDERING CONTRACT: the driver's correctness gate records the FIRST 50
-    # entries of this dict (CORRECTNESS_r{N}.json). Order is therefore by
-    # evidentiary priority, not by family aesthetics:
-    #   1. the engine core (NER -> KG flagship, dedup, similarity, media) —
-    #      what a reference user actually runs — plus its exact SQL oracles;
-    #   2. the text-analysis battery (all oracle-backed);
-    #   3. round-3 LLM-data-prep operators (decontaminate / chunk dedup /
-    #      mixture / packing / unigram-LM + the new dedup variants) getting
-    #      their FIRST driver certification;
-    #   4. a representative slice of unique-oracle relational/window/join
-    #      queries (one per operator class).
-    # Past the window: (a) variants sharing an oracle with an in-window twin
-    # (asof_shuffled / range_join_bucketed / semi_join_bloom /
-    # top_tfidf_distributed / kg_entities_shuffled — each pinned equal to its
-    # twin by a forced-path unit test), (b) approximate rows-only sketches
-    # (HLL / t-digest / langid), (c) relational queries that were already
-    # driver-hash-exact in CORRECTNESS_r02.json. Everything out-of-window is
-    # still verified every round by tools/check_oracles.py.
-    return {
+    # entries of this dict (CORRECTNESS_r{N}.json) — see _WINDOW_R4 below,
+    # which this function reorders the full battery by.  Round-4 window
+    # policy (VERDICT r3 item 1): the 35 oracle-backed queries added in
+    # round 3 that have NEVER appeared in a driver window (skyline, snapshot
+    # diff, constraint checks, triangle/2-hop, fuzzy pairs, cohort
+    # retention, OLS regression, ...) rotate IN so every one of the
+    # oracles is driver-certified at least once across r01-r04; a core of
+    # already-certified sentinels (flagship NER/KG dumps, exact dedup,
+    # dataprep, q1, the big join) stays in to guard against regressions;
+    # the new q_ner_eval and the now-real-decode media queries take the
+    # remaining slots.  Everything out-of-window was driver-hash-exact in a
+    # prior round (r01-r03) or is a forced-path twin / approximate sketch,
+    # and ALL queries are verified every round by tools/check_oracles.py.
+    all_q = {
         # ---- engine core: NER / KG (flagship) ----
         "q_ner_tags": q_ner_tags,  # SQL-checked over the token-tag dump
         "q_ner_mention_groups": q_ner_mention_groups,  # SQL-checked (dump)
         "q_kg_adjacency_ner": q_kg_adjacency_ner,  # SQL-checked (dump)
+        "q_ner_eval": q_ner_eval,  # SQL-checked (mentions+labels dumps)
         "q_ner_triples": q_ner_triples,
         "q_kg_entities": q_kg_entities,
         "q_kg_adjacency": q_kg_adjacency,
@@ -723,6 +742,73 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ),
     }
 
+    # The driver records the FIRST 50 entries: reorder the battery so the
+    # round-4 window leads (see the ORDERING CONTRACT comment above).
+    out = {name: all_q[name] for name in _WINDOW_R4}
+    out.update((k, v) for k, v in all_q.items() if k not in out)
+    return out
+
+
+# Round-4 driver window (exactly 50): 13 certified sentinels + q_ner_eval +
+# the 2 now-real-decode media queries + the 35 never-driver-recorded
+# oracle-backed round-3 queries.  tests/test_driver_contract.py pins this
+# list's length, membership, and that every name resolves.
+_WINDOW_R4 = [
+    # certified sentinels (regression guard: hash-exact in r01-r03 windows)
+    "q_ner_tags",
+    "q_ner_mention_groups",
+    "q_kg_adjacency_ner",
+    "q_exact_dedup",
+    "q_dedup_resolve_runs",
+    "q_jaccard_adjacent",
+    "q_canonicalize_tokens",
+    "q_token_histogram",
+    "q_vocab_merge",
+    "q_dataprep",
+    "q1_lineitem_agg",
+    "q_order_lineitem_join",
+    # new round-4 operator + media queries now running real byte decode
+    "q_ner_eval",
+    "q_media_features",
+    "q_media_resize",
+    # round-3 oracle-backed queries getting their FIRST driver record
+    "q_full_outer_join",
+    "q_running_revenue",
+    "q_funnel_stages",
+    "q_inverted_index",
+    "q_posting_stats",
+    "q_split_assign",
+    "q_edge_lift",
+    "q_triangle_count",
+    "q_percent_rank",
+    "q_two_hop",
+    "q_gap_fill",
+    "q_cross_join",
+    "q_unpivot_stats",
+    "q_asof_next_order",
+    "q_quantiles_by_nation",
+    "q_explode_tokens",
+    "q_length_filter",
+    "q_moving_sum",
+    "q_group_stats",
+    "q_corr_partials",
+    "q_event_paths",
+    "q_skyline",
+    "q_value_histogram",
+    "q_profile_orders",
+    "q_cohort_retention",
+    "q_keep_best_doc",
+    "q_equidepth_bins",
+    "q_fuzzy_pairs",
+    "q_mad_value",
+    "q_skew_join",
+    "q_entity_resolution",
+    "q_snapshot_diff",
+    "q_constraint_checks",
+    "q_group_regression",
+    "q_incremental_histogram",
+]
+
 
 def oracle_sql() -> dict[str, str]:
     # The three q_ner_* / q_kg_*_ner oracles aggregate the engine's own NER
@@ -753,6 +839,38 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_DUMP_ROOT}/triples_*/*.parquet')
             WHERE n_docs_total = (SELECT COUNT(*) FROM documents)
             GROUP BY subj_id, subj_norm ORDER BY subj_norm
+        """,
+        "q_ner_eval": f"""
+            WITH j AS (
+                SELECT m.etype AS pred, l.gold_type AS gold
+                FROM read_parquet('{_DUMP_ROOT}/mentions_*/*.parquet') m
+                JOIN read_parquet('{_DUMP_ROOT}/labels_*/*.parquet') l
+                  ON m.surface_norm = l.surface_norm
+                WHERE m.n_docs_total = (SELECT COUNT(*) FROM documents)
+                  AND l.n_docs_total = (SELECT COUNT(*) FROM documents)
+            ), p AS (
+                SELECT pred AS etype,
+                       SUM(CASE WHEN pred = gold THEN 1 ELSE 0 END) AS tp,
+                       COUNT(*) AS n_pred
+                FROM j GROUP BY pred
+            ), g AS (
+                SELECT gold AS etype, COUNT(*) AS n_gold FROM j GROUP BY gold
+            )
+            SELECT COALESCE(p.etype, g.etype) AS etype,
+                   CAST(COALESCE(p.tp, 0) AS BIGINT) AS tp,
+                   CAST(COALESCE(p.n_pred, 0) - COALESCE(p.tp, 0) AS BIGINT) AS fp,
+                   CAST(COALESCE(g.n_gold, 0) - COALESCE(p.tp, 0) AS BIGINT) AS fn,
+                   CAST(CASE WHEN COALESCE(p.n_pred, 0) = 0 THEN 0
+                        ELSE COALESCE(p.tp, 0) * 1000000 // p.n_pred END AS BIGINT)
+                       AS precision_ppm,
+                   CAST(CASE WHEN COALESCE(g.n_gold, 0) = 0 THEN 0
+                        ELSE COALESCE(p.tp, 0) * 1000000 // g.n_gold END AS BIGINT)
+                       AS recall_ppm,
+                   CAST(2 * COALESCE(p.tp, 0) * 1000000
+                        // (COALESCE(p.n_pred, 0) + COALESCE(g.n_gold, 0))
+                        AS BIGINT) AS f1_ppm
+            FROM p FULL OUTER JOIN g ON p.etype = g.etype
+            ORDER BY etype
         """,
         "q_token_counts": f"""
             SELECT doc_id,

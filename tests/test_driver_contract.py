@@ -57,3 +57,54 @@ def test_ner_dump_queries_in_gate_window():
         assert name in oracles
         assert qs.index(name) < 50
     assert len(oracles) >= 55
+
+def test_window_r4_contract():
+    """Round-4 window: exactly 50 names, all resolvable, queries() leads
+    with them in order, every never-before-certified oracle-backed query is
+    inside (so after this round all oracles are driver-certified at least
+    once), and only the two real-decode media queries are rows-only."""
+    import json
+
+    qs = list(entrymod.queries())
+    oracles = set(entrymod.oracle_sql())
+    W = entrymod._WINDOW_R4
+    assert len(W) == 50 and len(set(W)) == 50
+    assert qs[:50] == W
+    ever_hash = set()
+    for r in (1, 2, 3):
+        try:
+            with open(f"/root/repo/CORRECTNESS_r0{r}.json") as f:
+                d = json.load(f)
+        except FileNotFoundError:
+            continue
+        ever_hash |= {k for k, v in d.items() if v.get("hash_match") is True}
+    stranded = [
+        q for q in qs if q in oracles and q not in ever_hash and q not in W
+    ]
+    assert not stranded, stranded
+    assert [q for q in W if q not in oracles] == [
+        "q_media_features",
+        "q_media_resize",
+    ]
+
+
+def test_check_oracles_window_mode_selects_first_n():
+    """--window N checks exactly the first N queries() entries (regression
+    guard: a reorder can't silently push a failing oracle out of driver
+    sight).  Pin the selection logic without running the queries."""
+    import tools.check_oracles as co
+
+    names = list(entrymod.queries())[:50]
+    seen = {}
+
+    def fake_main(sf_dir, only=None):
+        seen["only"] = only
+        return 0
+
+    orig = co.main
+    try:
+        co.main = fake_main
+        assert co.main_window("/nonexistent", 50) == 0
+    finally:
+        co.main = orig
+    assert seen["only"] == names

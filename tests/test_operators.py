@@ -2713,3 +2713,53 @@ def test_bootstrap_mean_coverage_and_determinism(ray_session):
     n = len(ev)
     # percentile CI width ~ 2*1.96*sigma/sqrt(n); allow generous slack
     assert 0.5 * spread / np.sqrt(n) < width < 10.0 * spread / np.sqrt(n)
+
+
+def test_ner_eval_hand_metrics(ray_session):
+    """Per-type TP/FP/FN and integer-ppm P/R/F1 on a hand-checkable mention
+    stream: unlabeled surfaces are excluded (inner-join semantics), a type
+    appears if ever predicted or ever gold, denominator-0 metrics are 0."""
+    import pandas as pd
+
+    rd = _rd()
+
+    from unsupervised_ner_ray.stages.ner import ner_eval
+
+    labels = pd.DataFrame(
+        {"surface_norm": ["x", "y", "z"], "gold_type": ["A", "B", "A"]}
+    )
+    mentions = rd.from_items(
+        [
+            {"surface_norm": "x", "etype": "A"},  # tp for A
+            {"surface_norm": "x", "etype": "B"},  # fp B, fn A
+            {"surface_norm": "y", "etype": "B"},  # tp for B
+            {"surface_norm": "q", "etype": "C"},  # unlabeled: excluded
+            {"surface_norm": "z", "etype": "B"},  # fp B, fn A
+        ]
+    )
+    out = ner_eval(mentions, labels=labels).to_pandas().set_index("etype")
+    assert set(out.index) == {"A", "B"}
+    a, b = out.loc["A"], out.loc["B"]
+    assert (a.tp, a.fp, a.fn) == (1, 0, 2)
+    assert (a.precision_ppm, a.recall_ppm, a.f1_ppm) == (1_000_000, 333_333, 500_000)
+    assert (b.tp, b.fp, b.fn) == (1, 2, 0)
+    assert (b.precision_ppm, b.recall_ppm, b.f1_ppm) == (333_333, 1_000_000, 500_000)
+
+
+def test_ner_eval_gold_only_type(ray_session):
+    """A type that is gold but never predicted still appears, with
+    precision_ppm = 0 (denominator-0 rule)."""
+    import pandas as pd
+
+    rd = _rd()
+
+    from unsupervised_ner_ray.stages.ner import ner_eval
+
+    labels = pd.DataFrame({"surface_norm": ["x"], "gold_type": ["A"]})
+    mentions = rd.from_items([{"surface_norm": "x", "etype": "B"}])
+    out = ner_eval(mentions, labels=labels).to_pandas().set_index("etype")
+    a = out.loc["A"]
+    assert (a.tp, a.fp, a.fn) == (0, 0, 1)
+    assert (a.precision_ppm, a.recall_ppm, a.f1_ppm) == (0, 0, 0)
+    b = out.loc["B"]
+    assert (b.tp, b.fp, b.fn) == (0, 1, 0)

@@ -113,3 +113,105 @@ def test_hf_backend_predicts_with_torch():
     assert all(set(d) == {"desc", "v", "e", "e_count"} for d in descs)
     vs = [d["v"] for d in descs]
     assert vs == sorted(vs, reverse=True)
+
+
+def test_perceptron_pos_backend_spans_and_parity():
+    """The trained averaged-perceptron backend: (1) marked text bypasses it
+    entirely (parity with the no-backend path); (2) on plain prose it
+    splits verb-separated entity spans the closed-class heuristic glues
+    together; (3) deterministic across processes (fixed training order)."""
+    from unsupervised_ner_ray.functions.pos_perceptron import (
+        AveragedPerceptronPOS,
+        _parse_train,
+        perceptron_pos_terms,
+    )
+
+    marked = "Imatinib:__entity__ treats cancer:__entity__"
+    assert masking.detect_terms(marked, perceptron_pos_terms) == masking.detect_terms(
+        marked
+    )
+
+    # unseen sentence, unseen verb: heuristic NN-tags 'treats' -> ONE glued
+    # span; the model's VBZ splits subject from object
+    sent = "Imatinib mesylate treats chronic leukemia"
+    model_terms = masking.detect_terms(sent, perceptron_pos_terms)
+    heur_terms = masking.detect_terms(sent)
+    m_sents, _ = masking.generate_masked_sentences(model_terms)
+    h_sents, _ = masking.generate_masked_sentences(heur_terms)
+    assert len(h_sents) == 1  # the heuristic failure mode being fixed
+    assert len(m_sents) == 2
+    assert dict(model_terms)["treats"] == "VBZ"
+
+    # determinism: an independently trained model produces identical tags
+    m2 = AveragedPerceptronPOS()
+    m2.train(_parse_train())
+    words = sent.split()
+    assert m2.tag(words) == [t for _, t in model_terms]
+
+
+def test_perceptron_vs_heuristic_on_sample_test():
+    """Span-level P/R on the reference's sample_test.txt sentences against
+    hand-gold entity spans (the BASELINE.md row).  The heuristic can only
+    RESET closed-class words, so verbs/adverbs become junk candidate spans
+    ('routinely diagnosed', 'used', 'treat nsclc') that feed the expensive
+    MLM stage; the trained model must deliver strictly better span
+    PRECISION at comparable F1."""
+    from unsupervised_ner_ray.functions.pos_perceptron import perceptron_pos_terms
+
+    gold = {
+        SAMPLE_TEST_SENTENCES[0]: ["myocardial infarction", "ECG"],
+        SAMPLE_TEST_SENTENCES[1]: [
+            "hypohysitis",
+            "ipilimumab",
+            "supplemental hormones",
+        ],
+        SAMPLE_TEST_SENTENCES[2]: ["acute arthritis"],
+        SAMPLE_TEST_SENTENCES[3]: ["cats", "dogs", "pets"],
+        SAMPLE_TEST_SENTENCES[4]: ["Ajit Rajasekharan", "engineer"],
+        SAMPLE_TEST_SENTENCES[5]: ["engineer"],
+        SAMPLE_TEST_SENTENCES[6]: ["Boston", "Rio De Janiro", "mocha"],
+        SAMPLE_TEST_SENTENCES[7]: ["Imatinib mesylate", "drug", "nsclc"],
+    }
+
+    def prf(backend):
+        tp = fp = fn = 0
+        for sent, g_spans in gold.items():
+            terms = masking.detect_terms(sent, backend)
+            _, span_arr = masking.generate_masked_sentences(terms)
+            got = masking.span_phrases(terms, span_arr)
+            remaining = list(g_spans)
+            for p in got:
+                if p in remaining:
+                    tp += 1
+                    remaining.remove(p)
+                else:
+                    fp += 1
+            fn += len(remaining)
+        precision = tp / (tp + fp)
+        recall = tp / (tp + fn)
+        return precision, recall, 2 * precision * recall / (precision + recall)
+
+    mp, mr, mf1 = prf(perceptron_pos_terms)
+    hp, hr, hf1 = prf(None)
+    assert mp > hp, (mp, hp)  # strictly better precision
+    assert mf1 >= hf1 - 0.05, (mf1, hf1)  # no meaningful F1 cost
+
+
+def test_perceptron_backend_through_tagger():
+    """The backend plugs into the full tag_sentence flow (the seam the
+    reference fills with jPTDP, main_NER.py:225-230)."""
+    from unsupervised_ner_ray.assets import build_entity_map
+    from unsupervised_ner_ray.backends import default_backends
+    from unsupervised_ner_ray.functions.pos_perceptron import perceptron_pos_terms
+    from unsupervised_ner_ray.functions.tagger import ensemble_tag_sentence
+
+    res = ensemble_tag_sentence(
+        "Imatinib mesylate treats chronic leukemia",
+        default_backends(10),
+        build_entity_map(),
+        pos_backend=perceptron_pos_terms,
+    )
+    assert res["ensembled_tags"], res
+    assert any(t.startswith("B_") for t in res["ensembled_tags"])
+    # the model-split spans: subject and object tagged as separate entities
+    assert sum(1 for t in res["ensembled_tags"] if t.startswith("B_")) >= 2

@@ -124,7 +124,29 @@ def main(sf_dir: str, only: list[str] | None = None) -> int:
     return failed
 
 
+def main_window(sf_dir: str, n: int = 50) -> int:
+    """Driver-window regression guard: check exactly the FIRST ``n``
+    queries() entries (the slice the driver records in
+    CORRECTNESS_r{N}.json) and fail if any oracle-backed query inside the
+    window is not value-exact — so a battery reorder can never silently
+    push a failing query out of driver sight.  Rows-only entries inside the
+    window must merely execute."""
+    import importlib
+
+    entrymod = importlib.import_module("__ray_entry__")
+    window = list(entrymod.queries())[:n]
+    return main(sf_dir, window)
+
+
 if __name__ == "__main__":
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    extra = [n for a in sys.argv[2:] for n in a.split(",")]
+    args = sys.argv[1:]
+    win = None
+    if "--window" in args:
+        i = args.index("--window")
+        win = int(args[i + 1]) if i + 1 < len(args) else 50
+        args = args[:i] + args[i + 2 :]
+    sf = args[0] if args else "/root/testdata/sf0.001"
+    if win is not None:
+        raise SystemExit(main_window(sf, win))
+    extra = [n for a in args[1:] for n in a.split(",")]
     raise SystemExit(main(sf, extra or None))

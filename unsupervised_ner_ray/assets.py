@@ -226,6 +226,28 @@ def build_vocab(extra_per_subtype: int = 12) -> dict[str, tuple[list[str], list[
     return vocab
 
 
+def build_gold_labels():
+    """Gold surface->type evaluation table — the engine analog of the
+    reference's labeled benchmark extracts (ner_labeling/BC5CDR_chemical.txt
+    et al., consumed by the external ner_test loop, README.md:19,64): each
+    vocab surface labeled with its DOMINANT subtype (highest count; first
+    listed wins ties — deterministic).  Returns a pandas DataFrame
+    (surface_norm, gold_type) sorted by surface_norm; unique by
+    construction, so joining mentions against it never fans out."""
+    import pandas as pd
+
+    vocab = build_vocab()
+    rows = []
+    for term, (subtypes, counts) in vocab.items():
+        best = max(range(len(subtypes)), key=lambda i: (counts[i], -i))
+        rows.append((term, subtypes[best]))
+    return (
+        pd.DataFrame(rows, columns=["surface_norm", "gold_type"])
+        .sort_values("surface_norm")
+        .reset_index(drop=True)
+    )
+
+
 def vocab_types_by_subtype(vocab: dict[str, tuple[list[str], list[int]]]) -> dict[str, list[str]]:
     """subtype -> ordered list of vocab terms carrying that subtype."""
     by_st: dict[str, list[str]] = {}

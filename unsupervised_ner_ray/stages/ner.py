@@ -450,3 +450,115 @@ def explode_mentions(tagged):
         )
 
     return tagged.map_batches(_explode, batch_format="pyarrow")
+
+
+def ner_eval(mentions, labels=None):
+    """Distributed NER accuracy evaluation — the engine operator form of the
+    reference's external benchmark-scoring loop (``ner_test``, README.md:19,64
+    over ner_labeling/*.txt extracts): predicted mentions joined against a
+    gold surface->type table, reduced to per-type TP/FP/FN and integer-ppm
+    precision/recall/F1.
+
+    Shape (scale-safe): the label table is vocab-bounded, so it broadcasts
+    ONCE via ``ray.put`` and each mention batch tags itself (pred, gold) for
+    LABELED surfaces only (inner-join semantics) and pre-aggregates to
+    (etype, tp, n_pred, n_gold) partials — the shuffle carries one row per
+    (batch, type), never the mention stream.  One small groupby Sum merges
+    partials; the finalize pass derives fp = n_pred - tp, fn = n_gold - tp
+    and the ppm metrics with FLOOR division so the DuckDB oracle matches
+    bit-for-bit (precision/recall are 0 when their denominator is 0; a type
+    appears if it was ever predicted or ever gold).
+
+    Returns a Dataset (etype, tp, fp, fn, precision_ppm, recall_ppm,
+    f1_ppm) sorted by etype.
+    """
+    import numpy as np
+    import pandas as pd
+    import ray
+    from ray.data.aggregate import Sum
+
+    from ..assets import build_gold_labels
+
+    if labels is None:
+        labels = build_gold_labels()
+    lab_ref = ray.put(dict(zip(labels["surface_norm"], labels["gold_type"])))
+
+    _EMPTY = pa.table(
+        {
+            "etype": pa.array([], pa.string()),
+            "tp": pa.array([], pa.int64()),
+            "n_pred": pa.array([], pa.int64()),
+            "n_gold": pa.array([], pa.int64()),
+        }
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        lb = ray.get(lab_ref)
+        sn = t.column("surface_norm").to_pandas()
+        gold = sn.map(lb)
+        mask = gold.notna().to_numpy()
+        if not mask.any():
+            return _EMPTY
+        df = pd.DataFrame(
+            {
+                "pred": t.column("etype").to_pandas().to_numpy()[mask],
+                "gold": gold.to_numpy()[mask],
+            }
+        )
+        df["hit"] = (df["pred"] == df["gold"]).astype(np.int64)
+        p = df.groupby("pred").agg(tp=("hit", "sum"), n_pred=("hit", "size"))
+        g = df.groupby("gold").size().rename("n_gold")
+        m = p.join(g, how="outer").fillna(0).reset_index(names="etype")
+        return pa.table(
+            {
+                "etype": pa.array(m["etype"], pa.string()),
+                "tp": pa.array(m["tp"].to_numpy(np.int64)),
+                "n_pred": pa.array(m["n_pred"].to_numpy(np.int64)),
+                "n_gold": pa.array(m["n_gold"].to_numpy(np.int64)),
+            }
+        )
+
+    def _finalize(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            # Ray's hash-shuffle groupby emits zero-column blocks for empty
+            # partitions; normalize to the output schema
+            return pa.table(
+                {
+                    "etype": pa.array([], pa.string()),
+                    "tp": pa.array([], pa.int64()),
+                    "fp": pa.array([], pa.int64()),
+                    "fn": pa.array([], pa.int64()),
+                    "precision_ppm": pa.array([], pa.int64()),
+                    "recall_ppm": pa.array([], pa.int64()),
+                    "f1_ppm": pa.array([], pa.int64()),
+                }
+            )
+        tp = t.column("tp").to_numpy()
+        npred = t.column("n_pred").to_numpy()
+        ngold = t.column("n_gold").to_numpy()
+        p_ppm = np.where(npred > 0, tp * 1_000_000 // np.maximum(npred, 1), 0)
+        r_ppm = np.where(ngold > 0, tp * 1_000_000 // np.maximum(ngold, 1), 0)
+        f1_ppm = 2 * tp * 1_000_000 // np.maximum(npred + ngold, 1)
+        return pa.table(
+            {
+                "etype": t.column("etype"),
+                "tp": pa.array(tp, pa.int64()),
+                "fp": pa.array(npred - tp, pa.int64()),
+                "fn": pa.array(ngold - tp, pa.int64()),
+                "precision_ppm": pa.array(p_ppm, pa.int64()),
+                "recall_ppm": pa.array(r_ppm, pa.int64()),
+                "f1_ppm": pa.array(f1_ppm, pa.int64()),
+            }
+        )
+
+    return (
+        mentions.map_batches(_partial, batch_format="pyarrow")
+        .groupby("etype")
+        .aggregate(
+            Sum("tp", alias_name="tp"),
+            Sum("n_pred", alias_name="n_pred"),
+            Sum("n_gold", alias_name="n_gold"),
+        )
+        .map_batches(_finalize, batch_format="pyarrow")
+        .sort("etype")
+    )
