@@ -2763,3 +2763,85 @@ def test_ner_eval_gold_only_type(ray_session):
     assert (a.precision_ppm, a.recall_ppm, a.f1_ppm) == (0, 0, 0)
     b = out.loc["B"]
     assert (b.tp, b.fp, b.fn) == (0, 1, 0)
+
+
+@pytest.mark.skipif(
+    __import__("os").environ.get("RUN_SCALE_SMOKE") != "1",
+    reason="dedup composite smoke; run with RUN_SCALE_SMOKE=1 "
+    "(result recorded in BASELINE.md)",
+)
+def test_dedup_composite_scale_smoke(ray_session):
+    """The 100 TB dedup COMPOSITE, end to end over 10^6 synthetic docs with
+    every stage FORCED down its distributed regime (threshold=0 — no driver
+    merges anywhere): exact dedup -> sub-doc chunk dedup -> MinHash+LSH
+    candidate pairs -> connected-component resolution.  Planted exact dups
+    (i%100==1 copies i-1) and near dups (i%100==51 copies i-49 with one
+    token changed) must be found; wall time per stage is recorded in
+    BASELINE.md."""
+    import time
+
+    rd = _rd()
+    from unsupervised_ner_ray.stages.dedup import (
+        chunk_dedup,
+        dedup_resolve,
+        exact_dedup_fast,
+        minhash_lsh_pairs,
+    )
+
+    n = 1_000_000
+    vocab = np.array([f"tok{i:05d}" for i in range(20_000)], dtype=object)
+    rng = np.random.default_rng(11)
+    mat = rng.integers(0, len(vocab), size=(n, 12))
+    # exact dups: i % 100 == 1 copies i-1
+    mat[1::100] = mat[0::100][: len(mat[1::100])]
+    # near dups: i % 100 == 51 copies i-49's first 11 tokens (Jaccard ~0.85)
+    mat[51::100, :11] = mat[2::100][: len(mat[51::100]), :11]
+    texts = np.array([" ".join(r) for r in vocab[mat]], dtype=object)
+    df = pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "text": texts})
+    ds = rd.from_pandas(df).repartition(64).materialize()
+
+    n_exact = len(mat[1::100])
+    times = {}
+
+    t0 = time.time()
+    kept = exact_dedup_fast(ds).to_pandas()
+    times["exact"] = time.time() - t0
+    assert len(kept) == n - n_exact
+    assert not set(range(1, n, 100)) & set(kept["doc_id"])  # copiers lose
+
+    t0 = time.time()
+    cd = chunk_dedup(ds, chunk_tokens=6)
+    dup_chunks = cd.map_batches(
+        lambda t: t.filter(pa.compute.equal(t.column("is_first"), 0)),
+        batch_format="pyarrow",
+    ).to_pandas()
+    times["chunk"] = time.time() - t0
+    # every exact copier's both chunks, every near copier's first chunk
+    got0 = set(zip(dup_chunks["doc_id"], dup_chunks["pos"]))
+    sample = list(range(1, 100_000, 100))
+    assert all((i, 0) in got0 for i in sample)
+    assert all((i + 50, 0) in got0 for i in sample)
+
+    t0 = time.time()
+    pairs = minhash_lsh_pairs(ds, threshold=0.5, driver_merge_max_rows=0).materialize()
+    pairs_pd = pairs.to_pandas()
+    times["minhash"] = time.time() - t0
+    planted = {(i - 1, i) for i in range(1, n, 100)} | {
+        (i, i + 49) for i in range(2, n, 100)
+    }
+    found = set(zip(pairs_pd["a"], pairs_pd["b"]))
+    hit = len(planted & found) / len(planted)
+    assert hit > 0.95, hit
+
+    t0 = time.time()
+    resolved = dedup_resolve(pairs, driver_max_pairs=0).to_pandas()
+    times["resolve"] = time.time() - t0
+    # each planted pair kills exactly one member; components may chain via
+    # chance collisions so allow a small margin
+    n_lost = int((~resolved["keep"]).sum())
+    assert abs(n_lost - len(planted)) < len(planted) * 0.05, n_lost
+
+    print(
+        "SMOKE dedup composite 1M docs:"
+        + " ".join(f"{k}={v:.1f}s" for k, v in times.items())
+    )

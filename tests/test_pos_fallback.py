@@ -215,3 +215,34 @@ def test_perceptron_backend_through_tagger():
     assert any(t.startswith("B_") for t in res["ensembled_tags"])
     # the model-split spans: subject and object tagged as separate entities
     assert sum(1 for t in res["ensembled_tags"] if t.startswith("B_")) >= 2
+
+
+def test_perceptron_config_through_actor_stage(ray_session):
+    """pos_backend='perceptron' flows through PipelineConfig into the
+    NerTagger actor pool (model trained once per actor in __init__); marked
+    corpora produce byte-identical output to the default config, since
+    markers bypass the POS backend."""
+    from unsupervised_ner_ray.config import PipelineConfig
+    from unsupervised_ner_ray.pipelines.flagship import (
+        docs_dataset_synthetic,
+        run_tagging,
+    )
+
+    docs = docs_dataset_synthetic(20, seed=6)
+    base = run_tagging(
+        docs, PipelineConfig(tagger_concurrency=2)
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    perc = run_tagging(
+        docs_dataset_synthetic(20, seed=6),
+        PipelineConfig(tagger_concurrency=2, pos_backend="perceptron"),
+    ).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    # marked/pool corpus: POS backend never consulted -> identical tags
+    for a, b in zip(base["ner"], perc["ner"]):
+        assert [list(s["tags"]) for s in a] == [list(s["tags"]) for s in b]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        from unsupervised_ner_ray.stages.ner import NerTagger
+
+        NerTagger(PipelineConfig(pos_backend="nope"))

@@ -26,6 +26,11 @@ class PipelineConfig:
     tagger_batch_size: int = 256
     tagger_concurrency: int = 8
     num_output_shards: int = 16
+    # POS backend for unmarked sentences: "heuristic" (closed-class
+    # POS-lite, zero setup) or "perceptron" (averaged-perceptron tagger
+    # trained once per actor from the in-package fixture — better span
+    # precision on plain prose; functions/pos_perceptron.py)
+    pos_backend: str = "heuristic"
     # per-actor LRU over tag_text results: tagging is a pure function of the
     # sentence text, and web-scale corpora repeat boilerplate sentences
     # heavily — a hit skips the full mask/score/ensemble pipeline.  Entries

@@ -83,6 +83,16 @@ class NerTagger:
         self.emap = build_entity_map()
         self.backends = default_backends(config.top_k_descs)
         self.servers_config = SERVERS_CONFIG
+        # POS model state is per-actor (trained/loaded ONCE here, like the
+        # descriptor backends), selected by config
+        if config.pos_backend == "perceptron":
+            from ..functions.pos_perceptron import perceptron_pos_terms
+
+            self.pos_backend = perceptron_pos_terms
+        elif config.pos_backend == "heuristic":
+            self.pos_backend = None  # detect_terms falls back to POS-lite
+        else:
+            raise ValueError(f"unknown pos_backend {config.pos_backend!r}")
         # tag_text is a pure function of the sentence text (backends/config
         # are fixed per actor), so identical sentences — boilerplate repeats
         # dominate web corpora — hit this per-actor LRU instead of re-running
@@ -100,6 +110,7 @@ class NerTagger:
             text, self.backends, self.emap,
             self.config.suppress_untagged, self.config.common_descs,
             self.servers_config, self.config.aggregation_variant,
+            pos_backend=self.pos_backend,
         )
         if self._cache_max:
             self._cache[text] = res
