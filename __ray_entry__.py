@@ -733,9 +733,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_incremental_histogram": lambda sf: textstats.incremental_token_histogram(
             _docs(sf)
         ),
+        # graph node ids are content-addressed entity ids, so seeds must be
+        # entity_id(token) — raw tokens would be absent from the node set
+        # (now a loud ValueError rather than silently lost teleport mass)
         "q_kg_ppr": lambda sf: kg.pagerank(
             kg.bigram_triples(_docs(sf)), iters=10,
-            personalization={"the": 1.0, "of": 1.0},
+            personalization={
+                __import__(
+                    "unsupervised_ner_ray.functions.kg", fromlist=["entity_id"]
+                ).entity_id("the"): 1.0,
+                __import__(
+                    "unsupervised_ner_ray.functions.kg", fromlist=["entity_id"]
+                ).entity_id("of"): 1.0,
+            },
         ).sort("node_id"),
         "q_pca_top": lambda sf: similarity.pca_top(
             read_sf(sf, "embeddings", columns=["embedding"])

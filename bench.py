@@ -67,6 +67,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     n_docs = read_sf(sf_dir, "documents").count()
     headline = None
     n_triples = n_entities = 0
+    tagged = None
     for _ in range(max(1, reps)):
         docs = corpus_from_sf(sf_dir)
         t0 = time.time()
@@ -77,6 +78,18 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         t = round(time.time() - t0, 3)
         headline = t if headline is None else min(headline, t)
     timings["flagship_tag_kg"] = headline
+
+    # round-4: distributed accuracy evaluation over the flagship's own
+    # mentions (re-uses the already-materialized tagged set, like the
+    # write-once/read-many dump layout)
+    from unsupervised_ner_ray.stages.ner import explode_mentions, ner_eval
+
+    timed(
+        "q_ner_eval",
+        lambda: ner_eval(
+            explode_mentions(tagged).select_columns(["surface_norm", "etype"])
+        ).to_pandas(),
+    )
 
     docs_tbl = read_sf(sf_dir, "documents", columns=["doc_id", "text", "lang"])
     timed("q1_lineitem_agg", lambda: relational.q1_lineitem_agg(sf_dir).to_pandas())
@@ -96,15 +109,22 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ),
     )
 
-    def _topk():
+    def _qmatrix(emb):
         import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
+        qdf = emb.map_batches(
+            lambda t: t.filter(pc.less(t.column("vec_id"), pa.scalar(3))),
+            batch_format="pyarrow",
+        ).to_pandas().sort_values("vec_id")
+        return np.array([np.array(v) for v in qdf["embedding"]], dtype=np.float64)
+
+    def _topk():
         from unsupervised_ner_ray.stages.similarity import brute_force_topk
 
         emb = read_sf(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-        qdf = emb.filter(lambda r: r["vec_id"] < 3).to_pandas()
-        q = np.array([np.array(v) for v in qdf["embedding"]], dtype=np.float64)
-        return brute_force_topk(emb, q, k=10).to_pandas()
+        return brute_force_topk(emb, _qmatrix(emb), k=10).to_pandas()
 
     timed("q_embedding_topk", _topk)
     timed(
@@ -142,18 +162,30 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("q_boilerplate", lambda: textstats.boilerplate_scores(docs_tbl).to_pandas())
 
     def _pq():
-        import numpy as np
-
         from unsupervised_ner_ray.stages import similarity
 
         emb = read_sf(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-        qdf = emb.filter(lambda r: r["vec_id"] < 3).to_pandas()
-        q = np.array([np.array(v) for v in qdf["embedding"]], dtype=np.float64)
+        q = _qmatrix(emb)
         books = similarity.train_pq_codebooks(emb)
         codes = similarity.pq_encode(emb, books)
         return similarity.pq_topk(codes, books, q, k=10).to_pandas()
 
     timed("q_pq_topk", _pq)
+
+    # round-4: REAL media byte decode (synthesized payloads -> own codecs)
+    def _media():
+        from unsupervised_ner_ray.stages.multimodal import (
+            decode_media,
+            extract_media_refs,
+            synthesize_payloads,
+        )
+
+        return decode_media(
+            synthesize_payloads(extract_media_refs(corpus_from_sf(sf_dir)))
+        ).to_pandas()
+
+    timed("q_media_decode", _media)
+    timed("q_two_hop", lambda: _kg.two_hop_counts(docs_tbl).to_pandas())
     timed("q_bm25", lambda: textstats.bm25_rank(docs_tbl))
     timed("q_cohort_retention", lambda: relational.q_cohort_retention(sf_dir))
     timed(

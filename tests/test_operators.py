@@ -2845,3 +2845,29 @@ def test_dedup_composite_scale_smoke(ray_session):
         "SMOKE dedup composite 1M docs:"
         + " ".join(f"{k}={v:.1f}s" for k, v in times.items())
     )
+
+
+def test_personalized_pagerank_absent_seeds(ray_session):
+    """Seeds absent from the graph renormalize over the PRESENT ones (ranks
+    still sum to 1); an all-absent seed set raises instead of silently
+    producing a zero teleport vector."""
+    rd = _rd()
+    from unsupervised_ner_ray.stages.kg import pagerank
+
+    ds = rd.from_items(
+        [{"subj_id": "a", "obj_id": "b"}, {"subj_id": "b", "obj_id": "c"}]
+    )
+    mixed = (
+        pagerank(ds, iters=4, personalization={"a": 1.0, "ghost": 9.0})
+        .to_pandas()
+        .set_index("node_id")["rank"]
+    )
+    only = (
+        pagerank(ds, iters=4, personalization={"a": 1.0})
+        .to_pandas()
+        .set_index("node_id")["rank"]
+    )
+    assert np.allclose(mixed.sort_index(), only.sort_index(), atol=1e-12)
+    assert abs(mixed.sum() - 1.0) < 1e-9
+    with pytest.raises(ValueError):
+        pagerank(ds, iters=2, personalization={"ghost": 1.0})

@@ -207,15 +207,19 @@ def pagerank(
         # node table to the seed keys (streaming pass, tiny result).
         seed_keys = [str(k) for k in personalization]
         seed_set = pa.array(seed_keys, pa.string())
-        present = set(
-            nodes.map_batches(
-                lambda t: t.select(["node_id"]).filter(
-                    pc.is_in(t.column("node_id"), value_set=seed_set)
-                ),
-                batch_format="pyarrow",
+
+        def _seed_hits(t: pa.Table) -> pa.Table:
+            # hash-shuffle groupbys emit ZERO-COLUMN blocks for empty
+            # partitions — normalize before selecting
+            if "node_id" not in t.column_names:
+                return pa.table({"node_id": pa.array([], pa.string())})
+            return t.select(["node_id"]).filter(
+                pc.is_in(t.column("node_id"), value_set=seed_set)
             )
-            .to_pandas()["node_id"]
-        )
+
+        hits_df = nodes.map_batches(_seed_hits, batch_format="pyarrow").to_pandas()
+        # an all-empty result can come back column-less from to_pandas
+        present = set(hits_df["node_id"]) if "node_id" in hits_df.columns else set()
         live = {str(k): float(v) for k, v in personalization.items() if str(k) in present}
         if not live:
             raise ValueError("no personalization seed is present in the graph")
