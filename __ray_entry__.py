@@ -750,6 +750,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_pca_top": lambda sf: similarity.pca_top(
             read_sf(sf, "embeddings", columns=["embedding"])
         ),
+        # round-4: all-pairs sparse cosine similarity join over 3-gram
+        # shingle tf vectors (the exact ssjoin face of near-dup detection;
+        # per-shingle pair generation inside coarse hash partitions, df-capped)
+        "q_doc_cosine": lambda sf: textstats.shingle_cosine_pairs(
+            read_sf(sf, "documents", columns=["doc_id", "text"]), threshold=0.5
+        ),
     }
 
     # The driver records the FIRST 50 entries: reorder the battery so the
@@ -2124,5 +2130,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'range_price', CAST(
                 (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0) AS BIGINT)
             ORDER BY rule
+        """,
+        # round-4 sparse cosine ssjoin: 3-gram shingle tf vectors; dots over
+        # the df-pruned vocab (2 <= df <= 100 — exact here, max df is 9),
+        # FULL-space norms, threshold on dot^2 >= t^2*na2*nb2 with the
+        # identical float64 expression tree both sides (t=0.5, t^2=0.25
+        # exact in binary)
+        "q_doc_cosine": """
+            WITH toks AS (
+                SELECT doc_id,
+                       list_filter(string_split(text, ' '), x -> x <> '') AS w
+                FROM documents
+            ),
+            sh AS (
+                SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS token
+                FROM toks, UNNEST(range(1, len(w) - 1)) AS t(i)
+            ),
+            posts AS (
+                SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM sh GROUP BY doc_id, token
+            ),
+            norms AS (
+                SELECT doc_id, CAST(SUM(tf * tf) AS BIGINT) AS n2
+                FROM posts GROUP BY doc_id
+            ),
+            kept AS (
+                SELECT token FROM posts GROUP BY token
+                HAVING COUNT(*) BETWEEN 2 AND 100
+            ),
+            pp AS (SELECT p.* FROM posts p JOIN kept USING (token)),
+            dots AS (
+                SELECT x.doc_id AS a, y.doc_id AS b,
+                       CAST(SUM(x.tf * y.tf) AS BIGINT) AS dot
+                FROM pp x JOIN pp y
+                  ON x.token = y.token AND x.doc_id < y.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT d.a, d.b, d.dot, na.n2 AS na2, nb.n2 AS nb2
+            FROM dots d
+            JOIN norms na ON d.a = na.doc_id
+            JOIN norms nb ON d.b = nb.doc_id
+            WHERE CAST(d.dot AS DOUBLE) * CAST(d.dot AS DOUBLE)
+                  >= (CAST('0.25' AS DOUBLE) * CAST(na.n2 AS DOUBLE))
+                     * CAST(nb.n2 AS DOUBLE)
+            ORDER BY a, b
         """,
     }

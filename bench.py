@@ -187,6 +187,12 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("q_media_decode", _media)
     timed("q_two_hop", lambda: _kg.two_hop_counts(docs_tbl).to_pandas())
     timed("q_bm25", lambda: textstats.bm25_rank(docs_tbl))
+    timed(
+        "q_doc_cosine",
+        lambda: textstats.shingle_cosine_pairs(
+            read_sf(sf_dir, "documents", columns=["doc_id", "text"])
+        ).to_pandas(),
+    )
     timed("q_cohort_retention", lambda: relational.q_cohort_retention(sf_dir))
     timed(
         "q_keep_best_doc",

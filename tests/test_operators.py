@@ -2871,3 +2871,79 @@ def test_personalized_pagerank_absent_seeds(ray_session):
     assert abs(mixed.sum() - 1.0) < 1e-9
     with pytest.raises(ValueError):
         pagerank(ds, iters=2, personalization={"ghost": 1.0})
+
+
+def test_shingle_cosine_pairs_hand_computed(ray_session):
+    """Tiny corpus with hand-derivable shingle vectors: two near-identical
+    docs pass the threshold, an unrelated doc doesn't, a doc shorter than
+    the shingle width emits nothing, and double spaces don't create empty
+    tokens."""
+    rd = _rd()
+    from unsupervised_ner_ray.stages.textstats import shingle_cosine_pairs
+
+    docs = rd.from_items(
+        [
+            {"doc_id": 1, "text": "a b c d e"},
+            # same 3 shingles 'a b c','b c d','c d e' except last -> 'c d x'
+            {"doc_id": 2, "text": "a b  c d x"},  # double space is dropped
+            {"doc_id": 3, "text": "p q r s"},
+            {"doc_id": 4, "text": "a b"},  # too short: no shingles
+        ]
+    )
+    out = shingle_cosine_pairs(docs, threshold=0.5).to_pandas()
+    # doc1 shingles {abc,bcd,cde}, doc2 {abc,bcd,cdx}: dot=2, na2=nb2=3
+    # cos = 2/3 >= 0.5 -> kept; doc3 shares nothing; doc4 empty
+    assert out.to_dict("records") == [
+        {"a": 1, "b": 2, "dot": 2, "na2": 3, "nb2": 3}
+    ]
+    # below-threshold: raise t so 2/3 fails (t=0.7 -> dot2=4 < 0.49*9=4.41)
+    out_hi = shingle_cosine_pairs(docs, threshold=0.7).to_pandas()
+    assert len(out_hi) == 0
+
+
+def test_shingle_cosine_pairs_repeated_shingle_tf(ray_session):
+    """tf > 1 counts: a doc repeating a shingle contributes tf products to
+    the dot and tf^2 to its norm."""
+    rd = _rd()
+    from unsupervised_ner_ray.stages.textstats import shingle_cosine_pairs
+
+    docs = rd.from_items(
+        [
+            {"doc_id": 1, "text": "a b c a b c a b"},  # 'a b c' tf=2 ...
+            {"doc_id": 2, "text": "a b c z z z"},
+        ]
+    )
+    out = shingle_cosine_pairs(docs, threshold=0.0).to_pandas()
+    # doc1 shingles: abc*2, bca*2, cab, bcz? no -> abc,bca,cab,abc,bca,ab? len8 ->6 shingles
+    # validate against a brute-force python reference instead of hand math
+    import collections
+    import numpy as np
+
+    def vecs(text):
+        w = [t for t in text.split(" ") if t]
+        return collections.Counter(
+            " ".join(w[i : i + 3]) for i in range(len(w) - 2)
+        )
+
+    v1, v2 = vecs("a b c a b c a b"), vecs("a b c z z z")
+    dot = sum(v1[k] * v2[k] for k in v1)
+    n1 = sum(v * v for v in v1.values())
+    n2 = sum(v * v for v in v2.values())
+    assert out.to_dict("records") == [
+        {"a": 1, "b": 2, "dot": dot, "na2": n1, "nb2": n2}
+    ]
+
+
+def test_shingle_cosine_pairs_forced_distributed(ray_session):
+    """broadcast_max_docs=0 forces the co-partitioned norm-join regime;
+    results must be byte-equal to the broadcast path on real testdata."""
+    rd = _rd()
+    from unsupervised_ner_ray.stages.textstats import shingle_cosine_pairs
+
+    docs = rd.read_parquet(SF + "/documents.parquet", columns=["doc_id", "text"])
+    a = shingle_cosine_pairs(docs, threshold=0.5).to_pandas()
+    b = shingle_cosine_pairs(
+        docs, threshold=0.5, broadcast_max_docs=0
+    ).to_pandas()
+    assert len(a) > 0
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))

@@ -1514,3 +1514,287 @@ def incremental_token_histogram(docs, limit: int = 100, split_mod: int = 2):
     )
     out["n"] = out["n"].astype(np.int64)
     return out
+
+
+def _shingle_posting_pairs(docs, n: int = 3):
+    """(shingle, doc_id, tf) posting rows over token n-gram shingles — the
+    sparse feature space for document similarity over a small-vocabulary
+    corpus (unigram df is corpus-sized there; n-gram df is not).  Same
+    tokenization contract as ``_posting_pairs`` (split on ' ', empties
+    dropped) and the same one-vectorized-pass construction: shingles are
+    joined with a single space so the SQL twin is ``w[i] || ' ' || w[i+1]
+    || ' ' || w[i+2]`` over the filtered token list.  Docs with fewer than
+    ``n`` tokens emit nothing.  Pure map — no shuffle, no driver state."""
+
+    def _post(batch: pa.Table) -> pa.Table:
+        tok_lists = pc.split_pattern(batch.column("text"), pattern=" ")
+        doc_ids = batch.column("doc_id").to_numpy()
+        raw_counts = pc.list_value_length(tok_lists).to_numpy(zero_copy_only=False)
+        raw_flat = np.asarray(pc.list_flatten(tok_lists), dtype=object)
+        # drop empty tokens at the flat level, recomputing per-doc counts
+        keep_tok = raw_flat != ""
+        nb = len(batch)
+        if keep_tok.all():
+            counts, flat = raw_counts, raw_flat
+        else:
+            doc_of_tok = np.repeat(np.arange(nb), raw_counts)
+            counts = raw_counts - np.bincount(
+                doc_of_tok[~keep_tok], minlength=nb
+            ).astype(raw_counts.dtype)
+            flat = raw_flat[keep_tok]
+        # shingle count per doc: max(len - n + 1, 0)
+        sh_counts = np.maximum(counts - (n - 1), 0)
+        total = int(sh_counts.sum())
+        if total == 0:
+            return pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "doc_id": pa.array([], pa.int64()),
+                    "tf": pa.array([], pa.int64()),
+                }
+            )
+        # start offset of each doc's tokens in flat
+        offs = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        # flat index of each shingle's FIRST token, grouped by doc
+        starts_per_doc = np.repeat(offs, sh_counts)
+        seg = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(sh_counts)[:-1]]), sh_counts
+        )
+        first = starts_per_doc + seg
+        parts = [flat[first + k] for k in range(n)]
+        sep = np.full(total, " ", dtype=object)
+        sh = parts[0]
+        for p in parts[1:]:
+            sh = sh + sep + p
+        doc_idx = np.repeat(np.arange(len(batch)), sh_counts)
+        # tf per (doc, shingle) via dictionary-encode + composite-key unique
+        enc = pa.array(sh).dictionary_encode()
+        codes = np.asarray(enc.indices, dtype=np.int64)
+        vocab = enc.dictionary
+        key = doc_idx * len(vocab) + codes
+        uk, tf = np.unique(key, return_counts=True)
+        u_doc, u_tok = uk // len(vocab), uk % len(vocab)
+        return pa.table(
+            {
+                "token": vocab.take(pa.array(u_tok)),
+                "doc_id": pa.array(doc_ids[u_doc]),
+                "tf": pa.array(tf.astype(np.int64)),
+            }
+        )
+
+    return docs.map_batches(_post, batch_format="pyarrow")
+
+
+def shingle_cosine_pairs(
+    docs,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    max_df: int = 100,
+    broadcast_max_docs: int = 5_000_000,
+    num_parts: int = 64,
+):
+    """All-pairs sparse cosine similarity join over token-``shingle_n``-gram
+    tf vectors — the similarity self-join (ssjoin) shape of near-duplicate
+    detection, exact where MinHash is probabilistic.
+
+    Scale shape (100 TB): the corpus reduces once to (shingle, doc_id, tf)
+    posting rows; candidate pairs are generated PER SHINGLE inside a
+    coarse hash partition (``partitioned_apply`` on the shingle — never an
+    all-pairs loop), so work is sum(df²) over the kept vocabulary, capped
+    by ``max_df`` (shingles in more than ``max_df`` docs are boilerplate
+    mass; dropping them truncates dots the way every production ssjoin
+    prunes its prefix — EXACT when ``max_df`` exceeds the corpus's true
+    max df, as on the test corpora).  df=1 shingles are skipped outright
+    (they cannot form a pair; norms still count them).  Per-partition
+    pandas groupby pre-combines (a, b) partial dots before the one global
+    C-path Sum groupby.  Norms are FULL-space (computed before pruning,
+    one Sum groupby, doc-bounded) and join back by broadcast below
+    ``broadcast_max_docs`` or a co-partitioned hash join above it.
+
+    The threshold test never compares floats computed differently on the
+    two engines: ``dot² >= t²·na2·nb2`` is evaluated in float64 with the
+    IDENTICAL expression tree on integer inputs (exact under 2^53) on both
+    sides — ``(dot·dot) >= (t2·na2)·nb2`` with ``t2`` the same repr'd
+    literal.  Output: (a, b, dot, na2, nb2) sorted by (a, b).
+
+    Reference tie-in: the reference dedups evaluation sentences exactly
+    (aggregate_server_response.py); this is the graded similarity-join
+    generalization over the documents table.
+    """
+    from ray.data.aggregate import Sum as _Sum
+
+    from .grouping import partitioned_apply
+
+    posts = _shingle_posting_pairs(docs, n=shingle_n)
+
+    # full-space squared norms: one combiner map + C-path Sum groupby
+    def _sq(t: pa.Table) -> pa.Table:
+        tf = t.column("tf").to_numpy()
+        return pa.table(
+            {"doc_id": t.column("doc_id"), "tf2": pa.array(tf * tf)}
+        )
+
+    norms = (
+        posts.map_batches(_sq, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(_Sum("tf2", alias_name="n2"))
+    )
+
+    # df-prune INSIDE the pair partition: all postings of a shingle land in
+    # one partition, so df is computable locally — no df table, no join
+    def _pairs(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64"),
+                "dot": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(part):
+            return empty
+        part = part.sort_values(["token", "doc_id"], kind="mergesort")
+        tok = part["token"].to_numpy()
+        doc = part["doc_id"].to_numpy()
+        tf = part["tf"].to_numpy().astype(np.int64)
+        m = len(part)
+        new = np.ones(m, dtype=bool)
+        new[1:] = tok[1:] != tok[:-1]
+        grp_start = np.flatnonzero(new)
+        grp_end = np.append(grp_start[1:], m)
+        sizes = grp_end - grp_start
+        # df gate: 2 <= df <= max_df (df == tokens' distinct docs == group
+        # size: (doc, shingle) rows are unique by construction)
+        keep_grp = (sizes >= 2) & (sizes <= max_df)
+        if not keep_grp.any():
+            return empty
+        row_end = np.repeat(grp_end, sizes)
+        row_keep = np.repeat(keep_grp, sizes)
+        row_idx = np.arange(m)
+        reps = np.where(row_keep, row_end - row_idx - 1, 0)
+        total = int(reps.sum())
+        if total == 0:
+            return empty
+        i_idx = np.repeat(row_idx, reps)
+        seg = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(reps)[:-1]]), reps
+        )
+        j_idx = i_idx + 1 + seg
+        out = pd.DataFrame(
+            {"a": doc[i_idx], "b": doc[j_idx], "dot": tf[i_idx] * tf[j_idx]}
+        )
+        # partition-local combiner before the global Sum shuffle
+        return out.groupby(["a", "b"], as_index=False, sort=False)["dot"].sum()
+
+    dots = (
+        partitioned_apply(posts, "token", _pairs, num_parts=num_parts)
+        .groupby(["a", "b"])
+        .aggregate(_Sum("dot", alias_name="dot"))
+    )
+
+    t2 = float(threshold) * float(threshold)
+
+    n_docs = norms.count()
+    if n_docs <= broadcast_max_docs:
+        norms_pd = norms.to_pandas()
+        order = np.argsort(norms_pd["doc_id"].to_numpy(), kind="mergesort")
+        ref = ray.put(
+            (
+                norms_pd["doc_id"].to_numpy()[order],
+                norms_pd["n2"].to_numpy().astype(np.int64)[order],
+            )
+        )
+
+        def _finish(t: pa.Table) -> pa.Table:
+            if len(t) == 0:
+                return pa.table(
+                    {
+                        "a": pa.array([], pa.int64()),
+                        "b": pa.array([], pa.int64()),
+                        "dot": pa.array([], pa.int64()),
+                        "na2": pa.array([], pa.int64()),
+                        "nb2": pa.array([], pa.int64()),
+                    }
+                )
+            ids, n2 = ray.get(ref)
+            a = t.column("a").to_numpy()
+            b = t.column("b").to_numpy()
+            dot = t.column("dot").to_numpy().astype(np.int64)
+            na2 = n2[np.searchsorted(ids, a)]
+            nb2 = n2[np.searchsorted(ids, b)]
+            dot_f = dot.astype(np.float64)
+            keep = (dot_f * dot_f) >= (np.float64(t2) * na2.astype(np.float64)) * nb2.astype(np.float64)
+            return pa.table(
+                {
+                    "a": pa.array(a[keep]),
+                    "b": pa.array(b[keep]),
+                    "dot": pa.array(dot[keep]),
+                    "na2": pa.array(na2[keep]),
+                    "nb2": pa.array(nb2[keep]),
+                }
+            )
+
+        out = dots.map_batches(_finish, batch_format="pyarrow")
+    else:
+        # doc table outgrew the driver: attach each side's norm by a tagged
+        # union + ONE coarse hash partition on that side's doc id (the
+        # repo-wide equi-join shape — Dataset.join is avoided on purpose),
+        # then a vectorized pandas merge inside each partition
+        def _attach(pairs_ds, key_col: str, out_col: str, payload: list):
+            def _tag_pairs(t: pa.Table) -> pa.Table:
+                cols = {
+                    "key": t.column(key_col).cast(pa.int64()),
+                    "n2": pa.array(
+                        np.zeros(len(t), dtype=np.int64), pa.int64()
+                    ),
+                    "is_norm": pa.array(
+                        np.zeros(len(t), dtype=np.int8), pa.int8()
+                    ),
+                }
+                for c in payload:
+                    cols[c] = t.column(c)
+                return pa.table(cols)
+
+            def _tag_norms(t: pa.Table) -> pa.Table:
+                cols = {
+                    "key": t.column("doc_id").cast(pa.int64()),
+                    "n2": t.column("n2").cast(pa.int64()),
+                    "is_norm": pa.array(
+                        np.ones(len(t), dtype=np.int8), pa.int8()
+                    ),
+                }
+                for c in payload:
+                    cols[c] = pa.array(np.zeros(len(t), dtype=np.int64))
+                return pa.table(cols)
+
+            tagged = pairs_ds.map_batches(
+                _tag_pairs, batch_format="pyarrow"
+            ).union(norms.map_batches(_tag_norms, batch_format="pyarrow"))
+
+            def _merge(part: pd.DataFrame) -> pd.DataFrame:
+                d = part[part["is_norm"] == 0]
+                nm = part[part["is_norm"] == 1][["key", "n2"]]
+                out = d.drop(columns=["n2", "is_norm"]).merge(
+                    nm, on="key", how="inner"
+                )
+                out = out.rename(columns={"key": key_col, "n2": out_col})
+                return out[[key_col, *payload, out_col]]
+
+            return partitioned_apply(tagged, "key", _merge, num_parts=num_parts)
+
+        with_na = _attach(dots, "a", "na2", ["b", "dot"])
+        with_both = _attach(with_na, "b", "nb2", ["a", "dot", "na2"])
+
+        def _thresh(t: pa.Table) -> pa.Table:
+            dot = t.column("dot").to_numpy().astype(np.int64)
+            na2 = t.column("na2").to_numpy().astype(np.int64)
+            nb2 = t.column("nb2").to_numpy().astype(np.int64)
+            dot_f = dot.astype(np.float64)
+            keep = (dot_f * dot_f) >= (np.float64(t2) * na2.astype(np.float64)) * nb2.astype(np.float64)
+            cols = {}
+            for name in ("a", "b", "dot", "na2", "nb2"):
+                cols[name] = t.column(name).cast(pa.int64()).filter(pa.array(keep))
+            return pa.table(cols)
+
+        out = with_both.map_batches(_thresh, batch_format="pyarrow")
+
+    return out.sort(["a", "b"])
