@@ -480,6 +480,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _, assigns = similarity.kmeans_distributed(emb, k=8, iters=4)
         return assigns.sort("vec_id")
 
+    def q_semantic_dedup(sf_dir: str):
+        import ray.data as _rd
+
+        from unsupervised_ner_ray.sources.io import read_sf
+
+        emb = read_sf(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+        # plant 20 exact copies deterministically (cos = 1 inside whatever
+        # cluster the original lands in); copies carry vec_id + 1_000_000 so
+        # the original is always the keeper
+        def _shift_ids(t):
+            import pyarrow.compute as _pc
+
+            return t.set_column(
+                0, "vec_id", _pc.add(t.column("vec_id"), 1_000_000)
+            )
+
+        copies = emb.filter(expr="vec_id < 20").map_batches(
+            _shift_ids, batch_format="pyarrow"
+        )
+        return similarity.semantic_dedup(
+            emb.union(copies), k=8, threshold=0.95
+        )
+
     def q_hll_users(sf_dir: str):
         import pandas as pd
 
@@ -756,6 +779,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_doc_cosine": lambda sf: textstats.shingle_cosine_pairs(
             read_sf(sf, "documents", columns=["doc_id", "text"]), threshold=0.5
         ),
+        # round-4: SemDeDup semantic dedup (cluster -> within-cluster cosine
+        # components -> keep lowest id).  The synthetic embeddings have no
+        # cos >= 0.95 pairs, so 20 exact copies are planted deterministically
+        # (vec_id + 1_000_000) — every copy must come back keep=False
+        "q_semantic_dedup": q_semantic_dedup,
     }
 
     # The driver records the FIRST 50 entries: reorder the battery so the

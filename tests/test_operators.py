@@ -2807,12 +2807,14 @@ def test_dedup_composite_scale_smoke(ray_session):
     kept = exact_dedup_fast(ds).to_pandas()
     times["exact"] = time.time() - t0
     assert len(kept) == n - n_exact
-    assert not set(range(1, n, 100)) & set(kept["doc_id"])  # copiers lose
+    assert not set(range(1, n, 100)) & set(kept["keep_id"])  # copiers lose
+
+    import pyarrow.compute as pc
 
     t0 = time.time()
     cd = chunk_dedup(ds, chunk_tokens=6)
     dup_chunks = cd.map_batches(
-        lambda t: t.filter(pa.compute.equal(t.column("is_first"), 0)),
+        lambda t: t.filter(pc.equal(t.column("is_first"), 0)),
         batch_format="pyarrow",
     ).to_pandas()
     times["chunk"] = time.time() - t0
@@ -2947,3 +2949,59 @@ def test_shingle_cosine_pairs_forced_distributed(ray_session):
     ).to_pandas()
     assert len(a) > 0
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_semantic_dedup_planted_groups(ray_session):
+    """SemDeDup composite: three planted near-identical groups collapse to
+    their lowest vec_id; well-separated singletons survive; a zero vector
+    is never a duplicate."""
+    rd = _rd()
+    from unsupervised_ner_ray.stages.similarity import semantic_dedup
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(3, 16))
+    rows = []
+    vid = 0
+    # the k lowest vec_ids seed k-means: make them DISTINCT directions so
+    # no two seeds land inside one duplicate group (the SemDeDup cluster-
+    # boundary caveat the docstring documents; seeds inside one tight group
+    # would split it across clusters and mask its duplicates)
+    for _ in range(6):  # singletons first: fresh random directions
+        rows.append(
+            {"vec_id": vid, "embedding": rng.normal(size=16).tolist()}
+        )
+        vid += 1
+    for gi in range(3):  # 4 near-copies per group (1e-3 noise, cos ~ 1)
+        for _ in range(4):
+            v = base[gi] + rng.normal(scale=1e-3, size=16)
+            rows.append({"vec_id": vid, "embedding": v.tolist()})
+            vid += 1
+    rows.append({"vec_id": vid, "embedding": [0.0] * 16})  # zero vector
+    out = (
+        semantic_dedup(rd.from_items(rows), k=4, threshold=0.99)
+        .to_pandas()
+        .set_index("vec_id")
+    )
+    # groups start at ids 6, 10, 14: keeper is the lowest id, other 3 drop
+    for g0 in (6, 10, 14):
+        assert out.loc[g0, "keep"]
+        assert not out.loc[g0 + 1 : g0 + 3, "keep"].any()
+    assert out.loc[0:5, "keep"].all()  # singletons all kept
+    assert out.loc[18, "keep"]  # zero vector kept
+
+
+def test_semantic_dedup_threshold_and_determinism(ray_session):
+    """threshold > 1 keeps everything (cosine <= 1); two runs are
+    bit-identical."""
+    rd = _rd()
+    from unsupervised_ner_ray.stages.similarity import semantic_dedup
+
+    emb = rd.read_parquet(
+        SF + "/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    all_kept = semantic_dedup(emb, k=4, threshold=1.01).to_pandas()
+    assert all_kept["keep"].all()
+    a = semantic_dedup(emb, k=8, threshold=0.3).to_pandas()
+    b = semantic_dedup(emb, k=8, threshold=0.3).to_pandas()
+    assert (~a["keep"]).sum() > 0  # 0.3 is below real cos pairs -> some dups
+    assert a.equals(b)

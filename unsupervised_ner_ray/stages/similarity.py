@@ -621,3 +621,117 @@ def pca_top(embeds, method: str = "auto", cov_max_dim: int = 2048,
         Q = Q * np.sign(np.where(np.diag(R) == 0, 1.0, np.diag(R)))[None, :]
         V = Q
     return _finish(ritz_vec / np.linalg.norm(ritz_vec), ritz_val)
+
+
+def semantic_dedup(
+    embeds,
+    k: int = 8,
+    threshold: float = 0.95,
+    iters: int = 3,
+    num_parts: int = 64,
+):
+    """Semantic deduplication, the SemDeDup shape (Abbas et al., 2023,
+    arXiv:2303.09540): k-means-cluster the embedding space, then find
+    cosine near-duplicates only WITHIN each cluster — the pruning that
+    turns an O(N²) all-pairs problem into sum(c²) over clusters.  Choose
+    ``k`` proportional to N (SemDeDup uses N/k ~ 1k-10k members) so the
+    per-cluster similarity matrix stays worker-sized; the cluster pass is
+    one matmul per cluster.
+
+    Distributed shape: ``kmeans_distributed`` never holds vectors on the
+    driver (broadcast centroids, combiner partials); assignment is one
+    extra broadcast-matmul pass; per-cluster dedup runs inside coarse hash
+    partitions keyed on the cluster id (every member of a cluster lands in
+    one partition — the partitioning assumption to document: max cluster
+    size bounds per-task memory, so k must scale with N).
+
+    Within a cluster, vectors are L2-normalized and the ``>= threshold``
+    cosine graph's connected components are resolved locally (union-find
+    over the upper-triangle edges); the LOWEST vec_id in each component is
+    kept — deterministic, like every keep rule in this repo.  Zero-norm
+    vectors are their own component (cosine undefined -> never a dup).
+
+    Returns a Dataset (vec_id, cluster, keep) sorted by vec_id.  Not
+    SQL-expressible (iterative k-means) -> rows-only query; pinned by
+    planted-duplicate, threshold-boundary and determinism tests.
+
+    Known caveat (inherited from SemDeDup itself): duplicates that
+    straddle a cluster boundary are missed.  The deterministic
+    lowest-vec_id k-means init makes this concrete: if several of the k
+    seed vectors fall inside ONE tight duplicate group, that group is
+    split across clusters and its members are never compared.  At scale
+    (k << N, data not sorted by similarity) seeds are far apart with
+    overwhelming probability; for adversarially ordered inputs shuffle
+    ids or raise iters.
+    """
+    import pyarrow.compute as pc
+
+    from .grouping import partitioned_map_groups
+
+    centroids, _ = kmeans_distributed(embeds, k=k, iters=iters)
+    dim = centroids.shape[1]
+    c_ref = ray.put(centroids)
+
+    def _assign(t: pa.Table) -> pd.DataFrame:
+        if len(t) == 0:
+            return pd.DataFrame(
+                {
+                    "vec_id": pd.Series([], dtype="int64"),
+                    "cluster": pd.Series([], dtype="int64"),
+                    "emb": pd.Series([], dtype=object),
+                }
+            )
+        C = ray.get(c_ref)
+        flat = (
+            pc.list_flatten(t.column("embedding"))
+            .to_numpy(zero_copy_only=False)
+            .astype(np.float64)
+        )
+        X = flat.reshape(len(t), dim)
+        d = (X**2).sum(1)[:, None] - 2.0 * X @ C.T + (C**2).sum(1)[None, :]
+        return pd.DataFrame(
+            {
+                "vec_id": t.column("vec_id").to_numpy(),
+                "cluster": d.argmin(1).astype(np.int64),
+                "emb": list(X),
+            }
+        )
+
+    assigned = embeds.map_batches(_assign, batch_format="pyarrow")
+
+    def _dedup_cluster(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("vec_id", kind="mergesort")
+        ids = g["vec_id"].to_numpy()
+        X = np.stack(g["emb"].to_numpy())
+        norms = np.linalg.norm(X, axis=1)
+        ok = norms > 0
+        Xn = np.where(ok[:, None], X / np.where(ok, norms, 1.0)[:, None], 0.0)
+        S = Xn @ Xn.T
+        m = len(ids)
+        # union-find over >= threshold upper-triangle edges
+        parent = np.arange(m)
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        ei, ej = np.nonzero(np.triu(S >= threshold, 1))
+        for a, b in zip(ei, ej):
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        roots = np.array([find(i) for i in range(m)])
+        # rows are vec_id-sorted, so the component root IS the lowest id
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "cluster": g["cluster"].to_numpy(),
+                "keep": roots == np.arange(m),
+            }
+        )
+
+    return partitioned_map_groups(
+        assigned, "cluster", _dedup_cluster, num_parts=num_parts
+    ).sort("vec_id")
