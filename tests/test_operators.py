@@ -3005,3 +3005,44 @@ def test_semantic_dedup_threshold_and_determinism(ray_session):
     b = semantic_dedup(emb, k=8, threshold=0.3).to_pandas()
     assert (~a["keep"]).sum() > 0  # 0.3 is below real cos pairs -> some dups
     assert a.equals(b)
+
+
+@pytest.mark.skipif(
+    __import__("os").environ.get("RUN_SCALE_SMOKE") != "1",
+    reason="shingle cosine ssjoin smoke; run with RUN_SCALE_SMOKE=1 "
+    "(result recorded in BASELINE.md)",
+)
+def test_shingle_cosine_scale_smoke(ray_session):
+    """200k docs through the FORCED distributed norm-attach regime: every
+    planted near-dup pair (one token changed out of 30 -> shingle cosine
+    ~0.89) must be found, and no pair of independent random docs (vocab
+    20k, 30 tokens) can reach tau=0.5."""
+    import time
+
+    rd = _rd()
+    from unsupervised_ner_ray.stages.textstats import shingle_cosine_pairs
+
+    n = 200_000
+    vocab = np.array([f"w{i:05d}" for i in range(20_000)], dtype=object)
+    rng = np.random.default_rng(13)
+    mat = rng.integers(0, len(vocab), size=(n, 30))
+    # plant near dups: i%100==51 copies i-49 with ONE middle token changed
+    mat[51::100] = mat[2::100][: len(mat[51::100])]
+    mat[51::100, 15] = (mat[51::100, 15] + 7) % len(vocab)
+    texts = np.array([" ".join(r) for r in vocab[mat]], dtype=object)
+    ds = rd.from_pandas(
+        pd.DataFrame({"doc_id": np.arange(n, dtype=np.int64), "text": texts})
+    ).repartition(32).materialize()
+
+    t0 = time.time()
+    out = shingle_cosine_pairs(
+        ds, threshold=0.5, broadcast_max_docs=0
+    ).to_pandas()
+    secs = time.time() - t0
+    planted = {(i, i + 49) for i in range(2, n, 100)}
+    found = set(zip(out["a"], out["b"]))
+    assert planted <= found, len(planted - found)
+    # chance 28/30-shingle overlap between independent docs is impossible
+    # at this vocab size; anything extra would be a bug
+    assert found == planted, len(found - planted)
+    print(f"SMOKE shingle_cosine 200k docs: {secs:.1f}s, {len(found)} pairs")

@@ -1685,10 +1685,19 @@ def shingle_cosine_pairs(
         # partition-local combiner before the global Sum shuffle
         return out.groupby(["a", "b"], as_index=False, sort=False)["dot"].sum()
 
-    dots = (
-        partitioned_apply(posts, "token", _pairs, num_parts=num_parts)
-        .groupby(["a", "b"])
-        .aggregate(_Sum("dot", alias_name="dot"))
+    # global (a, b) combine: Ray's multi-key hash aggregate is ~50x slower
+    # than a coarse hash partition + one vectorized pandas groupby per
+    # partition (measured 164 s vs 3 s on 1.3M pairs at sf0.1), so reuse
+    # partitioned_apply for the reduce too — same one-shuffle cost, C-path
+    # combine
+    def _combine(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby(["a", "b"], as_index=False, sort=False)["dot"].sum()
+
+    dots = partitioned_apply(
+        partitioned_apply(posts, "token", _pairs, num_parts=num_parts),
+        ["a", "b"],
+        _combine,
+        num_parts=num_parts,
     )
 
     t2 = float(threshold) * float(threshold)
