@@ -480,6 +480,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _, assigns = similarity.kmeans_distributed(emb, k=8, iters=4)
         return assigns.sort("vec_id")
 
+    def q_late_events(sf_dir: str):
+        from unsupervised_ner_ray.sources.io import read_sf
+
+        ev = read_sf(sf_dir, "events", columns=["event_id", "ts"])
+
+        def _prep(df):
+            import hashlib as _hl
+
+            import pandas as _pd
+
+            return _pd.DataFrame(
+                {
+                    "event_id": df["event_id"],
+                    "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
+                    "akey": [
+                        _hl.md5(str(i).encode()).hexdigest()
+                        for i in df["event_id"]
+                    ],
+                }
+            )
+
+        return relational.late_event_flags(
+            ev.map_batches(_prep, batch_format="pandas")
+        )
+
     def q_semantic_dedup(sf_dir: str):
         import ray.data as _rd
 
@@ -784,6 +809,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cos >= 0.95 pairs, so 20 exact copies are planted deterministically
         # (vec_id + 1_000_000) — every copy must come back keep=False
         "q_semantic_dedup": q_semantic_dedup,
+        # round-4: streaming watermark semantics over a replayable log —
+        # arrival order is a deterministic md5 permutation of event_id
+        # (portable to the SQL twin), running event-time max via the
+        # two-phase prefix scan, late = below watermark of strictly-prior
+        # arrivals
+        "q_late_events": q_late_events,
     }
 
     # The driver records the FIRST 50 entries: reorder the battery so the
@@ -2202,5 +2233,29 @@ def oracle_sql() -> dict[str, str]:
                   >= (CAST('0.25' AS DOUBLE) * CAST(na.n2 AS DOUBLE))
                      * CAST(nb.n2 AS DOUBLE)
             ORDER BY a, b
+        """,
+        # round-4 watermark/late-data semantics: arrival order = md5
+        # permutation of event_id (identical both engines); watermark of
+        # strictly-prior arrivals = MAX OVER (... 1 PRECEDING); 6 h allowed
+        # lateness; first arrival (NULL watermark) is never late
+        "q_late_events": """
+            WITH e AS (
+                SELECT event_id, ts,
+                       md5(CAST(event_id AS VARCHAR)) AS akey
+                FROM events
+            ),
+            w AS (
+                SELECT event_id, ts,
+                       MAX(ts) OVER (
+                           ORDER BY akey
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ) AS wm
+                FROM e
+            )
+            SELECT CAST(event_id AS BIGINT) AS event_id,
+                   CAST(CASE WHEN wm IS NULL THEN 0
+                             WHEN ts < wm - INTERVAL 6 HOUR THEN 1
+                             ELSE 0 END AS BIGINT) AS late
+            FROM w ORDER BY event_id
         """,
     }

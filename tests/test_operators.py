@@ -3046,3 +3046,28 @@ def test_shingle_cosine_scale_smoke(ray_session):
     # at this vocab size; anything extra would be a bug
     assert found == planted, len(found - planted)
     print(f"SMOKE shingle_cosine 200k docs: {secs:.1f}s, {len(found)} pairs")
+
+
+def test_late_event_flags_hand_crafted(ray_session):
+    """Watermark semantics on a hand-ordered stream: lateness is measured
+    against the running max of STRICTLY-prior arrivals minus the allowed
+    lateness; the first arrival is never late; boundary (exactly at the
+    watermark) is not late."""
+    rd = _rd()
+    from unsupervised_ner_ray.stages.relational import late_event_flags
+
+    H = 3_600_000_000  # 1h in us
+    rows = [
+        # akey sets arrival order: a < b < c < d < e
+        {"event_id": 1, "akey": "a0", "ts_us": 100 * H},  # first: never late
+        {"event_id": 2, "akey": "b0", "ts_us": 93 * H},   # 100-93=7h > 6h: late
+        {"event_id": 3, "akey": "c0", "ts_us": 94 * H},   # exactly 6h: NOT late
+        {"event_id": 4, "akey": "d0", "ts_us": 200 * H},  # new max, not late
+        {"event_id": 5, "akey": "e0", "ts_us": 100 * H},  # 200-100 > 6h: late
+    ]
+    out = (
+        late_event_flags(rd.from_items(rows), allowed_lateness_us=6 * H)
+        .to_pandas()
+        .set_index("event_id")["late"]
+    )
+    assert out.to_dict() == {1: 0, 2: 1, 3: 0, 4: 0, 5: 1}

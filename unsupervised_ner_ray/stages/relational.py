@@ -2092,3 +2092,95 @@ def q_bootstrap_mean(sf_dir: str, reps: int = 200, seed: int = 5, alpha: float =
             }
         ]
     )
+
+
+def late_event_flags(
+    events,
+    arrival_col: str = "akey",
+    ts_col: str = "ts_us",
+    allowed_lateness_us: int = 6 * 3600 * 1_000_000,
+    bucket_hex: int = 2,
+):
+    """Watermark / late-data detection — the bounded-out-of-orderness
+    semantics of a streaming engine (Flink's
+    ``BoundedOutOfOrdernessWatermarks``), evaluated over a replayable log:
+    processing events in ``arrival_col`` order, the watermark after each
+    event is ``max(event time so far) - allowed_lateness``; an event is
+    LATE when its event time is below the watermark established by the
+    events STRICTLY before it (first arrival is never late).
+
+    Scale shape: the running max over arrival order is the same two-phase
+    prefix scan as the token-budget prefix SUM (`pipelines.dataprep`):
+    bucket rows by the leading ``bucket_hex`` hex chars of the arrival key
+    (lexicographic prefix => bucket order == key order), reduce one max
+    scalar per bucket (driver holds 16^bucket_hex scalars), exclusive
+    prefix-max on the driver, broadcast, then each bucket resolves its
+    exact local running max in one vectorized partition pass.  The event
+    log never collects anywhere; raise ``bucket_hex`` to keep buckets
+    worker-sized at larger scales.
+
+    ``arrival_col`` must be a string key with a total order and no
+    duplicates (a real pipeline passes its ingestion sequence; the battery
+    query derives a deterministic md5 permutation of event_id so the
+    simulated arrival is engine/oracle-portable).  ``ts_col`` is int64
+    event-time micros.  Output: (event_id, late 0/1) sorted by event_id.
+    """
+    from ray.data.aggregate import Max
+
+    from .grouping import partitioned_apply
+
+    _B = "__bucket"
+    _SENTINEL = -(1 << 62)
+
+    _lut = {format(i, f"0{bucket_hex}x"): i for i in range(16**bucket_hex)}
+
+    def _tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df[_B] = (
+            df[arrival_col].str.slice(0, bucket_hex).map(_lut).astype(np.int64)
+        )
+        return df
+
+    tagged = events.map_batches(_tag, batch_format="pandas").materialize()
+    part = (
+        tagged.groupby(_B)
+        .aggregate(Max(ts_col, alias_name="_mx"))
+        .to_pandas()
+        .sort_values(_B)
+    )
+    mx = part["_mx"].to_numpy().astype(np.int64)
+    carry = dict(
+        zip(
+            part[_B],
+            np.concatenate(
+                [[_SENTINEL], np.maximum.accumulate(mx)[:-1]]
+            ).astype(np.int64),
+        )
+    )
+    carry_ref = ray.put(carry)
+
+    def _resolve(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(carry_ref)
+        g = g.sort_values(arrival_col, kind="mergesort")
+        ts = g[ts_col].to_numpy().astype(np.int64)
+        out_rows = []
+        for b, idx in g.groupby(_B, sort=True).indices.items():
+            t = ts[idx]
+            # watermark basis for row i: max(bucket carry, local rows < i)
+            prev = np.concatenate([[off[b]], np.maximum.accumulate(t)[:-1]])
+            basis = np.maximum(prev, off[b])
+            late = (
+                (basis != _SENTINEL)
+                & (t < basis - allowed_lateness_us)
+            ).astype(np.int64)
+            out_rows.append(
+                pd.DataFrame(
+                    {
+                        "event_id": g["event_id"].to_numpy()[idx],
+                        "late": late,
+                    }
+                )
+            )
+        return pd.concat(out_rows, ignore_index=True)
+
+    return partitioned_apply(tagged, _B, _resolve).sort("event_id")
