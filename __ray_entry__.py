@@ -505,6 +505,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev.map_batches(_prep, batch_format="pandas")
         )
 
+    def q_dsir_select(sf_dir: str):
+        from unsupervised_ner_ray.pipelines.dataprep import dsir_select
+
+        docs = _docs(sf_dir)
+        target = docs.filter(expr="lang == 'fr'").select_columns(
+            ["doc_id", "text"]
+        )
+        return dsir_select(
+            docs.select_columns(["doc_id", "text"]),
+            target,
+            frac=0.2,
+            n_buckets=2048,
+        )
+
     def q_semantic_dedup(sf_dir: str):
         import ray.data as _rd
 
@@ -815,6 +829,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # two-phase prefix scan, late = below watermark of strictly-prior
         # arrivals
         "q_late_events": q_late_events,
+        # round-4: DSIR importance resampling (Xie et al. 2023) — carve
+        # fr-targeted training data out of the full corpus; hash-seeded
+        # Gumbel-top-k, so deterministic rows
+        "q_dsir_select": q_dsir_select,
     }
 
     # The driver records the FIRST 50 entries: reorder the battery so the
@@ -824,10 +842,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return out
 
 
-# Round-4 driver window (exactly 50): 13 certified sentinels + q_ner_eval +
+# Round-4 driver window (exactly 50): 10 certified sentinels + q_ner_eval +
+# the 2 new round-4 SQL-oracled operators (q_doc_cosine, q_late_events) +
 # the 2 now-real-decode media queries + the 35 never-driver-recorded
-# oracle-backed round-3 queries.  tests/test_driver_contract.py pins this
-# list's length, membership, and that every name resolves.
+# oracle-backed round-3 queries.  (q_jaccard_adjacent and q_vocab_merge,
+# both hash-exact in the r03 window and pinned by local sweeps, rotated out
+# to make room.)  tests/test_driver_contract.py pins this list's length,
+# membership, and that every name resolves.
 _WINDOW_R4 = [
     # certified sentinels (regression guard: hash-exact in r01-r03 windows)
     "q_ner_tags",
@@ -835,13 +856,14 @@ _WINDOW_R4 = [
     "q_kg_adjacency_ner",
     "q_exact_dedup",
     "q_dedup_resolve_runs",
-    "q_jaccard_adjacent",
     "q_canonicalize_tokens",
     "q_token_histogram",
-    "q_vocab_merge",
     "q_dataprep",
     "q1_lineitem_agg",
     "q_order_lineitem_join",
+    # new round-4 SQL-oracled operators: first driver record
+    "q_doc_cosine",
+    "q_late_events",
     # new round-4 operator + media queries now running real byte decode
     "q_ner_eval",
     "q_media_features",

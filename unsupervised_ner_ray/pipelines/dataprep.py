@@ -272,3 +272,148 @@ def run_dataprep_checkpointed(
         "skipped": skipped,
         "seconds": round(time.time() - t_start, 3),
     }
+
+
+def _hashed_ngram_counts(batch: pd.DataFrame, n_buckets: int):
+    """Per-doc hashed unigram+bigram bucket counts, one vectorized pass.
+    Returns (doc_idx, bucket, count) arrays with (doc, bucket) pairs unique
+    and bucket-sorted within each doc — so any later per-doc reduce visits
+    buckets in a batching-independent order (float determinism)."""
+    import hashlib as _hl
+
+    texts = batch["text"].to_numpy()
+    toks = [t.split() for t in texts]
+    grams: list[str] = []
+    doc_idx_l: list[int] = []
+    for i, w in enumerate(toks):
+        w = [x for x in w if x]
+        g = w + [w[j] + " " + w[j + 1] for j in range(len(w) - 1)]
+        grams.extend(g)
+        doc_idx_l.extend([i] * len(g))
+    if not grams:
+        z = np.array([], dtype=np.int64)
+        return z, z, z
+    doc_idx = np.asarray(doc_idx_l, dtype=np.int64)
+    codes, uniq = pd.factorize(np.asarray(grams, dtype=object), sort=False)
+    bucket_of = np.array(
+        [
+            int.from_bytes(
+                _hl.blake2b(u.encode(), digest_size=8).digest(), "big"
+            )
+            % n_buckets
+            for u in uniq
+        ],
+        dtype=np.int64,
+    )
+    key = doc_idx * n_buckets + bucket_of[codes]
+    uk, cnt = np.unique(key, return_counts=True)
+    return uk // n_buckets, uk % n_buckets, cnt.astype(np.int64)
+
+
+def _hashed_ngram_lm(docs, n_buckets: int):
+    """Corpus-level hashed-ngram bucket counts: per-batch bincount partials
+    (B-bounded payload regardless of corpus size) + one C-path Sum groupby.
+    Returns a dense (n_buckets,) int64 vector on the driver."""
+    from ray.data.aggregate import Sum
+
+    def _partial(b: pd.DataFrame) -> pd.DataFrame:
+        _, bk, ct = _hashed_ngram_counts(b, n_buckets)
+        acc = np.bincount(bk, weights=ct, minlength=n_buckets).astype(np.int64)
+        nz = np.flatnonzero(acc)
+        return pd.DataFrame({"bucket": nz, "n": acc[nz]})
+
+    agg = (
+        docs.map_batches(_partial, batch_format="pandas")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    dense = np.zeros(n_buckets, dtype=np.int64)
+    dense[agg["bucket"].to_numpy()] = agg["n"].to_numpy()
+    return dense
+
+
+def dsir_select(
+    source,
+    target,
+    frac: float = 0.2,
+    k: int | None = None,
+    n_buckets: int = 16_384,
+    alpha: float = 0.1,
+    seed: int = 17,
+):
+    """DSIR — Data Selection via Importance Resampling (Xie et al., 2023,
+    arXiv:2302.03169), the standard recipe for carving domain-targeted
+    training data out of a raw web corpus: fit bag-of-hashed-ngram unigram
+    LMs on the TARGET (the domain you want more of) and on the raw SOURCE,
+    score every source doc with the log importance weight
+    ``log p_target(x) - log p_source(x)``, then sample without replacement
+    proportionally to the weights via deterministic Gumbel-top-k.
+
+    Scale shape: both LMs reduce to ONE ``n_buckets``-bounded count vector
+    (per-batch bincount partials + C-path Sum groupby — the corpus never
+    shuffles); the smoothed log-ratio vector broadcasts once via
+    ``ray.put``; scoring is a pure map (per-doc buckets visited in sorted
+    order so float summation is batching-independent); the top-k is the
+    distributed sort+limit.  Driver state is O(n_buckets) floats.
+
+    Gumbel keys are hash-seeded (splitmix64 of doc_id, the
+    q_bootstrap_mean recipe) — reproducible across runs, nodes and
+    engines; Gumbel-top-k over ``logw + G`` IS sampling w/o replacement
+    proportional to ``exp(logw)``.  Output: the selected (doc_id, logw)
+    rows sorted by doc_id.  Not SQL-expressible (float log LM) ->
+    rows-only; pinned by enrichment/determinism tests.
+
+    Sizing rule: keep TARGET corpus ngram tokens >> ``alpha * n_buckets``,
+    else the add-alpha mass drowns the target LM and scores degenerate to
+    doc-length noise (measured on the fixture corpus: B=16384/alpha=1 gives
+    base-rate selection; B=2048/alpha=0.1 gives 4x target enrichment).
+    """
+    from ..stages.grouping import partitioned_apply  # noqa: F401  (doc link)
+
+    n_src = source.count()
+    sel_k = int(k) if k is not None else max(1, int(frac * n_src))
+
+    tgt = _hashed_ngram_lm(target, n_buckets)
+    src = _hashed_ngram_lm(source, n_buckets)
+    B = float(n_buckets)
+    log_ratio = np.log((tgt + alpha) / (tgt.sum() + alpha * B)) - np.log(
+        (src + alpha) / (src.sum() + alpha * B)
+    )
+    lr_ref = ray.put(log_ratio)
+
+    def _splitmix(z: np.ndarray) -> np.ndarray:
+        z = (z + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+        z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(
+            0xFFFFFFFFFFFFFFFF
+        )
+        z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(
+            0xFFFFFFFFFFFFFFFF
+        )
+        return z ^ (z >> np.uint64(31))
+
+    def _score(b: pd.DataFrame) -> pd.DataFrame:
+        lr = ray.get(lr_ref)
+        di, bk, ct = _hashed_ngram_counts(b, len(lr))
+        ids = b["doc_id"].to_numpy().astype(np.int64)
+        logw = np.zeros(len(b), dtype=np.float64)
+        # buckets are sorted within each doc: batching-independent sums
+        np.add.at(logw, di, ct * lr[bk])
+        u = (
+            _splitmix(
+                ids.astype(np.uint64) ^ (np.uint64(seed) * np.uint64(0x100000001B3))
+            ).astype(np.float64)
+            + 0.5
+        ) / float(1 << 64)
+        gumbel = -np.log(-np.log(u))
+        return pd.DataFrame(
+            {"doc_id": ids, "logw": logw, "gkey": logw + gumbel}
+        )
+
+    scored = source.map_batches(_score, batch_format="pandas")
+    return (
+        scored.sort("gkey", descending=True)
+        .limit(sel_k)
+        .select_columns(["doc_id", "logw"])
+        .sort("doc_id")
+    )
