@@ -131,7 +131,7 @@ class MediaFeaturizer:
 def featurize_media(
     media,
     dim: int = 8,
-    concurrency: int = 2,
+    concurrency: int = 8,
     batch_size: int = 64,
     backend: str = "real",
 ):
@@ -236,7 +236,7 @@ class MediaResizer:
 def resize_media(
     media,
     target: int = 224,
-    concurrency: int = 2,
+    concurrency: int = 8,
     batch_size: int = 32,
     backend: str = "real",
 ):
@@ -294,7 +294,7 @@ class FrameSampler:
         )
 
 
-def sample_frames(media, concurrency: int = 2):
+def sample_frames(media, concurrency: int = 8):
     return media.map_batches(
         FrameSampler, batch_format="pyarrow", batch_size=64,
         concurrency=(1, concurrency),
@@ -434,8 +434,13 @@ class MediaDecoder:
 
 
 def decode_media(media_with_payloads, dim: int = 8, target: int = 224,
-                 concurrency: int = 2, batch_size: int = 32):
-    """Real-decode stage (small batch_size: rows carry binary payloads)."""
+                 concurrency: int = 8, batch_size: int = 32):
+    """Real-decode stage (small batch_size: rows carry binary payloads).
+    The pure-python JPEG/AVI entropy decode is the hot kernel (~10 ms per
+    item), so the actor pool — not the block count — must carry the
+    parallelism: concurrency=2 left the stage ~2x parallel on a 32-cpu
+    host (35 s remote time in 18.5 s wall at sf0.1); 8 actors track the
+    measured per-task heap (~100 MiB) comfortably."""
     return media_with_payloads.map_batches(
         MediaDecoder,
         fn_constructor_kwargs={"dim": dim, "target": target},
