@@ -505,6 +505,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev.map_batches(_prep, batch_format="pandas")
         )
 
+    def q_kg_bfs(sf_dir: str):
+        from unsupervised_ner_ray.stages.kg import bfs_hops, bigram_triples
+
+        edges = (
+            bigram_triples(_docs(sf_dir))
+            .select_columns(["subj_norm", "obj_norm"])
+            .map_batches(
+                lambda t: t.rename_columns(["s", "o"]), batch_format="pyarrow"
+            )
+        )
+        return bfs_hops(edges, ["the"], max_hops=4)
+
     def q_dsir_select(sf_dir: str):
         from unsupervised_ner_ray.pipelines.dataprep import dsir_select
 
@@ -833,6 +845,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fr-targeted training data out of the full corpus; hash-seeded
         # Gumbel-top-k, so deterministic rows
         "q_dsir_select": q_dsir_select,
+        # round-4: multi-source BFS hop distances over the bigram graph
+        # (KG-expansion traversal; recursive-CTE oracle; dual-regime
+        # frontier pinned byte-equal by a forced-path test)
+        "q_kg_bfs": q_kg_bfs,
     }
 
     # The driver records the FIRST 50 entries: reorder the battery so the
@@ -2279,5 +2295,27 @@ def oracle_sql() -> dict[str, str]:
                              WHEN ts < wm - INTERVAL 6 HOUR THEN 1
                              ELSE 0 END AS BIGINT) AS late
             FROM w ORDER BY event_id
+        """,
+        # round-4 BFS hop distances: recursive CTE over distinct undirected
+        # bigram edges, UNION-dedup per level, depth capped at 4; the seed
+        # anchors at distance 0 (present in the output even if isolated)
+        "q_kg_bfs": f"""
+            WITH RECURSIVE t AS (
+                SELECT {_TOKS} AS toks FROM documents
+            ), e0 AS (
+                SELECT DISTINCT toks[i] AS s, toks[i + 1] AS o
+                FROM t, UNNEST(range(1, len(toks))) AS u(i)
+                WHERE len(toks) >= 2
+            ), und AS (
+                SELECT s, o FROM e0 UNION SELECT o, s FROM e0
+            ), walk(node, d) AS (
+                SELECT 'the' AS node, 0 AS d
+                UNION
+                SELECT und.o, walk.d + 1
+                FROM walk JOIN und ON walk.node = und.s
+                WHERE walk.d < 4
+            )
+            SELECT node, CAST(MIN(d) AS BIGINT) AS dist
+            FROM walk GROUP BY node ORDER BY node
         """,
     }

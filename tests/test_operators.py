@@ -3116,3 +3116,33 @@ def test_dsir_hashed_ngram_counts_batching_independent(ray_session):
         src.repartition(50), target, frac=1.0, n_buckets=512
     ).to_pandas()
     assert a.equals(b)
+
+
+def test_bfs_hops_hand_graph(ray_session):
+    """Path graph a-b-c-d plus isolated seed alignment: exact hop counts,
+    max_hops cap, multi-source min semantics, forced-distributed equality."""
+    rd = _rd()
+    from unsupervised_ner_ray.stages.kg import bfs_hops
+
+    edges = rd.from_items(
+        [
+            {"s": "a", "o": "b"},
+            {"s": "b", "o": "c"},
+            {"s": "c", "o": "d"},
+            {"s": "x", "o": "y"},  # disconnected component
+        ]
+    )
+    out = bfs_hops(edges, ["a"], max_hops=2).to_pandas()
+    assert dict(zip(out["node"], out["dist"])) == {"a": 0, "b": 1, "c": 2}
+    # multi-source: min over seeds; cap respected; undirected
+    out2 = bfs_hops(edges, ["d", "x"], max_hops=1).to_pandas()
+    assert dict(zip(out2["node"], out2["dist"])) == {
+        "d": 0,
+        "x": 0,
+        "c": 1,
+        "y": 1,
+    }
+    # forced distributed regime: byte-equal
+    d1 = bfs_hops(edges, ["a"], max_hops=3).to_pandas()
+    d2 = bfs_hops(edges, ["a"], max_hops=3, broadcast_threshold=0).to_pandas()
+    assert d1.reset_index(drop=True).equals(d2.reset_index(drop=True))

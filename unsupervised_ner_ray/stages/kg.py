@@ -1440,3 +1440,188 @@ def two_hop_counts_approx(
         return df.rename(columns={"group": "node", "estimate": "n_two_hop"})
 
     return est.map_batches(_ren, batch_format="pandas").sort("node")
+
+
+def bfs_hops(
+    edges,
+    seeds,
+    max_hops: int = 4,
+    broadcast_threshold: int = 2_000_000,
+    num_parts: int = 64,
+):
+    """Multi-source BFS shortest-hop distances over an UNDIRECTED edge
+    Dataset (columns ``s``, ``o``) — the KG-expansion traversal (seed
+    entities -> k-hop neighborhood with exact hop counts), SQL-expressible
+    as a recursive CTE so it carries an exact DuckDB oracle.
+
+    Two regimes, like :func:`pagerank`:
+
+    * edge count <= ``broadcast_threshold``: the visited map (node -> dist)
+      is driver-resident and each hop is ONE broadcast-filter pass over the
+      edge Dataset (frontier set via ``ray.put``; per-batch vectorized
+      sorted-``searchsorted`` membership; new nodes reduce through
+      ``unique`` so only the node-bounded frontier returns to the driver).
+      Edges never leave their blocks.
+    * above it: frontier and visited stay Datasets; each hop co-partitions
+      (edges keyed on s) with the frontier by a tagged union +
+      ``partitioned_apply`` (the repo-wide equi-join shape), then
+      anti-joins the visited set the same way.  Driver state is O(1).
+
+    Both regimes are pinned byte-equal by a forced-path test.  Seeds absent
+    from the graph are reported at distance 0 anyway (they ARE the seed
+    set; matches the SQL twin's anchor row).  Output: (node, dist) sorted
+    by node, dist = min hops from any seed, capped at ``max_hops``.
+    """
+    import pyarrow.compute as pc
+
+    from .grouping import partitioned_apply
+
+    seeds = sorted(set(seeds))
+
+    # undirect once: (s, o) + (o, s), distinct
+    def _undirect(t: pa.Table) -> pa.Table:
+        s = t.column("s")
+        o = t.column("o")
+        return pa.table(
+            {
+                "s": pa.concat_arrays(
+                    [s.combine_chunks(), o.combine_chunks()]
+                ),
+                "o": pa.concat_arrays(
+                    [o.combine_chunks(), s.combine_chunks()]
+                ),
+            }
+        )
+
+    und = edges.map_batches(_undirect, batch_format="pyarrow").materialize()
+
+    # regime gate on EDGE count (one metadata read) — counting distinct
+    # nodes would itself materialize the node set on the driver
+    if und.count() <= broadcast_threshold:
+        visited = {n: 0 for n in seeds}
+        frontier = list(seeds)
+        for hop in range(1, max_hops + 1):
+            f_ref = ray.put(np.array(sorted(frontier), dtype=object))
+
+            def _neigh(t: pa.Table) -> pa.Table:
+                f = ray.get(f_ref)
+                s = t.column("s").to_numpy(zero_copy_only=False)
+                o = t.column("o").to_numpy(zero_copy_only=False)
+                idx = np.searchsorted(f, s)
+                idx[idx >= len(f)] = 0
+                hit = f[idx] == s
+                return pa.table(
+                    {"node": pa.array(np.unique(o[hit]), pa.string())}
+                )
+
+            # per-batch unique -> global unique: only the node-bounded
+            # frontier ever reaches the driver
+            got = (
+                und.map_batches(_neigh, batch_format="pyarrow")
+                .unique("node")
+            )
+            frontier = [n for n in got if n not in visited]
+            if not frontier:
+                break
+            for n in frontier:
+                visited[n] = hop
+        out = pd.DataFrame(
+            {"node": list(visited), "dist": list(visited.values())}
+        ).sort_values("node", kind="mergesort")
+        out["dist"] = out["dist"].astype(np.int64)
+        import ray.data as _rd
+
+        return _rd.from_pandas(out.reset_index(drop=True))
+
+    # ---- distributed regime: frontier/visited stay Datasets ----
+    import ray.data as _rd
+
+    visited_ds = _rd.from_items(
+        [{"node": n, "dist": 0} for n in seeds]
+    )
+    frontier_ds = visited_ds
+    for hop in range(1, max_hops + 1):
+        # neighbors of the frontier: co-partition edges (key=s) with the
+        # frontier (key=node) via tagged union, emit o per local hit
+        def _tag_e(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "key": t.column("s"),
+                    "o": t.column("o"),
+                    "is_f": pa.array(
+                        np.zeros(len(t), dtype=np.int8), pa.int8()
+                    ),
+                }
+            )
+
+        def _tag_f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "key": t.column("node"),
+                    "o": pa.array([""] * len(t), pa.string()),
+                    "is_f": pa.array(
+                        np.ones(len(t), dtype=np.int8), pa.int8()
+                    ),
+                }
+            )
+
+        tagged = und.map_batches(_tag_e, batch_format="pyarrow").union(
+            frontier_ds.map_batches(_tag_f, batch_format="pyarrow")
+        )
+
+        def _emit(part: pd.DataFrame) -> pd.DataFrame:
+            fset = set(part.loc[part["is_f"] == 1, "key"])
+            if not fset:
+                return pd.DataFrame({"node": pd.Series([], dtype=object)})
+            e = part[part["is_f"] == 0]
+            hit = e[e["key"].isin(fset)]
+            return pd.DataFrame({"node": hit["o"].unique()})
+
+        cand = partitioned_apply(tagged, "key", _emit, num_parts=num_parts)
+
+        # anti-join visited: keep candidates not yet assigned a distance
+        def _tag_c(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "key": t.column("node"),
+                    "is_v": pa.array(np.zeros(len(t), dtype=np.int8), pa.int8()),
+                }
+            )
+
+        def _tag_v(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "key": t.column("node"),
+                    "is_v": pa.array(np.ones(len(t), dtype=np.int8), pa.int8()),
+                }
+            )
+
+        tagged2 = cand.map_batches(_tag_c, batch_format="pyarrow").union(
+            visited_ds.select_columns(["node"]).map_batches(
+                _tag_v, batch_format="pyarrow"
+            )
+        )
+
+        def _anti(part: pd.DataFrame) -> pd.DataFrame:
+            vset = set(part.loc[part["is_v"] == 1, "key"])
+            new = part.loc[part["is_v"] == 0, "key"]
+            new = new[~new.isin(vset)].unique()
+            return pd.DataFrame({"node": new})
+
+        new_frontier = partitioned_apply(
+            tagged2, "key", _anti, num_parts=num_parts
+        ).materialize()
+        if new_frontier.count() == 0:
+            break
+
+        def _with_dist(t: pa.Table, h=hop) -> pa.Table:
+            return t.append_column(
+                "dist", pa.array(np.full(len(t), h, dtype=np.int64))
+            )
+
+        frontier_ds = new_frontier.map_batches(
+            _with_dist, batch_format="pyarrow"
+        ).materialize()
+        visited_ds = visited_ds.union(frontier_ds).materialize()
+
+    return visited_ds.sort("node")
