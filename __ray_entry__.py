@@ -505,6 +505,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev.map_batches(_prep, batch_format="pandas")
         )
 
+    def q_bpe_encode(sf_dir: str):
+        docs = _docs(sf_dir).select_columns(["doc_id", "text"])
+        merges = textstats.bpe_train(docs, num_merges=8)
+        return textstats.bpe_encode(docs, merges)
+
     def q_kg_bfs(sf_dir: str):
         from unsupervised_ner_ray.stages.kg import bfs_hops, bigram_triples
 
@@ -849,6 +854,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (KG-expansion traversal; recursive-CTE oracle; dual-regime
         # frontier pinned byte-equal by a forced-path test)
         "q_kg_bfs": q_kg_bfs,
+        # round-4: tokenize with the trained merges (the production half of
+        # bpe_train; train and encode share one rewrite kernel).  Rows-only
+        # (iterative rewrites), pinned by the pure-python parity test
+        "q_bpe_encode": q_bpe_encode,
     }
 
     # The driver records the FIRST 50 entries: reorder the battery so the

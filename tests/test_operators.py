@@ -3146,3 +3146,52 @@ def test_bfs_hops_hand_graph(ray_session):
     d1 = bfs_hops(edges, ["a"], max_hops=3).to_pandas()
     d2 = bfs_hops(edges, ["a"], max_hops=3, broadcast_threshold=0).to_pandas()
     assert d1.reset_index(drop=True).equals(d2.reset_index(drop=True))
+
+
+def test_bpe_encode_parity_and_invariants(ray_session):
+    """bpe_encode applies the trained merges with the SAME kernel as
+    training: per-doc token counts must match a pure-python reference that
+    replays each merge left-to-right with run-parity overlap handling, and
+    every word's token count is bounded by [1, len(word)]."""
+    rd = _rd()
+    from unsupervised_ner_ray.stages.textstats import bpe_encode, bpe_train
+
+    docs = rd.read_parquet(SF + "/documents.parquet", columns=["doc_id", "text"])
+    merges = bpe_train(docs, num_merges=8)
+    assert len(merges) == 8
+    out = bpe_encode(docs, merges).to_pandas()
+
+    # pure-python replay of the identical pass semantics
+    def encode_word(w, pairs):
+        syms = list(w)
+        for left, right in pairs:
+            out_syms, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and syms[i] == left
+                    and syms[i + 1] == right
+                ):
+                    out_syms.append(left + right)
+                    i += 2
+                else:
+                    out_syms.append(syms[i])
+                    i += 1
+            syms = out_syms
+        return syms
+
+    pairs = list(zip(merges["left"], merges["right"]))
+    texts = docs.to_pandas().set_index("doc_id")["text"]
+    cache = {}
+    for _, row in out.iterrows():
+        words = [w for w in texts[row["doc_id"]].split(" ") if w]
+        n = 0
+        for w in words:
+            if w not in cache:
+                toks = encode_word(w, pairs)
+                assert "".join(toks) == w  # concatenation invariant
+                assert 1 <= len(toks) <= len(w)
+                cache[w] = len(toks)
+            n += cache[w]
+        assert row["n_words"] == len(words)
+        assert row["n_bpe_tokens"] == n, (row["doc_id"], row["n_bpe_tokens"], n)

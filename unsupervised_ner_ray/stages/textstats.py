@@ -1332,6 +1332,60 @@ def bm25_rank(
     return top
 
 
+def _bpe_merge_pass(left: str, right: str):
+    """One vectorized leftmost-greedy rewrite of (left, right) -> left+right
+    over a (syms: list<string>, ...) table — the shared kernel of BPE
+    TRAINING (bpe_train's per-iteration rewrite) and BPE ENCODING
+    (bpe_encode applies the trained merges in rank order with the identical
+    pass, so train and encode tokenize identically by construction).
+    Run-parity masking handles overlapping matches ("aaaa" -> merge 0-1,
+    2-3).  All non-syms columns pass through untouched."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        syms = t.column("syms")
+        if isinstance(syms, pa.ChunkedArray):
+            syms = syms.combine_chunks()
+        lens = pc.list_value_length(syms).to_numpy(zero_copy_only=False)
+        flat = syms.flatten().to_numpy(zero_copy_only=False)
+        wid = np.repeat(np.arange(len(t)), lens)
+        match = np.zeros(flat.size, dtype=bool)
+        if flat.size > 1:
+            match[:-1] = (
+                (flat[:-1] == left) & (flat[1:] == right) & (wid[:-1] == wid[1:])
+            )
+        # leftmost-greedy: inside a run of consecutive matches keep every
+        # other one starting from the run head ("aaaa" -> merge 0-1, 2-3)
+        m = np.flatnonzero(match)
+        if m.size:
+            run_head = np.r_[True, np.diff(m) > 1]
+            run_id = np.cumsum(run_head) - 1
+            head_pos = m[run_head][run_id]
+            keep = ((m - head_pos) % 2) == 0
+            merged_at = m[keep]
+            drop = np.zeros(flat.size, dtype=bool)
+            drop[merged_at + 1] = True
+            out_flat = flat.copy()
+            out_flat[merged_at] = left + right
+            sel = ~drop
+            new_lens = lens - np.bincount(
+                wid[merged_at + 1], minlength=len(t)
+            )
+            flat2 = out_flat[sel]
+        else:
+            new_lens, flat2 = lens, flat
+        offsets = np.r_[0, np.cumsum(new_lens)].astype(np.int32)
+        arr = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), pa.array(flat2, pa.string())
+        )
+        cols = {"syms": arr}
+        for name in t.column_names:
+            if name != "syms":
+                cols[name] = t.column(name)
+        return pa.table(cols)
+
+    return _f
+
+
 def bpe_train(docs, num_merges: int = 10):
     """Distributed byte-pair-encoding tokenizer training — the merge loop
     every LLM data pipeline runs before tokenizing a corpus.
@@ -1403,45 +1457,7 @@ def bpe_train(docs, num_merges: int = 10):
         return pa.Table.from_pandas(g, preserve_index=False)
 
     def _apply_merge(left: str, right: str):
-        def _f(t: pa.Table) -> pa.Table:
-            syms = t.column("syms")
-            if isinstance(syms, pa.ChunkedArray):
-                syms = syms.combine_chunks()
-            lens = pc.list_value_length(syms).to_numpy(zero_copy_only=False)
-            flat = syms.flatten().to_numpy(zero_copy_only=False)
-            wid = np.repeat(np.arange(len(t)), lens)
-            match = np.zeros(flat.size, dtype=bool)
-            if flat.size > 1:
-                match[:-1] = (
-                    (flat[:-1] == left) & (flat[1:] == right) & (wid[:-1] == wid[1:])
-                )
-            # leftmost-greedy: inside a run of consecutive matches keep every
-            # other one starting from the run head ("aaaa" -> merge 0-1, 2-3)
-            m = np.flatnonzero(match)
-            if m.size:
-                run_head = np.r_[True, np.diff(m) > 1]
-                run_id = np.cumsum(run_head) - 1
-                head_pos = m[run_head][run_id]
-                keep = ((m - head_pos) % 2) == 0
-                merged_at = m[keep]
-                drop = np.zeros(flat.size, dtype=bool)
-                drop[merged_at + 1] = True
-                out_flat = flat.copy()
-                out_flat[merged_at] = left + right
-                sel = ~drop
-                new_lens = lens - np.bincount(
-                    wid[merged_at + 1], minlength=len(t)
-                )
-                flat2 = out_flat[sel]
-            else:
-                new_lens, flat2 = lens, flat
-            offsets = np.r_[0, np.cumsum(new_lens)].astype(np.int32)
-            arr = pa.ListArray.from_arrays(
-                pa.array(offsets, pa.int32()), pa.array(flat2, pa.string())
-            )
-            return pa.table({"syms": arr, "n": t.column("n")})
-
-        return _f
+        return _bpe_merge_pass(left, right)
 
     merges = []
     for rank in range(num_merges):
@@ -1807,3 +1823,93 @@ def shingle_cosine_pairs(
         out = with_both.map_batches(_thresh, batch_format="pyarrow")
 
     return out.sort(["a", "b"])
+
+
+def bpe_encode(docs, merges: pd.DataFrame, vocab_broadcast_max: int = 5_000_000):
+    """Tokenize the corpus with a TRAINED merge list — the production half
+    of :func:`bpe_train` (every LLM pipeline trains once, then encodes
+    everything).  Encoding is per-WORD, so the corpus first reduces to its
+    DISTINCT-word table (the HF fast-tokenizer word-cache shape); the
+    trained merges then apply in rank order, each as the identical
+    vectorized ``_bpe_merge_pass`` the trainer used — train and encode
+    agree by construction.  The finished word -> token-count map (vocab-
+    bounded) broadcasts via ``ray.put`` and a pure map scores every doc;
+    beyond ``vocab_broadcast_max`` distinct words the same map would ship
+    as a Dataset through the repo's tagged-union co-partitioned join (the
+    top_tfidf dual-regime precedent).
+
+    ``merges``: DataFrame with (rank, left, right) — ``bpe_train`` output.
+    Output: (doc_id, n_words, n_bpe_tokens) sorted by doc_id.  No SQL twin
+    (iterative rewrites); pinned by pure-python parity + concatenation-
+    invariant tests.
+    """
+
+    def _words(t: pa.Table) -> pa.Table:
+        toks = pc.list_flatten(pc.split_pattern(t.column("text"), pattern=" "))
+        toks = toks.filter(pc.not_equal(toks, pa.scalar("")))
+        v = np.unique(toks.to_numpy(zero_copy_only=False))
+        return pa.table({"word": pa.array(v)})
+
+    from ray.data.aggregate import Count as _Count
+
+    words = (
+        docs.map_batches(_words, batch_format="pyarrow")
+        .groupby("word")
+        .aggregate(_Count(alias_name="_c"))
+        .drop_columns(["_c"])
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "word": t.column("word"),
+                    "syms": pa.array(
+                        [list(w) for w in t.column("word").to_pylist()],
+                        pa.list_(pa.string()),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    ordered = merges.sort_values("rank")
+    for left, right in zip(ordered["left"], ordered["right"]):
+        words = words.map_batches(
+            _bpe_merge_pass(str(left), str(right)), batch_format="pyarrow"
+        )
+
+    wt = words.map_batches(
+        lambda t: pa.table(
+            {
+                "word": t.column("word"),
+                "n_tok": pc.list_value_length(t.column("syms")).cast(pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+    ).to_pandas()
+    order = np.argsort(wt["word"].to_numpy(), kind="mergesort")
+    lut_ref = ray.put(
+        (wt["word"].to_numpy()[order], wt["n_tok"].to_numpy().astype(np.int64)[order])
+    )
+
+    def _score(t: pa.Table) -> pa.Table:
+        vocab, ntok = ray.get(lut_ref)
+        tok_lists = pc.split_pattern(t.column("text"), pattern=" ")
+        counts = pc.list_value_length(tok_lists).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(tok_lists).to_numpy(zero_copy_only=False)
+        keep = flat != ""
+        doc_of = np.repeat(np.arange(len(t)), counts)[keep]
+        flat = flat[keep]
+        idx = np.searchsorted(vocab, flat)
+        per_tok = ntok[idx]
+        n_words = np.bincount(doc_of, minlength=len(t)).astype(np.int64)
+        n_bpe = np.bincount(doc_of, weights=per_tok, minlength=len(t)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "n_words": pa.array(n_words),
+                "n_bpe_tokens": pa.array(n_bpe),
+            }
+        )
+
+    return docs.map_batches(_score, batch_format="pyarrow").sort("doc_id")
