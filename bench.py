@@ -193,6 +193,77 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
             read_sf(sf_dir, "documents", columns=["doc_id", "text"])
         ).to_pandas(),
     )
+
+    def _semantic_dedup():
+        from unsupervised_ner_ray.stages.similarity import semantic_dedup
+
+        return semantic_dedup(
+            read_sf(sf_dir, "embeddings", columns=["vec_id", "embedding"]),
+            k=8,
+            threshold=0.95,
+        ).to_pandas()
+
+    timed("q_semantic_dedup", _semantic_dedup)
+
+    def _late_events():
+        import hashlib as _hl
+
+        import pandas as pd
+
+        ev = read_sf(sf_dir, "events", columns=["event_id", "ts"])
+
+        def _prep(df):
+            return pd.DataFrame(
+                {
+                    "event_id": df["event_id"],
+                    "ts_us": df["ts"].astype("datetime64[us]").astype("int64"),
+                    "akey": [
+                        _hl.md5(str(i).encode()).hexdigest()
+                        for i in df["event_id"]
+                    ],
+                }
+            )
+
+        return relational.late_event_flags(
+            ev.map_batches(_prep, batch_format="pandas")
+        ).to_pandas()
+
+    timed("q_late_events", _late_events)
+
+    def _dsir():
+        from unsupervised_ner_ray.pipelines.dataprep import dsir_select
+
+        docs = read_sf(sf_dir, "documents", columns=["doc_id", "text", "lang"])
+        target = docs.filter(expr="lang == 'fr'").select_columns(
+            ["doc_id", "text"]
+        )
+        return dsir_select(
+            docs.select_columns(["doc_id", "text"]), target, frac=0.2,
+            n_buckets=2048,
+        ).to_pandas()
+
+    timed("q_dsir_select", _dsir)
+
+    def _bfs():
+        from unsupervised_ner_ray.stages.kg import bfs_hops, bigram_triples
+
+        edges = (
+            bigram_triples(read_sf(sf_dir, "documents", columns=["doc_id", "text"]))
+            .select_columns(["subj_norm", "obj_norm"])
+            .map_batches(
+                lambda t: t.rename_columns(["s", "o"]), batch_format="pyarrow"
+            )
+        )
+        return bfs_hops(edges, ["the"], max_hops=4).to_pandas()
+
+    timed("q_kg_bfs", _bfs)
+
+    def _bpe_encode():
+        docs = read_sf(sf_dir, "documents", columns=["doc_id", "text"])
+        merges = textstats.bpe_train(docs, num_merges=8)
+        return textstats.bpe_encode(docs, merges).to_pandas()
+
+    timed("q_bpe_encode", _bpe_encode)
     timed("q_cohort_retention", lambda: relational.q_cohort_retention(sf_dir))
     timed(
         "q_keep_best_doc",
