@@ -867,13 +867,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return out
 
 
-# Round-4 driver window (exactly 50): 10 certified sentinels + q_ner_eval +
-# the 2 new round-4 SQL-oracled operators (q_doc_cosine, q_late_events) +
-# the 2 now-real-decode media queries + the 35 never-driver-recorded
-# oracle-backed round-3 queries.  (q_jaccard_adjacent and q_vocab_merge,
-# both hash-exact in the r03 window and pinned by local sweeps, rotated out
-# to make room.)  tests/test_driver_contract.py pins this list's length,
-# membership, and that every name resolves.
+# Round-4 driver window (exactly 50): 9 certified sentinels + q_ner_eval +
+# the 3 new round-4 SQL-oracled operators (q_doc_cosine, q_late_events,
+# q_kg_bfs) + the 2 now-real-decode media queries + the 35 never-driver-
+# recorded oracle-backed round-3 queries.  (q_jaccard_adjacent,
+# q_vocab_merge and q_token_histogram — all hash-exact in the r03 window
+# and pinned by local sweeps — rotated out to make room.)
+# tests/test_driver_contract.py pins this list's length, membership, and
+# that every name resolves; its stranded-oracle check FAILS the suite if a
+# new SQL-oracled query is added without a window slot.
 _WINDOW_R4 = [
     # certified sentinels (regression guard: hash-exact in r01-r03 windows)
     "q_ner_tags",
@@ -882,13 +884,13 @@ _WINDOW_R4 = [
     "q_exact_dedup",
     "q_dedup_resolve_runs",
     "q_canonicalize_tokens",
-    "q_token_histogram",
     "q_dataprep",
     "q1_lineitem_agg",
     "q_order_lineitem_join",
     # new round-4 SQL-oracled operators: first driver record
     "q_doc_cosine",
     "q_late_events",
+    "q_kg_bfs",
     # new round-4 operator + media queries now running real byte decode
     "q_ner_eval",
     "q_media_features",

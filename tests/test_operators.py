@@ -3195,3 +3195,55 @@ def test_bpe_encode_parity_and_invariants(ray_session):
             n += cache[w]
         assert row["n_words"] == len(words)
         assert row["n_bpe_tokens"] == n, (row["doc_id"], row["n_bpe_tokens"], n)
+
+
+@pytest.mark.skipif(
+    __import__("os").environ.get("RUN_SCALE_SMOKE") != "1",
+    reason="late-event prefix-scan smoke; run with RUN_SCALE_SMOKE=1 "
+    "(result recorded in BASELINE.md)",
+)
+def test_late_events_scale_smoke(ray_session):
+    """5M events through the two-phase prefix-max scan (4096 buckets):
+    every planted severely-late event (event time 7h behind an
+    already-seen max) is flagged; on-time events are not; one pass, only
+    bucket scalars on the driver."""
+    import time
+
+    rd = _rd()
+    from unsupervised_ner_ray.stages.relational import late_event_flags
+
+    n = 5_000_000
+    H = 3_600_000_000
+    rng = np.random.default_rng(3)
+    # arrival keys: random 16-hex strings (vectorized construction)
+    raw = rng.integers(0, 1 << 62, size=n, dtype=np.int64)
+    akey = np.char.zfill(
+        np.char.mod("%x", raw).astype("U16"), 16
+    )
+    order = np.argsort(akey, kind="mergesort")  # arrival order
+    # event times mostly follow arrival order (+- small jitter) so the
+    # watermark rises; plant 1-in-1000 events 7h behind the running max
+    base = np.empty(n, dtype=np.int64)
+    base[order] = np.arange(n, dtype=np.int64) * (H // 1000)  # ~3.6 s apart
+    ts = base + rng.integers(-H // 100, H // 100, size=n)
+    planted = np.zeros(n, dtype=bool)
+    plant_idx = order[1000::1000]  # skip the earliest arrivals
+    planted[plant_idx] = True
+    ts[plant_idx] = base[plant_idx] - 7 * H
+    df = pd.DataFrame(
+        {"event_id": np.arange(n, dtype=np.int64), "ts_us": ts, "akey": akey}
+    )
+    ds = rd.from_pandas(df).repartition(64).materialize()
+
+    t0 = time.time()
+    out = (
+        late_event_flags(ds, allowed_lateness_us=6 * H, bucket_hex=3)
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    secs = time.time() - t0
+    late = out["late"].to_numpy().astype(bool)
+    assert late[planted].all()  # every plant flagged
+    # jitter is +-36s << 6h: no on-time event can be late
+    assert not late[~planted].any()
+    print(f"SMOKE late_events 5M: {secs:.1f}s, {late.sum()} late")
