@@ -505,6 +505,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev.map_batches(_prep, batch_format="pandas")
         )
 
+    def q_kg_communities(sf_dir: str):
+        from unsupervised_ner_ray.stages.kg import bigram_triples, label_propagation
+
+        edges = (
+            bigram_triples(_docs(sf_dir))
+            .select_columns(["subj_norm", "obj_norm"])
+            .map_batches(
+                lambda t: t.rename_columns(["s", "o"]), batch_format="pyarrow"
+            )
+        )
+        return label_propagation(edges, max_iters=10)
+
     def q_bpe_encode(sf_dir: str):
         docs = _docs(sf_dir).select_columns(["doc_id", "text"])
         merges = textstats.bpe_train(docs, num_merges=8)
@@ -858,6 +870,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bpe_train; train and encode share one rewrite kernel).  Rows-only
         # (iterative rewrites), pinned by the pure-python parity test
         "q_bpe_encode": q_bpe_encode,
+        # round-4: synchronous label-propagation communities over the
+        # bigram graph (deterministic tie-breaks; dual-regime pinned by a
+        # forced-path test).  Rows-only (iterative)
+        "q_kg_communities": q_kg_communities,
     }
 
     # The driver records the FIRST 50 entries: reorder the battery so the

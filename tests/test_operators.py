@@ -3247,3 +3247,36 @@ def test_late_events_scale_smoke(ray_session):
     # jitter is +-36s << 6h: no on-time event can be late
     assert not late[~planted].any()
     print(f"SMOKE late_events 5M: {secs:.1f}s, {late.sum()} late")
+
+
+def test_label_propagation_two_triangles(ray_session):
+    """Two triangles joined by one bridge resolve to two communities (each
+    labeled by one of its member nodes), deterministically; the forced
+    distributed regime is byte-equal."""
+    rd = _rd()
+    from unsupervised_ner_ray.stages.kg import label_propagation
+
+    edges = rd.from_items(
+        [
+            {"s": "a", "o": "b"},
+            {"s": "b", "o": "c"},
+            {"s": "a", "o": "c"},
+            {"s": "x", "o": "y"},
+            {"s": "y", "o": "z"},
+            {"s": "x", "o": "z"},
+            {"s": "c", "o": "x"},
+        ]
+    )
+    out = label_propagation(edges, max_iters=10).to_pandas()
+    comm = dict(zip(out["node"], out["community"]))
+    # each triangle is internally consistent and separate from the other
+    assert comm["a"] == comm["b"] == comm["c"]
+    assert comm["x"] == comm["y"] == comm["z"]
+    assert comm["a"] != comm["x"]
+    dist = label_propagation(
+        edges, max_iters=10, broadcast_threshold=0
+    ).to_pandas()
+    assert out.reset_index(drop=True).equals(dist.reset_index(drop=True))
+    # determinism
+    again = label_propagation(edges, max_iters=10).to_pandas()
+    assert out.reset_index(drop=True).equals(again.reset_index(drop=True))

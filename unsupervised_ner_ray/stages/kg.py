@@ -1625,3 +1625,205 @@ def bfs_hops(
         visited_ds = visited_ds.union(frontier_ds).materialize()
 
     return visited_ds.sort("node")
+
+
+def label_propagation(
+    edges,
+    max_iters: int = 10,
+    broadcast_threshold: int = 2_000_000,
+    num_parts: int = 64,
+):
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007) over an UNDIRECTED edge Dataset (columns ``s``, ``o``) —
+    made fully deterministic: every node starts labeled with itself; each
+    iteration relabels every node with the most frequent label among its
+    neighbors, ties broken by the lexicographically smallest label;
+    isolated relabel-stability or ``max_iters`` stops the loop
+    (synchronous LPA can 2-cycle on bipartite structure — the cap is the
+    standard remedy and keeps the result deterministic).
+
+    Regimes, gated on edge count like :func:`bfs_hops`:
+
+    * small: the label map is driver-resident (node-bounded) and each
+      iteration is one broadcast pass over the edges — per batch the
+      neighbor labels resolve by sorted-``searchsorted`` lookup and reduce
+      to (dst, label, n) partials; a coarse hash partition on dst does the
+      count + argmax locally (pandas, vectorized across nodes).  Edges
+      never move; the driver holds one label array.
+    * at-scale: labels stay a Dataset; each iteration co-partitions the
+      edges with the labels on the SOURCE node (tagged union +
+      ``partitioned_apply`` — the repo's equi-join shape) to attach the
+      neighbor label, then partitions on the destination for the local
+      count/argmax.  Driver state: one changed-row scalar per iteration.
+
+    Both regimes are pinned byte-equal by a forced-path test.  Output:
+    (node, community) sorted by node, where community is the converged
+    label (a member node's name).  Rows-only (iterative; no SQL twin).
+    """
+    from .grouping import partitioned_apply
+
+    def _undirect(t: pa.Table) -> pa.Table:
+        s = t.column("s").combine_chunks() if isinstance(
+            t.column("s"), pa.ChunkedArray
+        ) else t.column("s")
+        o = t.column("o").combine_chunks() if isinstance(
+            t.column("o"), pa.ChunkedArray
+        ) else t.column("o")
+        return pa.table(
+            {
+                "s": pa.concat_arrays([s, o]),
+                "o": pa.concat_arrays([o, s]),
+            }
+        )
+
+    und = edges.map_batches(_undirect, batch_format="pyarrow").materialize()
+
+    def _argmax(part: pd.DataFrame) -> pd.DataFrame:
+        """(dst, label, n) partials -> per-dst winning label (count desc,
+        label asc) — vectorized: one sort + first-row-per-dst."""
+        g = (
+            part.groupby(["dst", "label"], as_index=False, sort=False)["n"]
+            .sum()
+            .sort_values(
+                ["dst", "n", "label"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+        )
+        win = g[~g["dst"].duplicated()]
+        return pd.DataFrame(
+            {"node": win["dst"].to_numpy(), "label": win["label"].to_numpy()}
+        )
+
+    if und.count() <= broadcast_threshold:
+        # node set + initial labels (driver-resident, node-bounded)
+        nodes = np.array(sorted(set(und.unique("s"))), dtype=object)
+        labels = nodes.copy()
+        for _ in range(max_iters):
+            ref = ray.put((nodes, labels))
+
+            def _partials(t: pa.Table) -> pd.DataFrame:
+                nd, lb = ray.get(ref)
+                s = t.column("s").to_numpy(zero_copy_only=False)
+                o = t.column("o").to_numpy(zero_copy_only=False)
+                src_lab = lb[np.searchsorted(nd, s)]
+                df = pd.DataFrame({"dst": o, "label": src_lab})
+                out = df.groupby(["dst", "label"], as_index=False, sort=False)
+                out = out.size().rename(columns={"size": "n"})
+                out["n"] = out["n"].astype(np.int64)
+                return out
+
+            won = partitioned_apply(
+                und.map_batches(_partials, batch_format="pyarrow"),
+                "dst",
+                _argmax,
+                num_parts=num_parts,
+            ).to_pandas()
+            new = labels.copy()
+            idx = np.searchsorted(nodes, won["node"].to_numpy())
+            new[idx] = won["label"].to_numpy()
+            if (new == labels).all():
+                break
+            labels = new
+        out = pd.DataFrame({"node": nodes, "community": labels})
+        import ray.data as _rd
+
+        return _rd.from_pandas(out)
+
+    # ---- at-scale regime: labels stay a Dataset ----
+    import ray.data as _rd
+
+    def _init_labels(t: pa.Table) -> pd.DataFrame:
+        u = np.unique(t.column("s").to_numpy(zero_copy_only=False))
+        return pd.DataFrame({"node": u, "label": u})
+
+    def _dedup_nodes(part: pd.DataFrame) -> pd.DataFrame:
+        return part.drop_duplicates("node")
+
+    labels_ds = partitioned_apply(
+        und.map_batches(_init_labels, batch_format="pyarrow"),
+        "node",
+        _dedup_nodes,
+        num_parts=num_parts,
+    ).materialize()
+
+    for _ in range(max_iters):
+        # attach src labels: co-partition edges (key=s) with labels
+        def _tag_e(t: pa.Table) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "key": t.column("s").to_numpy(zero_copy_only=False),
+                    "dst": t.column("o").to_numpy(zero_copy_only=False),
+                    "label": np.full(len(t), "", dtype=object),
+                    "is_l": np.zeros(len(t), dtype=np.int8),
+                }
+            )
+
+        def _tag_l(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "key": df["node"].to_numpy(),
+                    "dst": np.full(len(df), "", dtype=object),
+                    "label": df["label"].to_numpy(),
+                    "is_l": np.ones(len(df), dtype=np.int8),
+                }
+            )
+
+        tagged = und.map_batches(_tag_e, batch_format="pyarrow").union(
+            labels_ds.map_batches(_tag_l, batch_format="pandas")
+        )
+
+        def _attach(part: pd.DataFrame) -> pd.DataFrame:
+            lmap = part[part["is_l"] == 1][["key", "label"]]
+            e = part[part["is_l"] == 0][["key", "dst"]]
+            j = e.merge(lmap, on="key", how="inner")
+            out = j.groupby(["dst", "label"], as_index=False, sort=False)
+            out = out.size().rename(columns={"size": "n"})
+            out["n"] = out["n"].astype(np.int64)
+            return out
+
+        partials = partitioned_apply(tagged, "key", _attach, num_parts=num_parts)
+        # _argmax already emits (node, label)
+        new_labels = partitioned_apply(
+            partials, "dst", _argmax, num_parts=num_parts
+        ).materialize()
+
+        # changed count + carry forward isolated nodes: co-partition old/new
+        def _tag_old(df: pd.DataFrame) -> pd.DataFrame:
+            d = df[["node", "label"]].copy()
+            d["is_new"] = np.int8(0)
+            return d
+
+        def _tag_new(df: pd.DataFrame) -> pd.DataFrame:
+            d = df[["node", "label"]].copy()
+            d["is_new"] = np.int8(1)
+            return d
+
+        both = labels_ds.map_batches(_tag_old, batch_format="pandas").union(
+            new_labels.map_batches(_tag_new, batch_format="pandas")
+        )
+
+        def _merge_lab(part: pd.DataFrame) -> pd.DataFrame:
+            old = part[part["is_new"] == 0].set_index("node")["label"]
+            new = part[part["is_new"] == 1].set_index("node")["label"]
+            merged = new.combine_first(old)  # isolated nodes keep old
+            changed = int((merged.reindex(old.index) != old).sum())
+            out = merged.reset_index()
+            out.columns = ["node", "label"]
+            out["_changed"] = np.int64(0)
+            if len(out):
+                out.loc[out.index[0], "_changed"] = changed
+            return out
+
+        merged = partitioned_apply(
+            both, "node", _merge_lab, num_parts=num_parts
+        ).materialize()
+        n_changed = int(merged.sum("_changed") or 0)
+        labels_ds = merged.drop_columns(["_changed"]).materialize()
+        if n_changed == 0:
+            break
+
+    return labels_ds.map_batches(
+        lambda df: df.rename(columns={"label": "community"}),
+        batch_format="pandas",
+    ).sort("node")
