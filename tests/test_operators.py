@@ -3280,3 +3280,51 @@ def test_label_propagation_two_triangles(ray_session):
     # determinism
     again = label_propagation(edges, max_iters=10).to_pandas()
     assert out.reset_index(drop=True).equals(again.reset_index(drop=True))
+
+
+@pytest.mark.skipif(
+    __import__("os").environ.get("RUN_SCALE_SMOKE") != "1",
+    reason="semantic dedup smoke; run with RUN_SCALE_SMOKE=1 "
+    "(result recorded in BASELINE.md)",
+)
+def test_semantic_dedup_scale_smoke(ray_session):
+    """500k 16-dim embeddings, k=256 clusters: 5,000 planted exact-copy
+    pairs must all dedup (copy keep=False, original keep=True); the
+    per-cluster O(c^2) similarity matrices stay worker-sized because k
+    scales with N (the documented SemDeDup sizing rule)."""
+    import time
+
+    rd = _rd()
+    from unsupervised_ner_ray.stages.similarity import semantic_dedup
+
+    n = 500_000
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(n, 16))
+    # plant exact copies: i % 100 == 1 copies i - 1
+    X[1::100] = X[0::100][: len(X[1::100])]
+    import pyarrow as pa
+
+    # list<double> column like the parquet embeddings table (a pandas
+    # ndarray column would become Ray's tensor extension type, which the
+    # operator's list_flatten path does not target)
+    t = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(X.tolist(), pa.list_(pa.float64())),
+        }
+    )
+    ds = rd.from_arrow(t).repartition(32).materialize()
+
+    t0 = time.time()
+    out = semantic_dedup(ds, k=256, threshold=0.999, iters=3).to_pandas()
+    secs = time.time() - t0
+    keep = out.set_index("vec_id")["keep"]
+    copies = np.arange(1, n, 100)
+    # exact copies share a cluster with their original by construction
+    # (identical vectors assign identically); every copy must lose
+    assert not keep.loc[copies].any()
+    assert keep.loc[copies - 1].all()
+    # random 16-dim gaussians never reach cos 0.999: no collateral loss
+    n_lost = int((~keep).sum())
+    assert n_lost == len(copies), n_lost
+    print(f"SMOKE semantic_dedup 500k: {secs:.1f}s, {n_lost} dups removed")
