@@ -981,13 +981,15 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY subj_id, subj_norm ORDER BY subj_norm
         """,
         "q_ner_eval": f"""
-            WITH j AS (
+            WITH mm AS (
                 SELECT m.etype AS pred, l.gold_type AS gold
                 FROM read_parquet('{_DUMP_ROOT}/mentions_*/*.parquet') m
-                JOIN read_parquet('{_DUMP_ROOT}/labels_*/*.parquet') l
+                LEFT JOIN read_parquet('{_DUMP_ROOT}/labels_*/*.parquet') l
                   ON m.surface_norm = l.surface_norm
+                 AND l.n_docs_total = (SELECT COUNT(*) FROM documents)
                 WHERE m.n_docs_total = (SELECT COUNT(*) FROM documents)
-                  AND l.n_docs_total = (SELECT COUNT(*) FROM documents)
+            ), j AS (
+                SELECT pred, gold FROM mm WHERE gold IS NOT NULL
             ), p AS (
                 SELECT pred AS etype,
                        SUM(CASE WHEN pred = gold THEN 1 ELSE 0 END) AS tp,
@@ -995,21 +997,29 @@ def oracle_sql() -> dict[str, str]:
                 FROM j GROUP BY pred
             ), g AS (
                 SELECT gold AS etype, COUNT(*) AS n_gold FROM j GROUP BY gold
+            ), u AS (
+                SELECT pred AS etype, COUNT(*) AS n_unlab
+                FROM mm WHERE gold IS NULL GROUP BY pred
+            ), pg AS (
+                SELECT COALESCE(p.etype, g.etype) AS etype, p.tp, p.n_pred,
+                       g.n_gold
+                FROM p FULL OUTER JOIN g ON p.etype = g.etype
             )
-            SELECT COALESCE(p.etype, g.etype) AS etype,
-                   CAST(COALESCE(p.tp, 0) AS BIGINT) AS tp,
-                   CAST(COALESCE(p.n_pred, 0) - COALESCE(p.tp, 0) AS BIGINT) AS fp,
-                   CAST(COALESCE(g.n_gold, 0) - COALESCE(p.tp, 0) AS BIGINT) AS fn,
-                   CAST(CASE WHEN COALESCE(p.n_pred, 0) = 0 THEN 0
-                        ELSE COALESCE(p.tp, 0) * 1000000 // p.n_pred END AS BIGINT)
+            SELECT COALESCE(pg.etype, u.etype) AS etype,
+                   CAST(COALESCE(pg.tp, 0) AS BIGINT) AS tp,
+                   CAST(COALESCE(pg.n_pred, 0) - COALESCE(pg.tp, 0) AS BIGINT) AS fp,
+                   CAST(COALESCE(pg.n_gold, 0) - COALESCE(pg.tp, 0) AS BIGINT) AS fn,
+                   CAST(COALESCE(u.n_unlab, 0) AS BIGINT) AS unlabeled_pred,
+                   CAST(CASE WHEN COALESCE(pg.n_pred, 0) = 0 THEN 0
+                        ELSE COALESCE(pg.tp, 0) * 1000000 // pg.n_pred END AS BIGINT)
                        AS precision_ppm,
-                   CAST(CASE WHEN COALESCE(g.n_gold, 0) = 0 THEN 0
-                        ELSE COALESCE(p.tp, 0) * 1000000 // g.n_gold END AS BIGINT)
+                   CAST(CASE WHEN COALESCE(pg.n_gold, 0) = 0 THEN 0
+                        ELSE COALESCE(pg.tp, 0) * 1000000 // pg.n_gold END AS BIGINT)
                        AS recall_ppm,
-                   CAST(2 * COALESCE(p.tp, 0) * 1000000
-                        // (COALESCE(p.n_pred, 0) + COALESCE(g.n_gold, 0))
+                   CAST(2 * COALESCE(pg.tp, 0) * 1000000
+                        // GREATEST(COALESCE(pg.n_pred, 0) + COALESCE(pg.n_gold, 0), 1)
                         AS BIGINT) AS f1_ppm
-            FROM p FULL OUTER JOIN g ON p.etype = g.etype
+            FROM pg FULL OUTER JOIN u ON pg.etype = u.etype
             ORDER BY etype
         """,
         "q_token_counts": f"""

@@ -2717,8 +2717,10 @@ def test_bootstrap_mean_coverage_and_determinism(ray_session):
 
 def test_ner_eval_hand_metrics(ray_session):
     """Per-type TP/FP/FN and integer-ppm P/R/F1 on a hand-checkable mention
-    stream: unlabeled surfaces are excluded (inner-join semantics), a type
-    appears if ever predicted or ever gold, denominator-0 metrics are 0."""
+    stream: unlabeled surfaces are excluded from tp/fp (labeled-surface
+    metrics) but counted in unlabeled_pred so the exclusion is visible; a
+    type appears if ever predicted (labeled or not) or ever gold;
+    denominator-0 metrics are 0."""
     import pandas as pd
 
     rd = _rd()
@@ -2733,17 +2735,20 @@ def test_ner_eval_hand_metrics(ray_session):
             {"surface_norm": "x", "etype": "A"},  # tp for A
             {"surface_norm": "x", "etype": "B"},  # fp B, fn A
             {"surface_norm": "y", "etype": "B"},  # tp for B
-            {"surface_norm": "q", "etype": "C"},  # unlabeled: excluded
+            {"surface_norm": "q", "etype": "C"},  # unlabeled: counted apart
             {"surface_norm": "z", "etype": "B"},  # fp B, fn A
         ]
     )
     out = ner_eval(mentions, labels=labels).to_pandas().set_index("etype")
-    assert set(out.index) == {"A", "B"}
-    a, b = out.loc["A"], out.loc["B"]
-    assert (a.tp, a.fp, a.fn) == (1, 0, 2)
+    assert set(out.index) == {"A", "B", "C"}
+    a, b, c = out.loc["A"], out.loc["B"], out.loc["C"]
+    assert (a.tp, a.fp, a.fn, a.unlabeled_pred) == (1, 0, 2, 0)
     assert (a.precision_ppm, a.recall_ppm, a.f1_ppm) == (1_000_000, 333_333, 500_000)
-    assert (b.tp, b.fp, b.fn) == (1, 2, 0)
+    assert (b.tp, b.fp, b.fn, b.unlabeled_pred) == (1, 2, 0, 0)
     assert (b.precision_ppm, b.recall_ppm, b.f1_ppm) == (333_333, 1_000_000, 500_000)
+    # unlabeled-only type: visible, judged by nothing
+    assert (c.tp, c.fp, c.fn, c.unlabeled_pred) == (0, 0, 0, 1)
+    assert (c.precision_ppm, c.recall_ppm, c.f1_ppm) == (0, 0, 0)
 
 
 def test_ner_eval_gold_only_type(ray_session):

@@ -143,8 +143,14 @@ if __name__ == "__main__":
     win = None
     if "--window" in args:
         i = args.index("--window")
-        win = int(args[i + 1]) if i + 1 < len(args) else 50
-        args = args[:i] + args[i + 2 :]
+        # only consume the next token as N when it IS an integer — otherwise
+        # `--window <sf_dir>` keeps the default 50 and the sf dir survives
+        if i + 1 < len(args) and args[i + 1].lstrip("-").isdigit():
+            win = int(args[i + 1])
+            args = args[:i] + args[i + 2 :]
+        else:
+            win = 50
+            args = args[:i] + args[i + 1 :]
     sf = args[0] if args else "/root/testdata/sf0.001"
     if win is not None:
         raise SystemExit(main_window(sf, win))

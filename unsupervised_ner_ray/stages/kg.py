@@ -604,7 +604,7 @@ def link_mentions_shuffled(mentions, vocab: dict | None = None, num_parts: int =
             ).astype({"span_idx": "int64", "n_copies": "int64", "prio": "int64", "hit": "bool"})
         lut = dict(zip(voc["key"], voc["types_joined"]))
         men = men.copy()
-        men["types_joined"] = men["key"].map(lambda k: lut.get(k))
+        men["types_joined"] = men["key"].map(lut)  # dict map: C-level lookup
         men["hit"] = men["types_joined"].notna()
         return men[[*ident, "n_copies", "prio", "types_joined", "hit"]]
 
@@ -1020,7 +1020,10 @@ def _pair_membership_filter(
     def _tag_cands(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
         df[_SIDE] = np.int8(0)
-        return df
+        # explicit column order matching _tag_edges' output so the union
+        # never relies on Ray/Arrow aligning blocks by name (candidate
+        # tables with payload would otherwise emit a different order)
+        return df[[left_col, right_col, *payload, _SIDE]]
 
     both = edges.map_batches(_tag_edges, batch_format="pandas").union(
         cands.map_batches(_tag_cands, batch_format="pandas")
@@ -1637,7 +1640,10 @@ def label_propagation(
     al. 2007) over an UNDIRECTED edge Dataset (columns ``s``, ``o``) —
     made fully deterministic: every node starts labeled with itself; each
     iteration relabels every node with the most frequent label among its
-    neighbors, ties broken by the lexicographically smallest label;
+    DISTINCT neighbors (the input is dedup'd and self-loops dropped inside
+    the operator, so per-occurrence edge feeds like ``bigram_triples``
+    rows do not weight votes), ties broken by the lexicographically
+    smallest label;
     isolated relabel-stability or ``max_iters`` stops the loop
     (synchronous LPA can 2-cycle on bipartite structure — the cap is the
     standard remedy and keeps the result deterministic).
@@ -1669,14 +1675,31 @@ def label_propagation(
         o = t.column("o").combine_chunks() if isinstance(
             t.column("o"), pa.ChunkedArray
         ) else t.column("o")
-        return pa.table(
-            {
-                "s": pa.concat_arrays([s, o]),
-                "o": pa.concat_arrays([o, s]),
-            }
+        # classic LPA votes over DISTINCT neighbors with no self-votes:
+        # drop self-loops and local duplicates here (shrinks the dedup
+        # shuffle below); per-occurrence inputs (e.g. bigram_triples rows)
+        # would otherwise weight votes by occurrence count
+        sv = np.concatenate(
+            [s.to_numpy(zero_copy_only=False), o.to_numpy(zero_copy_only=False)]
         )
+        ov = np.concatenate(
+            [o.to_numpy(zero_copy_only=False), s.to_numpy(zero_copy_only=False)]
+        )
+        ne = sv != ov
+        df = pd.DataFrame({"s": sv[ne], "o": ov[ne]}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
 
-    und = edges.map_batches(_undirect, batch_format="pyarrow").materialize()
+    def _dedup_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        return part.drop_duplicates(["s", "o"])
+
+    # global distinct: co-partition on s (all (s, *) rows land together),
+    # dedup inside each partition — avoids the multi-key Dataset groupby
+    und = partitioned_apply(
+        edges.map_batches(_undirect, batch_format="pyarrow"),
+        "s",
+        _dedup_pairs,
+        num_parts=num_parts,
+    ).materialize()
 
     def _argmax(part: pd.DataFrame) -> pd.DataFrame:
         """(dst, label, n) partials -> per-dst winning label (count desc,

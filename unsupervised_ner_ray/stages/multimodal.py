@@ -26,27 +26,41 @@ import pyarrow as pa
 
 
 def extract_media_refs(docs):
-    """Interleaved docs -> media table (doc_id, span_idx, kind, media_ref)."""
+    """Interleaved docs -> media table (doc_id, span_idx, kind, media_ref).
+
+    Vectorized list-flatten (the ``explode_tokens`` pattern): the spans
+    list column flattens to one struct row per span with
+    ``list_parent_indices`` recovering the owning doc row and a cumsum of
+    list lengths recovering the within-doc span index — no Python loop
+    over rows."""
 
     def _f(batch: pa.Table) -> pa.Table:
-        out = {"doc_id": [], "span_idx": [], "kind": [], "media_ref": []}
-        for doc_id, spans in zip(
-            batch.column("doc_id").to_pylist(), batch.column("spans").to_pylist()
-        ):
-            for i, s in enumerate(spans or []):
-                if s["kind"] != "text":
-                    out["doc_id"].append(doc_id)
-                    out["span_idx"].append(i)
-                    out["kind"].append(s["kind"])
-                    out["media_ref"].append(s["media_ref"])
-        return pa.table(
+        import pyarrow.compute as pc
+
+        spans = batch.column("spans")
+        if isinstance(spans, pa.ChunkedArray):
+            spans = spans.combine_chunks()
+        flat = pc.list_flatten(spans)
+        parent = pc.list_parent_indices(spans).to_numpy(zero_copy_only=False)
+        lengths = (
+            pc.fill_null(pc.list_value_length(spans), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        starts = np.zeros(len(lengths) + 1, dtype=np.int64)
+        np.cumsum(lengths, out=starts[1:])
+        span_idx = np.arange(len(flat), dtype=np.int64) - starts[parent]
+        out = pa.table(
             {
-                "doc_id": pa.array(out["doc_id"], pa.string()),
-                "span_idx": pa.array(out["span_idx"], pa.int32()),
-                "kind": pa.array(out["kind"], pa.string()),
-                "media_ref": pa.array(out["media_ref"], pa.string()),
+                "doc_id": pc.take(
+                    batch.column("doc_id").cast(pa.string()), pa.array(parent)
+                ),
+                "span_idx": pa.array(span_idx.astype(np.int32), pa.int32()),
+                "kind": flat.field("kind").cast(pa.string()),
+                "media_ref": flat.field("media_ref").cast(pa.string()),
             }
         )
+        return out.filter(pc.not_equal(out.column("kind"), "text"))
 
     return docs.map_batches(_f, batch_format="pyarrow")
 
@@ -119,7 +133,11 @@ class MediaFeaturizer:
                 try:
                     feats.append(self._real_features(buf, kind).tolist())
                     ok.append(True)
-                except (ValueError, NotImplementedError):
+                except Exception:
+                    # codecs can raise struct.error / zlib.error / IndexError
+                    # on truncated buffers, not just ValueError — any
+                    # undecodable payload degrades to the quarantine row
+                    # rather than poisoning the batch
                     feats.append([0.0] * self.dim)
                     ok.append(False)
             batch = batch.drop_columns(["payload"])
@@ -183,7 +201,9 @@ class MediaResizer:
         mc = self.mc
         try:
             img = mc.decode_image(buf)
-        except (ValueError, NotImplementedError):
+        except Exception:
+            # same quarantine contract as MediaFeaturizer: struct/zlib/index
+            # errors from corrupt buffers degrade per-row, never per-batch
             return 0, 0, 0, 0, 0.0, b"", False
         resized, s = mc.letterbox_resize(img, self.target)
         return (
@@ -377,22 +397,20 @@ class MediaDecoder:
         for buf, kind in zip(
             batch.column("payload").to_pylist(), batch.column("kind").to_pylist()
         ):
+            # compute the full row BEFORE appending so a mid-decode error
+            # can never leave the output columns misaligned; catch
+            # Exception (struct/zlib/index errors from corrupt buffers,
+            # not just ValueError) — quarantine per row, never per batch
             try:
                 if kind == "audio":
                     samples, r = mc.decode_wav(buf)
-                    width.append(0)
-                    height.append(0)
-                    n_samples.append(len(samples))
-                    rate.append(r)
-                    n_frames.append(0)
-                    feats.append(mc.audio_features(samples, r, self.dim).tolist())
+                    row = (
+                        0, 0, len(samples), r, 0,
+                        mc.audio_features(samples, r, self.dim).tolist(),
+                        True,
+                    )
                 elif kind == "video":
                     frames, _fps = mc.decode_avi_mjpeg(buf)
-                    width.append(frames[0].shape[1])
-                    height.append(frames[0].shape[0])
-                    n_samples.append(0)
-                    rate.append(0)
-                    n_frames.append(len(frames))
                     fmat = np.stack(
                         [
                             mc.image_features(
@@ -401,26 +419,26 @@ class MediaDecoder:
                             for f in frames
                         ]
                     )
-                    feats.append(fmat.mean(axis=0).tolist())
+                    row = (
+                        frames[0].shape[1], frames[0].shape[0], 0, 0,
+                        len(frames), fmat.mean(axis=0).tolist(), True,
+                    )
                 else:
                     img = mc.decode_image(buf)
                     resized, _ = mc.letterbox_resize(img, self.target)
-                    width.append(img.shape[1])
-                    height.append(img.shape[0])
-                    n_samples.append(0)
-                    rate.append(0)
-                    n_frames.append(0)
-                    feats.append(mc.image_features(resized, self.dim).tolist())
-                ok.append(True)
-            except (ValueError, NotImplementedError):
-                # quarantine-style: undecodable payload degrades to nulls
-                width.append(0)
-                height.append(0)
-                n_samples.append(0)
-                rate.append(0)
-                n_frames.append(0)
-                feats.append([0.0] * self.dim)
-                ok.append(False)
+                    row = (
+                        img.shape[1], img.shape[0], 0, 0, 0,
+                        mc.image_features(resized, self.dim).tolist(), True,
+                    )
+            except Exception:
+                row = (0, 0, 0, 0, 0, [0.0] * self.dim, False)
+            width.append(row[0])
+            height.append(row[1])
+            n_samples.append(row[2])
+            rate.append(row[3])
+            n_frames.append(row[4])
+            feats.append(row[5])
+            ok.append(row[6])
         return (
             batch.drop_columns(["payload"])
             .append_column("width", pa.array(width, pa.int32()))

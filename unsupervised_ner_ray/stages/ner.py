@@ -473,15 +473,23 @@ def ner_eval(mentions, labels=None):
     Shape (scale-safe): the label table is vocab-bounded, so it broadcasts
     ONCE via ``ray.put`` and each mention batch tags itself (pred, gold) for
     LABELED surfaces only (inner-join semantics) and pre-aggregates to
-    (etype, tp, n_pred, n_gold) partials — the shuffle carries one row per
-    (batch, type), never the mention stream.  One small groupby Sum merges
-    partials; the finalize pass derives fp = n_pred - tp, fn = n_gold - tp
-    and the ppm metrics with FLOOR division so the DuckDB oracle matches
-    bit-for-bit (precision/recall are 0 when their denominator is 0; a type
-    appears if it was ever predicted or ever gold).
+    (etype, tp, n_pred, n_gold, n_unlab) partials — the shuffle carries one
+    row per (batch, type), never the mention stream.  One small groupby Sum
+    merges partials; the finalize pass derives fp = n_pred - tp,
+    fn = n_gold - tp and the ppm metrics with FLOOR division so the DuckDB
+    oracle matches bit-for-bit (precision/recall are 0 when their
+    denominator is 0; a type appears if it was ever predicted — labeled or
+    not — or ever gold).
 
-    Returns a Dataset (etype, tp, fp, fn, precision_ppm, recall_ppm,
-    f1_ppm) sorted by etype.
+    The P/R/F1 metrics are LABELED-surface metrics: predictions whose
+    surface has no gold label are excluded from tp/fp (they are neither
+    right nor wrong against this gold set), so ``precision_ppm`` can
+    overstate corpus precision.  The ``unlabeled_pred`` column counts the
+    excluded predictions per type so consumers see exactly how much of the
+    prediction stream the metric does not judge.
+
+    Returns a Dataset (etype, tp, fp, fn, unlabeled_pred, precision_ppm,
+    recall_ppm, f1_ppm) sorted by etype.
     """
     import numpy as np
     import pandas as pd
@@ -500,6 +508,7 @@ def ner_eval(mentions, labels=None):
             "tp": pa.array([], pa.int64()),
             "n_pred": pa.array([], pa.int64()),
             "n_gold": pa.array([], pa.int64()),
+            "n_unlab": pa.array([], pa.int64()),
         }
     )
 
@@ -507,25 +516,30 @@ def ner_eval(mentions, labels=None):
         lb = ray.get(lab_ref)
         sn = t.column("surface_norm").to_pandas()
         gold = sn.map(lb)
-        mask = gold.notna().to_numpy()
-        if not mask.any():
+        if len(sn) == 0:
             return _EMPTY
+        mask = gold.notna().to_numpy()
+        pred_all = t.column("etype").to_pandas().to_numpy()
         df = pd.DataFrame(
-            {
-                "pred": t.column("etype").to_pandas().to_numpy()[mask],
-                "gold": gold.to_numpy()[mask],
-            }
+            {"pred": pred_all[mask], "gold": gold.to_numpy()[mask]}
         )
         df["hit"] = (df["pred"] == df["gold"]).astype(np.int64)
         p = df.groupby("pred").agg(tp=("hit", "sum"), n_pred=("hit", "size"))
         g = df.groupby("gold").size().rename("n_gold")
-        m = p.join(g, how="outer").fillna(0).reset_index(names="etype")
+        u = pd.Series(pred_all[~mask]).value_counts().rename("n_unlab")
+        m = (
+            p.join(g, how="outer")
+            .join(u, how="outer")
+            .fillna(0)
+            .reset_index(names="etype")
+        )
         return pa.table(
             {
                 "etype": pa.array(m["etype"], pa.string()),
                 "tp": pa.array(m["tp"].to_numpy(np.int64)),
                 "n_pred": pa.array(m["n_pred"].to_numpy(np.int64)),
                 "n_gold": pa.array(m["n_gold"].to_numpy(np.int64)),
+                "n_unlab": pa.array(m["n_unlab"].to_numpy(np.int64)),
             }
         )
 
@@ -539,6 +553,7 @@ def ner_eval(mentions, labels=None):
                     "tp": pa.array([], pa.int64()),
                     "fp": pa.array([], pa.int64()),
                     "fn": pa.array([], pa.int64()),
+                    "unlabeled_pred": pa.array([], pa.int64()),
                     "precision_ppm": pa.array([], pa.int64()),
                     "recall_ppm": pa.array([], pa.int64()),
                     "f1_ppm": pa.array([], pa.int64()),
@@ -547,6 +562,7 @@ def ner_eval(mentions, labels=None):
         tp = t.column("tp").to_numpy()
         npred = t.column("n_pred").to_numpy()
         ngold = t.column("n_gold").to_numpy()
+        nunlab = t.column("n_unlab").to_numpy()
         p_ppm = np.where(npred > 0, tp * 1_000_000 // np.maximum(npred, 1), 0)
         r_ppm = np.where(ngold > 0, tp * 1_000_000 // np.maximum(ngold, 1), 0)
         f1_ppm = 2 * tp * 1_000_000 // np.maximum(npred + ngold, 1)
@@ -556,6 +572,7 @@ def ner_eval(mentions, labels=None):
                 "tp": pa.array(tp, pa.int64()),
                 "fp": pa.array(npred - tp, pa.int64()),
                 "fn": pa.array(ngold - tp, pa.int64()),
+                "unlabeled_pred": pa.array(nunlab, pa.int64()),
                 "precision_ppm": pa.array(p_ppm, pa.int64()),
                 "recall_ppm": pa.array(r_ppm, pa.int64()),
                 "f1_ppm": pa.array(f1_ppm, pa.int64()),
@@ -569,6 +586,7 @@ def ner_eval(mentions, labels=None):
             Sum("tp", alias_name="tp"),
             Sum("n_pred", alias_name="n_pred"),
             Sum("n_gold", alias_name="n_gold"),
+            Sum("n_unlab", alias_name="n_unlab"),
         )
         .map_batches(_finalize, batch_format="pyarrow")
         .sort("etype")
