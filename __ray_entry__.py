@@ -161,6 +161,195 @@ def _ner_dumps(sf_dir: str) -> dict[str, str]:
     return paths
 
 
+_MLM_DUMP_CACHE: dict[str, dict[str, str]] = {}
+
+
+def _ner_mlm_dumps(sf_dir: str) -> dict[str, str]:
+    """Same dump-and-hash-pin pattern as :func:`_ner_dumps`, but the corpus
+    is tagged with ``scorer_backend="fixture_mlm"`` — the REAL model-backend
+    code path (backends.FixtureMLMBackend via the shared _BatchedMLMBackend
+    base: batched padded forward, mask-position top-k, signature attach).
+    Driver-certifying these dumps certifies the production backend shape,
+    not just the hash mock.  Smaller corpus slice (the real forward is ~5x
+    the mock's cost per sentence)."""
+    if sf_dir in _MLM_DUMP_CACHE:
+        return _MLM_DUMP_CACHE[sf_dir]
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+
+    from unsupervised_ner_ray.config import PipelineConfig
+    from unsupervised_ner_ray.pipelines.flagship import run_tagging
+    from unsupervised_ner_ray.sources.io import read_sf
+    from unsupervised_ner_ray.stages.ner import explode_mentions
+
+    n_total = read_sf(sf_dir, "documents", columns=["doc_id"]).count()
+    cfg = PipelineConfig(
+        scorer_backend="fixture_mlm", tagger_concurrency=4, tagger_batch_size=32
+    )
+    tagged = run_tagging(_ner_corpus(sf_dir, limit=200), cfg).materialize()
+    paths: dict[str, str] = {}
+
+    def _stamp(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "n_docs_total", pa.array(np.full(len(t), n_total, dtype=np.int64))
+        )
+
+    def _write(name: str, ds) -> None:
+        path = f"{_DUMP_ROOT}/{name}_{n_total}"
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+        ds.map_batches(_stamp, batch_format="pyarrow").write_parquet(path)
+        paths[name] = path
+
+    def _tok_rows(batch: pa.Table) -> pa.Table:
+        out = {"doc_id": [], "span_idx": [], "tok_idx": [], "tag": []}
+        for doc_id, ner in zip(
+            batch.column("doc_id").to_pylist(), batch.column("ner").to_pylist()
+        ):
+            for s in ner or []:
+                for i, tag in enumerate(s["tags"]):
+                    out["doc_id"].append(doc_id)
+                    out["span_idx"].append(s["span_idx"])
+                    out["tok_idx"].append(i)
+                    out["tag"].append(tag)
+        return pa.table(
+            {
+                "doc_id": pa.array(out["doc_id"], pa.string()),
+                "span_idx": pa.array(out["span_idx"], pa.int32()),
+                "tok_idx": pa.array(out["tok_idx"], pa.int32()),
+                "tag": pa.array(out["tag"], pa.string()),
+            }
+        )
+
+    # prefix must NOT collide with the q_ner_* dump globs (tags_*/mentions_*)
+    _write("mlmtags", tagged.map_batches(_tok_rows, batch_format="pyarrow"))
+    _write("mlmmentions", explode_mentions(tagged))
+    import ray.data as rd
+
+    from unsupervised_ner_ray.assets import build_gold_labels
+
+    _write("mlmlabels", rd.from_pandas(build_gold_labels()))
+    _MLM_DUMP_CACHE[sf_dir] = paths
+    return paths
+
+
+_MEDIA_DUMP_CACHE: dict[str, dict[str, str]] = {}
+
+
+def _media_dumps(sf_dir: str) -> dict[str, str]:
+    """Hash-pin dumps for the real-decode media stages (same pattern as
+    _ner_dumps): featurize output with features quantized to int
+    micro-units, and resize output with the md5 of the re-encoded raster
+    bytes — both sides of the correctness gate read these files, so the
+    decoded values are value-exact certified instead of rows-only."""
+    if sf_dir in _MEDIA_DUMP_CACHE:
+        return _MEDIA_DUMP_CACHE[sf_dir]
+    import hashlib as _hl
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+
+    from unsupervised_ner_ray.sources.io import read_sf
+    from unsupervised_ner_ray.stages.multimodal import (
+        extract_media_refs,
+        featurize_media,
+        resize_media,
+        synthesize_payloads,
+    )
+
+    n_total = read_sf(sf_dir, "documents", columns=["doc_id"]).count()
+    media = synthesize_payloads(extract_media_refs(_ner_corpus(sf_dir)))
+    paths: dict[str, str] = {}
+
+    def _stamp(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "n_docs_total", pa.array(np.full(len(t), n_total, dtype=np.int64))
+        )
+
+    def _write(name: str, ds) -> None:
+        path = f"{_DUMP_ROOT}/{name}_{n_total}"
+        shutil.rmtree(path, ignore_errors=True)
+        os.makedirs(path, exist_ok=True)
+        ds.map_batches(_stamp, batch_format="pyarrow").write_parquet(path)
+        paths[name] = path
+
+    def _feat_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        feats = t.column("features")
+        if isinstance(feats, pa.ChunkedArray):
+            feats = feats.combine_chunks()
+        flat = pc.list_flatten(feats).to_numpy(zero_copy_only=False)
+        parent = pc.list_parent_indices(feats).to_numpy(zero_copy_only=False)
+        lens = (
+            pc.fill_null(pc.list_value_length(feats), 0)
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        starts = np.zeros(len(lens) + 1, dtype=np.int64)
+        np.cumsum(lens, out=starts[1:])
+        feat_idx = np.arange(len(flat), dtype=np.int64) - starts[parent]
+        par = pa.array(parent)
+        return pa.table(
+            {
+                "doc_id": pc.take(t.column("doc_id"), par),
+                "span_idx": pc.take(t.column("span_idx"), par),
+                "kind": pc.take(t.column("kind"), par),
+                "feat_idx": pa.array(feat_idx.astype(np.int32), pa.int32()),
+                # float features -> int micro-units: hash-stable on both
+                # engines (same rounding DuckDB's CAST(ROUND(x*1e6)) does)
+                "feat_q": pa.array(
+                    np.rint(flat * 1e6).astype(np.int64), pa.int64()
+                ),
+                "ok_int": pc.take(
+                    pc.cast(t.column("feat_ok"), pa.int64()), par
+                ),
+            }
+        )
+
+    _write(
+        "mediafeat",
+        featurize_media(media).map_batches(_feat_rows, batch_format="pyarrow"),
+    )
+
+    def _resize_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        md5s = [
+            _hl.md5(b).hexdigest() if b else ""
+            for b in t.column("resized").to_pylist()
+        ]
+        scale = t.column("scale").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": t.column("doc_id"),
+                "span_idx": t.column("span_idx"),
+                "kind": t.column("kind"),
+                "src_w": t.column("src_w"),
+                "src_h": t.column("src_h"),
+                "dst_w": t.column("dst_w"),
+                "dst_h": t.column("dst_h"),
+                "scale_q": pa.array(
+                    np.rint(scale * 1e6).astype(np.int64), pa.int64()
+                ),
+                "resize_ok": t.column("resize_ok"),
+                "resized_md5": pa.array(md5s, pa.string()),
+            }
+        )
+
+    _write(
+        "mediaresize",
+        resize_media(media).map_batches(_resize_rows, batch_format="pyarrow"),
+    )
+    _MEDIA_DUMP_CACHE[sf_dir] = paths
+    return paths
+
+
 def _query_matrix(emb):
     """First 3 embedding vectors as the ANN query matrix (vectorized Arrow
     filter — no per-row Python predicate)."""
@@ -329,6 +518,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return ner_eval(mentions)
 
+    def q_ner_tags_mlm(sf_dir: str):
+        # the q_ner_tags aggregation over the FIXTURE-MLM tag dump: driver
+        # hash-certification of the real model-backend code path (shared
+        # batched-forward/top-k/signature base, backends.py) — not the mock
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
+        from ray.data.aggregate import Count, Sum
+
+        path = _ner_mlm_dumps(sf_dir)["mlmtags"]
+        ds = rd.read_parquet(path, columns=["doc_id", "span_idx", "tag"])
+
+        def _prep(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": t.column("doc_id"),
+                    "span_idx": t.column("span_idx"),
+                    "is_b": pc.cast(
+                        pc.starts_with(t.column("tag"), "B_"), pa.int64()
+                    ),
+                }
+            )
+
+        def _fix_types(t: pa.Table) -> pa.Table:
+            return t.set_column(
+                t.schema.get_field_index("span_idx"),
+                "span_idx",
+                pc.cast(t.column("span_idx"), pa.int32()),
+            )
+
+        return (
+            ds.map_batches(_prep, batch_format="pyarrow")
+            .groupby(["doc_id", "span_idx"])
+            .aggregate(
+                Count(alias_name="n_tokens"), Sum("is_b", alias_name="n_entities")
+            )
+            .map_batches(_fix_types, batch_format="pyarrow")
+        )
+
+    def q_ner_eval_mlm(sf_dir: str):
+        # distributed NER accuracy evaluation over the fixture-MLM mentions:
+        # per-type TP/FP/FN + ppm metrics + unlabeled_pred of the REAL
+        # backend path's predictions vs the gold vocab labels
+        import ray.data as rd
+
+        from unsupervised_ner_ray.stages.ner import ner_eval
+
+        paths = _ner_mlm_dumps(sf_dir)
+        mentions = rd.read_parquet(
+            paths["mlmmentions"], columns=["surface_norm", "etype"]
+        )
+        return ner_eval(mentions)
+
     def q_ner_triples(sf_dir: str):
         return explode_triples(_tagged(sf_dir))
 
@@ -352,25 +594,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return adj.select_columns(["subj_id", "subj_norm", "degree"])
 
     def q_media_features(sf_dir: str):
-        # REAL decode path: synthesized format bytes -> own byte decoders ->
-        # features from the decoded pixels/samples (rows-only)
-        from unsupervised_ner_ray.stages.multimodal import synthesize_payloads
+        # REAL decode path, now HASH-PINNED: the featurize output (features
+        # quantized to int micro-units) is dumped to parquet by
+        # _media_dumps; this query re-aggregates the dump with a
+        # distributed multi-key groupby while the DuckDB twin runs the
+        # identical SQL over the same files — so both the decoded feature
+        # VALUES and the groupby machinery are value-exact certified
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
+        from ray.data.aggregate import Count, Max, Sum
 
-        return featurize_media(
-            synthesize_payloads(extract_media_refs(_ner_corpus(sf_dir)))
+        path = _media_dumps(sf_dir)["mediafeat"]
+        ds = rd.read_parquet(
+            path, columns=["doc_id", "span_idx", "kind", "feat_q", "ok_int"]
+        )
+
+        def _fix(t: pa.Table) -> pa.Table:
+            return t.set_column(
+                t.schema.get_field_index("span_idx"),
+                "span_idx",
+                pc.cast(t.column("span_idx"), pa.int32()),
+            )
+
+        return (
+            ds.groupby(["doc_id", "span_idx", "kind"])
+            .aggregate(
+                Count(alias_name="n_dims"),
+                Sum("feat_q", alias_name="feat_sum_q"),
+                Max("ok_int", alias_name="feat_ok_int"),
+            )
+            .map_batches(_fix, batch_format="pyarrow")
         )
 
     def q_media_resize(sf_dir: str):
-        # REAL decode->letterbox-resample->re-encode over synthesized image
-        # payloads (rows-only; pixel round-trip pinned by test)
-        from unsupervised_ner_ray.stages.multimodal import (
-            resize_media,
-            synthesize_payloads,
-        )
+        # REAL decode->resample->re-encode, HASH-PINNED: the resize dump
+        # carries the output geometry AND the md5 of the re-encoded raster
+        # bytes; the DuckDB twin selects the same rows, so any change to a
+        # single resampled pixel flips the recorded hash
+        import ray.data as rd
 
-        return resize_media(
-            synthesize_payloads(extract_media_refs(_ner_corpus(sf_dir)))
-        ).drop_columns(["resized"])
+        path = _media_dumps(sf_dir)["mediaresize"]
+        return rd.read_parquet(
+            path,
+            columns=[
+                "doc_id", "span_idx", "kind", "src_w", "src_h",
+                "dst_w", "dst_h", "scale_q", "resize_ok", "resized_md5",
+            ],
+        ).sort(["doc_id", "span_idx"])
 
     def q_media_decode(sf_dir: str):
         # REAL byte decode: synthesized PPM/BMP/PNG/GIF/JPEG/WAV/AVI
@@ -603,25 +874,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     # ORDERING CONTRACT: the driver's correctness gate records the FIRST 50
-    # entries of this dict (CORRECTNESS_r{N}.json) — see _WINDOW_R4 below,
-    # which this function reorders the full battery by.  Round-4 window
-    # policy (VERDICT r3 item 1): the 35 oracle-backed queries added in
-    # round 3 that have NEVER appeared in a driver window (skyline, snapshot
-    # diff, constraint checks, triangle/2-hop, fuzzy pairs, cohort
-    # retention, OLS regression, ...) rotate IN so every one of the
-    # oracles is driver-certified at least once across r01-r04; a core of
-    # already-certified sentinels (flagship NER/KG dumps, exact dedup,
-    # dataprep, q1, the big join) stays in to guard against regressions;
-    # the new q_ner_eval and the now-real-decode media queries take the
-    # remaining slots.  Everything out-of-window was driver-hash-exact in a
-    # prior round (r01-r03) or is a forced-path twin / approximate sketch,
-    # and ALL queries are verified every round by tools/check_oracles.py.
+    # entries of this dict (CORRECTNESS_r{N}.json) — see _WINDOW_R5 below,
+    # which this function reorders the full battery by.  Round-5 window
+    # policy (VERDICT r4 item 2): the 12 rows-only queries that have NEVER
+    # appeared in a driver window rotate IN (after this round every battery
+    # entry is driver-recorded at least once across r01-r05); the certified
+    # sentinels stay; q_ner_eval / the media queries re-certify under their
+    # changed schema/new oracles; the two new fixture-MLM queries take their
+    # first record; 24 previously certified oracle-backed re-guards fill the
+    # rest.  Everything out-of-window was driver-hash-exact in a prior
+    # round (r01-r04) or is a forced-path twin / approximate sketch, and
+    # ALL queries are verified every round by tools/check_oracles.py.
     all_q = {
         # ---- engine core: NER / KG (flagship) ----
         "q_ner_tags": q_ner_tags,  # SQL-checked over the token-tag dump
         "q_ner_mention_groups": q_ner_mention_groups,  # SQL-checked (dump)
         "q_kg_adjacency_ner": q_kg_adjacency_ner,  # SQL-checked (dump)
         "q_ner_eval": q_ner_eval,  # SQL-checked (mentions+labels dumps)
+        # fixture-MLM (real model-backend code path) twins of the two above
+        "q_ner_tags_mlm": q_ner_tags_mlm,  # SQL-checked (mlm tag dump)
+        "q_ner_eval_mlm": q_ner_eval_mlm,  # SQL-checked (mlm mention dump)
         "q_ner_triples": q_ner_triples,
         "q_kg_entities": q_kg_entities,
         "q_kg_adjacency": q_kg_adjacency,
@@ -877,23 +1149,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
     # The driver records the FIRST 50 entries: reorder the battery so the
-    # round-4 window leads (see the ORDERING CONTRACT comment above).
-    out = {name: all_q[name] for name in _WINDOW_R4}
+    # round-5 window leads (see the ORDERING CONTRACT comment above).
+    out = {name: all_q[name] for name in _WINDOW_R5}
     out.update((k, v) for k, v in all_q.items() if k not in out)
     return out
 
 
-# Round-4 driver window (exactly 50): 9 certified sentinels + q_ner_eval +
-# the 3 new round-4 SQL-oracled operators (q_doc_cosine, q_late_events,
-# q_kg_bfs) + the 2 now-real-decode media queries + the 35 never-driver-
-# recorded oracle-backed round-3 queries.  (q_jaccard_adjacent,
-# q_vocab_merge and q_token_histogram — all hash-exact in the r03 window
-# and pinned by local sweeps — rotated out to make room.)
-# tests/test_driver_contract.py pins this list's length, membership, and
-# that every name resolves; its stranded-oracle check FAILS the suite if a
-# new SQL-oracled query is added without a window slot.
-_WINDOW_R4 = [
-    # certified sentinels (regression guard: hash-exact in r01-r03 windows)
+# Round-5 driver window (exactly 50): 9 certified sentinels + 3
+# re-certifications whose oracle/schema changed this round (q_ner_eval's
+# new unlabeled_pred column; q_media_features/q_media_resize now hash-pinned
+# via the _media_dumps twins instead of rows-only) + the 2 new fixture-MLM
+# queries (first driver certification of the REAL model-backend code path)
+# + the 12 rows-only queries that had never appeared in any driver window
+# (VERDICT r4 item 2 — after this round every battery entry is
+# driver-recorded at least once across r01-r05) + 24 previously certified
+# oracle-backed re-guards.  tests/test_driver_contract.py pins this list's
+# length, membership, and that every name resolves; its stranded checks
+# FAIL the suite if a new SQL-oracled query (or any never-recorded query)
+# is added without a window slot.
+_WINDOW_R5 = [
+    # certified sentinels (regression guard: hash-exact in r01-r04 windows)
     "q_ner_tags",
     "q_ner_mention_groups",
     "q_kg_adjacency_ner",
@@ -903,50 +1178,51 @@ _WINDOW_R4 = [
     "q_dataprep",
     "q1_lineitem_agg",
     "q_order_lineitem_join",
-    # new round-4 SQL-oracled operators: first driver record
-    "q_doc_cosine",
-    "q_late_events",
-    "q_kg_bfs",
-    # new round-4 operator + media queries now running real byte decode
+    # re-certification: oracle or schema changed this round
     "q_ner_eval",
     "q_media_features",
     "q_media_resize",
-    # round-3 oracle-backed queries getting their FIRST driver record
-    "q_full_outer_join",
-    "q_running_revenue",
-    "q_funnel_stages",
-    "q_inverted_index",
-    "q_posting_stats",
-    "q_split_assign",
-    "q_edge_lift",
-    "q_triangle_count",
-    "q_percent_rank",
-    "q_two_hop",
-    "q_gap_fill",
-    "q_cross_join",
-    "q_unpivot_stats",
-    "q_asof_next_order",
-    "q_quantiles_by_nation",
-    "q_explode_tokens",
-    "q_length_filter",
-    "q_moving_sum",
-    "q_group_stats",
-    "q_corr_partials",
-    "q_event_paths",
-    "q_skyline",
-    "q_value_histogram",
-    "q_profile_orders",
-    "q_cohort_retention",
-    "q_keep_best_doc",
-    "q_equidepth_bins",
-    "q_fuzzy_pairs",
-    "q_mad_value",
-    "q_skew_join",
-    "q_entity_resolution",
-    "q_snapshot_diff",
-    "q_constraint_checks",
-    "q_group_regression",
-    "q_incremental_histogram",
+    # new round-5: the real model-backend code path (fixture MLM)
+    "q_ner_tags_mlm",
+    "q_ner_eval_mlm",
+    # first driver record: rows-only queries never in any prior window
+    "q_semantic_dedup",
+    "q_dsir_select",
+    "q_bpe_encode",
+    "q_kg_communities",  # also re-cert: distinct-neighbor LPA semantics
+    "q_kg_ppr",
+    "q_pca_top",
+    "q_bpe_train",
+    "q_bootstrap_mean",
+    "q_pq_topk",
+    "q_tdigest_by_type",
+    "q_frame_sample",
+    "q_two_hop_approx",
+    # previously certified oracle-backed re-guards
+    "q_doc_cosine",
+    "q_late_events",
+    "q_kg_bfs",
+    "q_token_histogram",
+    "q_vocab_merge",
+    "q_jaccard_adjacent",
+    "q_quality",
+    "q_scrub_pii",
+    "q_bm25",
+    "q_zscore_balance",
+    "q_decontaminate",
+    "q_chunk_dedup",
+    "q_weighted_sample",
+    "q_boilerplate",
+    "q_window_rank",
+    "q_asof_last_order",
+    "q_distinct_users",
+    "q_revenue_by_nation",
+    "q_topk_orders_per_customer",
+    "q_sessionize",
+    "q_token_stats",
+    "q_fingerprint",
+    "q_heavy_hitters",
+    "q_top_tfidf",
 ]
 
 
@@ -1021,6 +1297,72 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS f1_ppm
             FROM pg FULL OUTER JOIN u ON pg.etype = u.etype
             ORDER BY etype
+        """,
+        "q_ner_tags_mlm": f"""
+            SELECT doc_id, span_idx, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN starts_with(tag, 'B_') THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_entities
+            FROM read_parquet('{_DUMP_ROOT}/mlmtags_*/*.parquet')
+            WHERE n_docs_total = (SELECT COUNT(*) FROM documents)
+            GROUP BY doc_id, span_idx
+        """,
+        "q_ner_eval_mlm": f"""
+            WITH mm AS (
+                SELECT m.etype AS pred, l.gold_type AS gold
+                FROM read_parquet('{_DUMP_ROOT}/mlmmentions_*/*.parquet') m
+                LEFT JOIN read_parquet('{_DUMP_ROOT}/mlmlabels_*/*.parquet') l
+                  ON m.surface_norm = l.surface_norm
+                 AND l.n_docs_total = (SELECT COUNT(*) FROM documents)
+                WHERE m.n_docs_total = (SELECT COUNT(*) FROM documents)
+            ), j AS (
+                SELECT pred, gold FROM mm WHERE gold IS NOT NULL
+            ), p AS (
+                SELECT pred AS etype,
+                       SUM(CASE WHEN pred = gold THEN 1 ELSE 0 END) AS tp,
+                       COUNT(*) AS n_pred
+                FROM j GROUP BY pred
+            ), g AS (
+                SELECT gold AS etype, COUNT(*) AS n_gold FROM j GROUP BY gold
+            ), u AS (
+                SELECT pred AS etype, COUNT(*) AS n_unlab
+                FROM mm WHERE gold IS NULL GROUP BY pred
+            ), pg AS (
+                SELECT COALESCE(p.etype, g.etype) AS etype, p.tp, p.n_pred,
+                       g.n_gold
+                FROM p FULL OUTER JOIN g ON p.etype = g.etype
+            )
+            SELECT COALESCE(pg.etype, u.etype) AS etype,
+                   CAST(COALESCE(pg.tp, 0) AS BIGINT) AS tp,
+                   CAST(COALESCE(pg.n_pred, 0) - COALESCE(pg.tp, 0) AS BIGINT) AS fp,
+                   CAST(COALESCE(pg.n_gold, 0) - COALESCE(pg.tp, 0) AS BIGINT) AS fn,
+                   CAST(COALESCE(u.n_unlab, 0) AS BIGINT) AS unlabeled_pred,
+                   CAST(CASE WHEN COALESCE(pg.n_pred, 0) = 0 THEN 0
+                        ELSE COALESCE(pg.tp, 0) * 1000000 // pg.n_pred END AS BIGINT)
+                       AS precision_ppm,
+                   CAST(CASE WHEN COALESCE(pg.n_gold, 0) = 0 THEN 0
+                        ELSE COALESCE(pg.tp, 0) * 1000000 // pg.n_gold END AS BIGINT)
+                       AS recall_ppm,
+                   CAST(2 * COALESCE(pg.tp, 0) * 1000000
+                        // GREATEST(COALESCE(pg.n_pred, 0) + COALESCE(pg.n_gold, 0), 1)
+                        AS BIGINT) AS f1_ppm
+            FROM pg FULL OUTER JOIN u ON pg.etype = u.etype
+            ORDER BY etype
+        """,
+        "q_media_features": f"""
+            SELECT doc_id, span_idx, kind,
+                   CAST(COUNT(*) AS BIGINT) AS n_dims,
+                   CAST(SUM(feat_q) AS BIGINT) AS feat_sum_q,
+                   CAST(MAX(ok_int) AS BIGINT) AS feat_ok_int
+            FROM read_parquet('{_DUMP_ROOT}/mediafeat_*/*.parquet')
+            WHERE n_docs_total = (SELECT COUNT(*) FROM documents)
+            GROUP BY doc_id, span_idx, kind
+        """,
+        "q_media_resize": f"""
+            SELECT doc_id, span_idx, kind, src_w, src_h, dst_w, dst_h,
+                   scale_q, resize_ok, resized_md5
+            FROM read_parquet('{_DUMP_ROOT}/mediaresize_*/*.parquet')
+            WHERE n_docs_total = (SELECT COUNT(*) FROM documents)
+            ORDER BY doc_id, span_idx
         """,
         "q_token_counts": f"""
             SELECT doc_id,

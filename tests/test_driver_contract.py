@@ -58,34 +58,50 @@ def test_ner_dump_queries_in_gate_window():
         assert qs.index(name) < 50
     assert len(oracles) >= 55
 
-def test_window_r4_contract():
-    """Round-4 window: exactly 50 names, all resolvable, queries() leads
-    with them in order, every never-before-certified oracle-backed query is
-    inside (so after this round all oracles are driver-certified at least
-    once), and only the two real-decode media queries are rows-only."""
+def test_window_r5_contract():
+    """Round-5 window: exactly 50 names, all resolvable, queries() leads
+    with them in order; every never-before-certified oracle-backed query is
+    inside, AND every query never RECORDED in any prior driver window is
+    inside (so after this round every battery entry has a driver record);
+    the only rows-only window entries are the 12 rotated never-recorded
+    queries."""
     import json
 
     qs = list(entrymod.queries())
     oracles = set(entrymod.oracle_sql())
-    W = entrymod._WINDOW_R4
+    W = entrymod._WINDOW_R5
     assert len(W) == 50 and len(set(W)) == 50
     assert qs[:50] == W
-    ever_hash = set()
-    for r in (1, 2, 3):
+    ever_hash, ever_recorded = set(), set()
+    for r in (1, 2, 3, 4):
         try:
             with open(f"/root/repo/CORRECTNESS_r0{r}.json") as f:
                 d = json.load(f)
         except FileNotFoundError:
             continue
+        ever_recorded |= set(d)
         ever_hash |= {k for k, v in d.items() if v.get("hash_match") is True}
-    stranded = [
+    stranded_oracle = [
         q for q in qs if q in oracles and q not in ever_hash and q not in W
     ]
-    assert not stranded, stranded
-    assert [q for q in W if q not in oracles] == [
-        "q_media_features",
-        "q_media_resize",
-    ]
+    assert not stranded_oracle, stranded_oracle
+    never_recorded = [q for q in qs if q not in ever_recorded and q not in W]
+    assert not never_recorded, never_recorded
+    rows_only = [q for q in W if q not in oracles]
+    assert rows_only == [
+        "q_semantic_dedup",
+        "q_dsir_select",
+        "q_bpe_encode",
+        "q_kg_communities",
+        "q_kg_ppr",
+        "q_pca_top",
+        "q_bpe_train",
+        "q_bootstrap_mean",
+        "q_pq_topk",
+        "q_tdigest_by_type",
+        "q_frame_sample",
+        "q_two_hop_approx",
+    ], rows_only
 
 
 def test_check_oracles_window_mode_selects_first_n():

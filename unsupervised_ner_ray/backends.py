@@ -11,21 +11,29 @@ mirroring the batched service response consumed at batched_main_NER.py:380-386
 and 426-432.  Two backends:
 
 * ``MockDescriptorBackend`` — deterministic (md5-seeded) selection from the
-  synthetic vocabulary; the tested path in this sandbox (no torch/network).
+  synthetic vocabulary; the fast default in this sandbox (no torch/network).
   Known phrases surface their own vocabulary types (so BC5CDR-style labeled
   terms are recovered); unknown phrases get hash-picked descriptors biased to
   the backend's affinity groups, which makes the bio/phi pair genuinely
   disagree and exercises every ensemble-resolution branch.
+* ``FixtureMLMBackend`` — a REAL (numpy-only) masked-LM: a tiny fixed-weight
+  bidirectional transformer over the labeled vocabulary.  It runs the exact
+  batched-padded-forward / first-mask-position / softmax-top-k /
+  signature-attach code path of the production backend in-sandbox, because
+  that path lives in the shared ``_BatchedMLMBackend`` base.
 * ``HFDescriptorBackend`` — optional HuggingFace masked-LM path, import-gated
-  (absent in this sandbox).
+  (torch absent in this sandbox).  Only the literal tokenizer/forward calls
+  are torch-specific; everything after the forward is the shared base.
 
-Both are loaded once per actor (stage ``__init__``), never per batch.
+All are loaded once per actor (stage ``__init__``), never per batch.
 """
 
 from __future__ import annotations
 
 import hashlib
 from typing import Protocol
+
+import numpy as np
 
 from .assets import (
     BIO_PRECEDENCE,
@@ -142,24 +150,266 @@ class MockDescriptorBackend:
         return descs
 
 
-class HFDescriptorBackend:
-    """Real masked-LM backend (requires transformers+torch — absent in this
-    sandbox, so construction raises NotImplementedError here and the tests
-    for it are ``pytest.importorskip``-gated).
+class _BatchedMLMBackend:
+    """Shared real-masked-LM backend logic — the service contract the
+    reference consumes from its external bert_descriptors repo
+    (/root/reference/batched_main_NER.py:264-269, 557-562): the
+    ``__entity__`` mask slot becomes the model's mask token, ONE padded
+    forward pass per batch yields logits, each sentence's FIRST mask
+    position supplies its descriptors (the reference masks exactly one span
+    per sentence copy), the top-k vocabulary tokens become the ordered
+    descriptors (``v`` = softmax probability rounded to 4 dp, the
+    reference's score rounding), and each descriptor term is annotated with
+    its entity signature from the labeled vocabulary (``e``/``e_count``,
+    D15) — the fused entity-server lookup.
 
-    Implements the same service contract the reference consumes from its
-    external bert_descriptors repo (/root/reference/batched_main_NER.py:
-    264-269, 557-562): the ``__entity__`` mask slot becomes the tokenizer's
-    mask token, ONE forward pass yields the mask position's logits, the
-    top-k vocabulary tokens become the ordered descriptors (``v`` = softmax
-    probability rounded to 4 dp, the reference's score rounding), and each
-    descriptor term is annotated with its entity signature from the labeled
-    vocabulary (``e``/``e_count``, D15) — the fused entity-server lookup.
+    Subclasses supply ONLY tokenization and the forward:
+
+    * attributes ``mask_token`` (str), ``mask_token_id`` (int)
+    * ``_encode_batch(texts) -> enc`` where ``enc["input_ids"]`` is an
+      int (B, L) numpy array (subclasses may stash framework tensors too)
+    * ``_forward_numpy(enc) -> (B, L, V)`` float numpy logits
+    * ``_decode_token(token_id) -> str``
+
+    Everything after the forward (mask-position scan, softmax, top-k with
+    deterministic index tie-break, signature attach, the numeric
+    short-circuit, single/batched predict) is numpy and SHARED — the
+    in-sandbox :class:`FixtureMLMBackend` therefore executes the identical
+    code path the torch-backed :class:`HFDescriptorBackend` uses; only the
+    literal tokenizer/forward calls differ.
+    """
+
+    name: str
+    top_k: int
+    vocab: dict
+
+    def _signature(self, term: str) -> tuple[str, str]:
+        subtypes, counts = self.vocab.get(term, (["UNTAGGED_ENTITY"], [1]))
+        return "/".join(subtypes), "/".join(str(c) for c in counts)
+
+    def _descs_from_probs(self, probs: np.ndarray) -> list[dict]:
+        k = min(self.top_k, len(probs))
+        # prob desc, token-id asc on ties — deterministic across runs
+        order = np.lexsort((np.arange(len(probs)), -probs))[:k]
+        out = []
+        for i in order:
+            term = self._decode_token(int(i))
+            e, e_count = self._signature(term)
+            out.append(
+                {
+                    "desc": term,
+                    "v": round(float(probs[i]), 4),
+                    "e": e,
+                    "e_count": e_count,
+                }
+            )
+        return out
+
+    def predict_many(self, masked_sentences: list[str]) -> list[list[dict]]:
+        """One padded forward pass for a batch of masked sentences."""
+        texts = [
+            s.replace("__entity__", self.mask_token) for s in masked_sentences
+        ]
+        enc = self._encode_batch(texts)
+        logits = self._forward_numpy(enc)
+        ids = enc["input_ids"]
+        results: list[list[dict]] = []
+        for row in range(len(texts)):
+            pos = np.nonzero(ids[row] == self.mask_token_id)[0]
+            if len(pos) == 0:  # mask truncated away -> degraded empty result
+                results.append([])
+                continue
+            lr = logits[row, int(pos[0])].astype(np.float64)
+            ex = np.exp(lr - lr.max())
+            results.append(self._descs_from_probs(ex / ex.sum()))
+        return results
+
+    def _dummy_descs(self) -> list[dict]:
+        # numeric short-circuit payload (reference main_NER.py:486-496)
+        sig = self._signature(DUMMY_DESC_TERM)
+        return [
+            {"desc": DUMMY_DESC_TERM, "v": 0.0, "e": sig[0], "e_count": sig[1]}
+            for _ in range(DUMMY_DESCS)
+        ]
+
+    @staticmethod
+    def _is_numeric(phrase: str) -> bool:
+        return phrase.replace(",", "").replace(".", "").isdigit()
+
+    def predict(self, masked_sentence: str, phrase: str, mode: str) -> list[dict]:
+        if mode == "ci" and self._is_numeric(phrase):
+            return self._dummy_descs()
+        return self.predict_many([masked_sentence])[0]
+
+    def predict_batch(
+        self, masked_sentences: list[str], phrases: list[str], modes: list[str]
+    ) -> list[list[dict]]:
+        """Batched predict with the per-item numeric short-circuit applied
+        first; all remaining items share ONE padded forward pass.  The
+        tagging core routes through this when the backend provides it (model
+        backends), falling back to per-span ``predict`` otherwise."""
+        out: list = [None] * len(masked_sentences)
+        todo = []
+        for i, (p, m) in enumerate(zip(phrases, modes)):
+            if m == "ci" and self._is_numeric(p):
+                out[i] = self._dummy_descs()
+            else:
+                todo.append(i)
+        if todo:
+            res = self.predict_many([masked_sentences[i] for i in todo])
+            for i, r in zip(todo, res):
+                out[i] = r
+        return out
+
+
+def _unit(v: np.ndarray) -> np.ndarray:
+    n = float(np.linalg.norm(v))
+    return v / n if n > 0 else v
+
+
+class FixtureMLMBackend(_BatchedMLMBackend):
+    """Numpy-only fixture masked LM: a tiny fixed-weight bidirectional
+    transformer (word-level tokenizer over the labeled vocabulary, one
+    self-attention layer + FFN with layer norms, tied input/output
+    embeddings) that executes the FULL production-backend code shape
+    in-sandbox — batched padded forward, first-mask-position logits,
+    softmax top-k, signature attach — via the shared
+    :class:`_BatchedMLMBackend` base.  No torch.
+
+    The embedding table is subtype-structured: each vocab term's row is its
+    consolidated group's base direction plus a per-(model, term)
+    perturbation, so the mask position's logits — context vectors mixed in
+    by the bidirectional attention layer — genuinely prefer terms sharing
+    the context's entity group: context-sensitive predictions, not hash
+    noise.  All weights are deterministic functions of (name, seed), so
+    outputs are stable across runs/processes and the bio/phi pair disagree
+    like the reference's two models do.
+    """
+
+    def __init__(
+        self,
+        name: str,
+        vocab: dict | None = None,
+        top_k: int = DUMMY_DESCS,
+        dim: int = 32,
+        max_length: int = 48,
+        seed: int = 0,
+    ):
+        from .assets import build_entity_map as _bem
+
+        self.name = name
+        self.top_k = top_k
+        self.dim = dim
+        self.max_length = max_length
+        self.vocab = vocab if vocab is not None else build_vocab()
+        terms = sorted(self.vocab)
+        self.itos = ["[PAD]", "[MASK]", "[UNK]", *terms]
+        self.stoi = {t: i for i, t in enumerate(self.itos)}
+        self.mask_token = "[MASK]"
+        self.mask_token_id = 1
+        self.pad_token_id = 0
+        self.unk_token_id = 2
+        emap = _bem()
+        V, d = len(self.itos), dim
+        # group base directions: hash-seeded, model-independent (the
+        # SUBTYPE GEOMETRY is shared; the per-term view of it is not)
+        gdirs: dict[str, np.ndarray] = {}
+
+        def _gvec(group: str) -> np.ndarray:
+            v = gdirs.get(group)
+            if v is None:
+                g_rng = np.random.default_rng(_stable_int("group", group, str(seed)))
+                v = _unit(g_rng.standard_normal(d))
+                gdirs[group] = v
+            return v
+
+        E = np.zeros((V, d))
+        for t in terms:
+            primary = self.vocab[t][0][0]
+            group = emap.get(primary, primary)
+            t_rng = np.random.default_rng(_stable_int("term", name, t, str(seed)))
+            E[self.stoi[t]] = _unit(_gvec(group) + 0.5 * _unit(t_rng.standard_normal(d)))
+        u_rng = np.random.default_rng(_stable_int("unk", name, str(seed)))
+        E[self.unk_token_id] = _unit(u_rng.standard_normal(d))
+        self.E = E
+        w_rng = np.random.default_rng(_stable_int("weights", name, str(seed)))
+        s = 1.0 / np.sqrt(d)
+        self.P = 0.05 * w_rng.standard_normal((max_length, d))
+        self.Wq = s * w_rng.standard_normal((d, d))
+        self.Wk = s * w_rng.standard_normal((d, d))
+        # value/output projections are NEAR-IDENTITY (identity + small
+        # model-specific noise): the attention output then carries the mean
+        # CONTEXT DIRECTION into the mask position's residual stream, so
+        # tied-embedding logits prefer the context's entity group — the
+        # fixture behaves like a (very small) trained MLM rather than a
+        # random rotation, while still executing a full transformer forward
+        self.Wv = np.eye(d) + 0.1 * s * w_rng.standard_normal((d, d))
+        self.Wo = np.eye(d) + 0.1 * s * w_rng.standard_normal((d, d))
+        self.W1 = s * w_rng.standard_normal((d, 4 * d))
+        self.W2 = (0.1 / np.sqrt(4 * d)) * w_rng.standard_normal((4 * d, d))
+
+    _PUNCT = ".,;:!?()[]\"'"
+
+    def _tokenize(self, text: str) -> list[int]:
+        out = []
+        for w in text.split():
+            if w == self.mask_token:
+                out.append(self.mask_token_id)
+                continue
+            wn = w.strip(self._PUNCT).lower()
+            out.append(self.stoi.get(wn, self.unk_token_id))
+        return out[: self.max_length]
+
+    def _encode_batch(self, texts: list[str]) -> dict:
+        rows = [self._tokenize(t) for t in texts]
+        L = max(1, max((len(r) for r in rows), default=1))
+        ids = np.full((len(rows), L), self.pad_token_id, dtype=np.int64)
+        for i, r in enumerate(rows):
+            ids[i, : len(r)] = r
+        return {"input_ids": ids}
+
+    def _decode_token(self, token_id: int) -> str:
+        return self.itos[token_id]
+
+    @staticmethod
+    def _ln(x: np.ndarray) -> np.ndarray:
+        mu = x.mean(axis=-1, keepdims=True)
+        sd = x.std(axis=-1, keepdims=True)
+        return (x - mu) / (sd + 1e-6)
+
+    def _forward_numpy(self, enc: dict) -> np.ndarray:
+        ids = enc["input_ids"]
+        B, L = ids.shape
+        d = self.dim
+        pad = ids == self.pad_token_id  # (B, L) key mask
+        h0 = self.E[ids] + self.P[:L]
+        q, k, v = h0 @ self.Wq, h0 @ self.Wk, h0 @ self.Wv
+        att = (q @ k.transpose(0, 2, 1)) / np.sqrt(d)  # (B, L, L)
+        att = np.where(pad[:, None, :], -1e9, att)  # padded keys never attend
+        att = att - att.max(axis=-1, keepdims=True)
+        a = np.exp(att)
+        a = a / a.sum(axis=-1, keepdims=True)
+        h1 = self._ln(h0 + (a @ v) @ self.Wo)
+        h2 = self._ln(h1 + np.maximum(h1 @ self.W1, 0.0) @ self.W2)
+        logits = h2 @ self.E.T  # tied embeddings
+        logits[:, :, : self.unk_token_id + 1] = -1e9  # never emit specials
+        return logits
+
+
+class HFDescriptorBackend(_BatchedMLMBackend):
+    """HuggingFace masked-LM backend (requires transformers+torch — absent
+    in this sandbox, so construction raises NotImplementedError here and
+    the tests for it are ``pytest.importorskip``-gated).
+
+    All post-forward logic (mask scan, softmax top-k, signature attach,
+    numeric short-circuit, batched predict) is the shared
+    :class:`_BatchedMLMBackend` base — exercised in-sandbox through
+    :class:`FixtureMLMBackend`.  This subclass contains ONLY the literal
+    torch/transformers calls: tokenizer encode and the no-grad forward.
 
     Model + tokenizer + vocab are loaded ONCE in ``__init__``; the class is
     meant to live inside a ``map_batches`` actor (stage constructs it per
-    worker, never per batch).  ``predict_many`` batches several masked
-    sentences into one padded forward pass for throughput.
+    worker, never per batch).
     """
 
     def __init__(
@@ -177,7 +427,8 @@ class HFDescriptorBackend:
         except ImportError as exc:  # pragma: no cover
             raise NotImplementedError(
                 "HFDescriptorBackend needs torch+transformers; use "
-                "MockDescriptorBackend in this environment"
+                "FixtureMLMBackend or MockDescriptorBackend in this "
+                "environment"
             ) from exc
         self.name = name
         self.top_k = top_k
@@ -189,59 +440,49 @@ class HFDescriptorBackend:
         self.model = AutoModelForMaskedLM.from_pretrained(model_name)
         self.model.to(device)
         self.model.eval()
+        self.mask_token = self.tokenizer.mask_token
+        self.mask_token_id = self.tokenizer.mask_token_id
 
-    def _signature(self, term: str) -> tuple[str, str]:
-        subtypes, counts = self.vocab.get(term, (["UNTAGGED_ENTITY"], [1]))
-        return "/".join(subtypes), "/".join(str(c) for c in counts)
-
-    def _descs_from_logits(self, logits_row) -> list[dict]:
-        torch = self._torch
-        probs = torch.softmax(logits_row, dim=-1)
-        topv, topi = probs.topk(self.top_k)
-        out = []
-        for v, i in zip(topv.tolist(), topi.tolist()):
-            term = self.tokenizer.decode([int(i)]).strip().lower()
-            e, e_count = self._signature(term)
-            out.append({"desc": term, "v": round(float(v), 4), "e": e, "e_count": e_count})
-        return out
-
-    def predict_many(self, masked_sentences: list[str]) -> list[list[dict]]:
-        """One padded forward pass for a batch of masked sentences; each
-        sentence's FIRST mask position supplies its descriptor list (the
-        reference masks exactly one span per sentence copy)."""
-        torch = self._torch
-        texts = [s.replace("__entity__", self.tokenizer.mask_token) for s in masked_sentences]
+    def _encode_batch(self, texts: list[str]) -> dict:  # pragma: no cover
         enc = self.tokenizer(
             texts, return_tensors="pt", padding=True,
             truncation=True, max_length=self.max_length,
         ).to(self.device)
+        return {"input_ids": enc["input_ids"].cpu().numpy(), "_pt": enc}
+
+    def _forward_numpy(self, enc: dict):  # pragma: no cover
+        torch = self._torch
         with torch.no_grad():
-            logits = self.model(**enc).logits
-        results: list[list[dict]] = []
-        mask_id = self.tokenizer.mask_token_id
-        for row in range(len(texts)):
-            pos = (enc["input_ids"][row] == mask_id).nonzero(as_tuple=True)[0]
-            if len(pos) == 0:  # mask truncated away -> degraded empty result
-                results.append([])
-                continue
-            results.append(self._descs_from_logits(logits[row, int(pos[0])]))
-        return results
+            logits = self.model(**enc["_pt"]).logits
+        return logits.cpu().numpy()
 
-    def predict(self, masked_sentence: str, phrase: str, mode: str) -> list[dict]:
-        if mode == "ci" and phrase.replace(",", "").replace(".", "").isdigit():
-            sig = self._signature(DUMMY_DESC_TERM)
-            return [
-                {"desc": DUMMY_DESC_TERM, "v": 0.0, "e": sig[0], "e_count": sig[1]}
-                for _ in range(DUMMY_DESCS)
-            ]
-        return self.predict_many([masked_sentence])[0]
+    def _decode_token(self, token_id: int) -> str:  # pragma: no cover
+        return self.tokenizer.decode([token_id]).strip().lower()
 
 
-def default_backends(top_k: int = DUMMY_DESCS) -> list[MockDescriptorBackend]:
+def default_backends(
+    top_k: int = DUMMY_DESCS, scorer_backend: str = "mock"
+) -> list:
     """The two-model ensemble (bio + phi), mirroring the reference's paired
-    NER servers (ensemble/config.json actions_arr)."""
+    NER servers (ensemble/config.json actions_arr).  ``scorer_backend``
+    picks the model class: "mock" (hash mock, fastest), "fixture_mlm" (real
+    numpy MLM forward — the production code shape), or "hf" (torch; raise
+    here, construct :class:`HFDescriptorBackend` directly with model
+    names)."""
     vocab = build_vocab()
-    return [
-        MockDescriptorBackend("bio", vocab, top_k),
-        MockDescriptorBackend("phi", vocab, top_k),
-    ]
+    if scorer_backend == "mock":
+        return [
+            MockDescriptorBackend("bio", vocab, top_k),
+            MockDescriptorBackend("phi", vocab, top_k),
+        ]
+    if scorer_backend == "fixture_mlm":
+        return [
+            FixtureMLMBackend("bio", vocab, top_k),
+            FixtureMLMBackend("phi", vocab, top_k),
+        ]
+    if scorer_backend == "hf":
+        raise ValueError(
+            "scorer_backend='hf' needs explicit model names: construct "
+            "HFDescriptorBackend('bio', model_name=...) directly"
+        )
+    raise ValueError(f"unknown scorer_backend {scorer_backend!r}")

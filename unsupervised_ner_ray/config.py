@@ -26,6 +26,11 @@ class PipelineConfig:
     tagger_batch_size: int = 256
     tagger_concurrency: int = 8
     num_output_shards: int = 16
+    # descriptor-scorer backend: "mock" (hash mock — fastest, the default
+    # benchmark path), "fixture_mlm" (real numpy masked-LM forward: the
+    # production backend's exact batched/top-k/signature code shape,
+    # backends.FixtureMLMBackend), or "hf" (torch, explicit construction)
+    scorer_backend: str = "mock"
     # POS backend for unmarked sentences: "heuristic" (closed-class
     # POS-lite, zero setup) or "perceptron" (averaged-perceptron tagger
     # trained once per actor from the in-package fixture — better span

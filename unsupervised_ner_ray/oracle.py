@@ -30,7 +30,7 @@ def oracle_tag_corpus(
                            obj_type, subj_id, obj_id)}.
     """
     emap = build_entity_map()
-    backends = default_backends(config.top_k_descs)
+    backends = default_backends(config.top_k_descs, config.scorer_backend)
     tag_rows = []
     triple_rows = []
     for row in documents.to_pylist():

@@ -81,7 +81,7 @@ class NerTagger:
 
         self.config = config
         self.emap = build_entity_map()
-        self.backends = default_backends(config.top_k_descs)
+        self.backends = default_backends(config.top_k_descs, config.scorer_backend)
         self.servers_config = SERVERS_CONFIG
         # POS model state is per-actor (trained/loaded ONCE here, like the
         # descriptor backends), selected by config
@@ -222,7 +222,11 @@ class SingleModelTagger:
 
         self.config = config
         self.emap = build_entity_map()
-        self.backend = [b for b in default_backends(config.top_k_descs) if b.name == model_name][0]
+        self.backend = [
+            b
+            for b in default_backends(config.top_k_descs, config.scorer_backend)
+            if b.name == model_name
+        ][0]
         self.model_name = model_name
 
     def __call__(self, batch: pa.Table) -> pa.Table:
