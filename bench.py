@@ -187,12 +187,21 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("q_media_decode", _media)
     timed("q_two_hop", lambda: _kg.two_hop_counts(docs_tbl).to_pandas())
     timed("q_bm25", lambda: textstats.bm25_rank(docs_tbl))
-    timed(
-        "q_doc_cosine",
-        lambda: textstats.shingle_cosine_pairs(
-            read_sf(sf_dir, "documents", columns=["doc_id", "text"])
-        ).to_pandas(),
-    )
+    def _doc_cosine():
+        # no-silent-caps: surface how much posting mass the df prune dropped
+        stats = textstats.SsjoinPruneStats.remote()
+        out = textstats.shingle_cosine_pairs(
+            read_sf(sf_dir, "documents", columns=["doc_id", "text"]),
+            prune_stats=stats,
+        ).to_pandas()
+        print(
+            "q_doc_cosine prune stats:",
+            ray.get(stats.get.remote()),
+            file=sys.stderr,
+        )
+        return out
+
+    timed("q_doc_cosine", _doc_cosine)
 
     def _semantic_dedup():
         from unsupervised_ner_ray.stages.similarity import semantic_dedup

@@ -1902,6 +1902,74 @@ def test_graph_ops_skewed_scale_smoke(ray_session):
     )
 
 
+@pytest.mark.skipif(
+    __import__("os").environ.get("RUN_SCALE_SMOKE") != "1",
+    reason="traversal smoke; run with RUN_SCALE_SMOKE=1 "
+    "(result recorded in BASELINE.md)",
+)
+def test_bfs_lpa_distributed_scale_smoke(ray_session):
+    """10⁶-edge planted-community graph through the FORCED at-scale regimes
+    (broadcast_threshold=0: Dataset frontier / Dataset labels, tagged-union
+    co-partition joins, O(1) driver state) — the two round-4 traversal ops
+    that had no large smoke (VERDICT r4 item 7).
+
+    Graph: 25k disjoint communities x 20 nodes, 40 random internal edges
+    each (avg degree ~4).  Disjointness makes the assertions exact: BFS from
+    100 community-seed nodes may only reach those communities; LPA labels
+    can never cross a community boundary."""
+    import time
+
+    rd = _rd()
+    from unsupervised_ner_ray.stages.kg import bfs_hops, label_propagation
+
+    n_comm, comm_size, epc = 25_000, 20, 40
+    rng = np.random.default_rng(17)
+    base = np.repeat(np.arange(n_comm, dtype=np.int64) * comm_size, epc)
+    lo = base + rng.integers(0, comm_size, size=n_comm * epc)
+    hi = base + rng.integers(0, comm_size, size=n_comm * epc)
+    keep = lo != hi
+    names_s = np.char.add("n", lo[keep].astype("U7"))
+    names_o = np.char.add("n", hi[keep].astype("U7"))
+    edges = (
+        rd.from_pandas(pd.DataFrame({"s": names_s, "o": names_o}))
+        .repartition(32)
+        .materialize()
+    )
+    n_edges = edges.count()
+    assert n_edges > 900_000
+
+    seeds = [f"n{c * comm_size}" for c in range(100)]
+    t0 = time.time()
+    hops = bfs_hops(
+        edges, seeds, max_hops=4, broadcast_threshold=0
+    ).to_pandas()
+    t_bfs = time.time() - t0
+    got_comm = hops["node"].str[1:].astype(np.int64) // comm_size
+    assert (got_comm < 100).all()  # reachability never leaves seed comms
+    assert (hops["dist"] <= 4).all()
+    at_zero = set(hops.loc[hops["dist"] == 0, "node"])
+    assert at_zero == set(seeds)
+    assert len(hops) >= 100 * comm_size // 2  # avg degree 4 -> most reached
+
+    t0 = time.time()
+    comm = label_propagation(
+        edges, max_iters=6, broadcast_threshold=0
+    ).to_pandas()
+    t_lpa = time.time() - t0
+    assert len(comm) == len(set(names_s) | set(names_o))
+    node_c = comm["node"].str[1:].astype(np.int64) // comm_size
+    label_c = comm["community"].str[1:].astype(np.int64) // comm_size
+    assert (node_c == label_c).all()  # labels never cross communities
+    # dense disjoint groups collapse: far fewer labels than nodes
+    assert comm["community"].nunique() < len(comm) // 4
+    print(
+        f"SMOKE traversal edges={n_edges} bfs_hops(4 hops, forced "
+        f"distributed) {t_bfs:.1f}s reached={len(hops)}; label_propagation"
+        f"(6 iters, forced distributed) {t_lpa:.1f}s "
+        f"labels={comm['community'].nunique()}"
+    )
+
+
 def test_moving_sum_rows_frame(ray_session):
     """ROWS BETWEEN 2 PRECEDING AND CURRENT ROW: window clamps at each
     customer's first rows and never crosses customers."""
@@ -2954,6 +3022,40 @@ def test_shingle_cosine_pairs_forced_distributed(ray_session):
     ).to_pandas()
     assert len(a) > 0
     assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+
+
+def test_shingle_cosine_prune_stats_telemetry(ray_session):
+    """No-silent-caps: the df>max_df prune reports dropped shingle groups and
+    posting rows through the SsjoinPruneStats actor — zero at the default
+    max_df (the exact regime on the test corpora), non-zero once max_df is
+    forced below the corpus's true max df."""
+    import ray as _ray
+
+    rd = _rd()
+    from unsupervised_ner_ray.stages.textstats import (
+        SsjoinPruneStats,
+        shingle_cosine_pairs,
+    )
+
+    docs = rd.read_parquet(SF + "/documents.parquet", columns=["doc_id", "text"])
+
+    exact_stats = SsjoinPruneStats.remote()
+    exact = shingle_cosine_pairs(
+        docs, threshold=0.5, prune_stats=exact_stats
+    ).to_pandas()
+    got = _ray.get(exact_stats.get.remote())
+    assert got == {"shingles_dropped": 0, "posting_rows_dropped": 0}
+
+    pruned_stats = SsjoinPruneStats.remote()
+    pruned = shingle_cosine_pairs(
+        docs, threshold=0.5, max_df=2, prune_stats=pruned_stats
+    ).to_pandas()
+    got2 = _ray.get(pruned_stats.get.remote())
+    assert got2["shingles_dropped"] > 0
+    # every dropped group had df > 2 posting rows
+    assert got2["posting_rows_dropped"] > 2 * got2["shingles_dropped"]
+    # pruning only removes dot mass -> never MORE surviving pairs
+    assert len(pruned) <= len(exact)
 
 
 def test_semantic_dedup_planted_groups(ray_session):

@@ -53,6 +53,9 @@ def main(argv: list[str] | None = None) -> int:
     tagp = sub.add_parser("tag-file")
     tagp.add_argument("--input", required=True)
     tagp.add_argument("--out", required=True)
+    servep = sub.add_parser("serve")
+    servep.add_argument("--port", type=int, default=8086)
+    servep.add_argument("--scorer-backend", default=None)
     args = p.parse_args(argv)
 
     if args.cmd == "gen":
@@ -71,6 +74,21 @@ def main(argv: list[str] | None = None) -> int:
         import ray
 
         ray.shutdown()
+        return 0
+
+    if args.cmd == "serve":
+        # reference entry point parity: batched_p3_server.py (default port
+        # 8086).  In-process tagging state, no Ray session needed.
+        from .config import PipelineConfig
+        from .serving import serve_forever
+
+        cfg = (
+            PipelineConfig(scorer_backend=args.scorer_backend)
+            if args.scorer_backend
+            else None
+        )
+        print(json.dumps({"serving": True, "port": args.port}), flush=True)
+        serve_forever(args.port, cfg)
         return 0
 
     if args.cmd == "tag-file":

@@ -131,7 +131,22 @@ def run_flagship_checkpointed(
                 _shard_filter(shard, n), batch_format="pyarrow"
             )
         tagged = run_tagging(docs, config).materialize()
-        kg = run_kg_from_tagged(tagged, config)
+        # entities via persisted MERGEABLE partials: the shard writes its
+        # (surface_norm, etype, surface, n) sufficient statistics so a
+        # later corpus append can refresh the global entity table without
+        # re-tagging this shard (pipelines/incremental.py).  The partials
+        # are key-bounded — materializing them pins a table orders of
+        # magnitude smaller than the corpus — and entities finalize FROM
+        # them, so the mention pipeline still runs exactly once.
+        from ..stages.kg import entity_count_partials, finalize_entity_partials
+
+        mentions = link_mentions(explode_mentions(tagged))
+        partials = entity_count_partials(mentions, config).materialize()
+        kg = {
+            "entities": finalize_entity_partials(partials),
+            "triples": explode_triples(tagged),
+        }
+        kg["adjacency"] = build_adjacency(kg["triples"])
 
         # operational metrics for the shard's manifest record (lineage +
         # metrics per partition, north_rule)
@@ -158,6 +173,7 @@ def run_flagship_checkpointed(
         return {
             "tagged": tagged,
             "entities": kg["entities"],
+            "entity_partials": partials,
             "triples": kg["triples"],
             "adjacency": kg["adjacency"],
             "__metrics__": {

@@ -647,20 +647,25 @@ def link_mentions_shuffled(mentions, vocab: dict | None = None, num_parts: int =
     return partitioned_apply(resolved, ident, _pick_part, num_parts=num_parts)
 
 
-def canonicalize_mentions(
+def entity_count_partials(
     mentions, config: PipelineConfig = DEFAULT_CONFIG
 ):
-    """Mentions -> canonical entity table.
+    """Mentions -> MERGEABLE canonicalization partials: one row per
+    (surface_norm, etype, surface) with its mention count ``n``.
+
+    These are the sufficient statistics of :func:`canonicalize_mentions`'
+    majority votes — partials from disjoint corpora (shards, incremental
+    append generations) merge by concatenation, and
+    :func:`finalize_entity_partials` over the union equals a full
+    recompute.  The checkpointed flagship persists them per shard so
+    appended corpora update the entity table WITHOUT re-tagging old docs
+    (pipelines/incremental.py).
 
     Phase 1 (combiner, inside map_batches — no shuffle): per-batch counts per
     (surface_norm, etype); a ``salt`` column hash-splits head keys so no
     single reducer sees all partials of a hot surface.
-    Phase 2: groupby(surface_norm, salt) merges within salt buckets, then
-    groupby(surface_norm) merges the <= S bucket rows per key — both
-    small shuffles over pre-aggregated data.
-
-    Output: eid, surface_norm, surface (most frequent raw form), etype
-    (majority vote), n_mentions.
+    Phase 2: groupby(surface_norm, salt) merges within salt buckets — a
+    small shuffle over pre-aggregated data.
     """
     salt_buckets = config.canon_salt_buckets
 
@@ -710,9 +715,25 @@ def canonicalize_mentions(
 
     from .grouping import partitioned_apply
 
-    bucketed = partitioned_apply(
+    return partitioned_apply(
         partials, ["surface_norm", "salt"], _merge_bucket, num_parts=64
     )
+
+
+def finalize_entity_partials(bucketed):
+    """(surface_norm, etype, surface, n) partials -> canonical entity table.
+
+    Safe over MERGED partials (same key appearing in many rows — e.g. the
+    union of per-shard partial tables): every vote and total sums the
+    partition's rows per key before deciding, so
+    ``finalize(concat(partials_a, partials_b)) == finalize(partials(a ∪ b))``
+    exactly (pinned by tests/test_incremental.py).
+
+    Output: eid, surface_norm, surface (most frequent raw form), etype
+    (majority vote), n_mentions — deterministic at ties by
+    (count desc, value asc).
+    """
+    from .grouping import partitioned_apply
 
     def _finalize(part: pd.DataFrame) -> pd.DataFrame:
         # vectorized across ALL surface groups in the partition (a per-group
@@ -753,6 +774,20 @@ def canonicalize_mentions(
         return out[["eid", "surface_norm", "surface", "etype", "n_mentions"]]
 
     return partitioned_apply(bucketed, "surface_norm", _finalize, num_parts=64)
+
+
+def canonicalize_mentions(
+    mentions, config: PipelineConfig = DEFAULT_CONFIG
+):
+    """Mentions -> canonical entity table (north_rule canonicalization).
+
+    Composition of :func:`entity_count_partials` (combiner + salted
+    2-phase merge) and :func:`finalize_entity_partials` (per-key majority
+    votes); split so incremental appends can persist and later re-merge the
+    partials.  Output: eid, surface_norm, surface (most frequent raw
+    form), etype (majority vote), n_mentions.
+    """
+    return finalize_entity_partials(entity_count_partials(mentions, config))
 
 
 def token_mentions(docs):

@@ -1601,6 +1601,33 @@ def _shingle_posting_pairs(docs, n: int = 3):
     return docs.map_batches(_post, batch_format="pyarrow")
 
 
+@ray.remote(num_cpus=0)
+class SsjoinPruneStats:
+    """Side-channel counter for :func:`shingle_cosine_pairs`' df prune.
+
+    The ssjoin silently truncates dot-product mass once a shingle's df
+    exceeds ``max_df`` — the repo's no-silent-caps rule (COVERAGE.md) wants
+    that loss observable.  Pair-generation tasks ``add`` their per-partition
+    drop counts (commutative sums, so task ordering doesn't matter; task
+    RETRIES can double-count — telemetry, not an oracle input).  Read with
+    ``get()`` AFTER the output dataset has been consumed.
+    """
+
+    def __init__(self):
+        self._shingles = 0
+        self._rows = 0
+
+    def add(self, shingles_dropped: int, posting_rows_dropped: int) -> None:
+        self._shingles += int(shingles_dropped)
+        self._rows += int(posting_rows_dropped)
+
+    def get(self) -> dict:
+        return {
+            "shingles_dropped": self._shingles,
+            "posting_rows_dropped": self._rows,
+        }
+
+
 def shingle_cosine_pairs(
     docs,
     threshold: float = 0.5,
@@ -1608,6 +1635,7 @@ def shingle_cosine_pairs(
     max_df: int = 100,
     broadcast_max_docs: int = 5_000_000,
     num_parts: int = 64,
+    prune_stats=None,
 ):
     """All-pairs sparse cosine similarity join over token-``shingle_n``-gram
     tf vectors — the similarity self-join (ssjoin) shape of near-duplicate
@@ -1636,6 +1664,11 @@ def shingle_cosine_pairs(
     Reference tie-in: the reference dedups evaluation sentences exactly
     (aggregate_server_response.py); this is the graded similarity-join
     generalization over the documents table.
+
+    ``prune_stats``: optional :class:`SsjoinPruneStats` actor handle; when
+    given, each pair partition reports how many shingle groups and posting
+    rows the ``df > max_df`` gate dropped, so callers can tell whether the
+    result is exact (0 dropped) or prefix-pruned.
     """
     from ray.data.aggregate import Sum as _Sum
 
@@ -1681,6 +1714,11 @@ def shingle_cosine_pairs(
         # df gate: 2 <= df <= max_df (df == tokens' distinct docs == group
         # size: (doc, shingle) rows are unique by construction)
         keep_grp = (sizes >= 2) & (sizes <= max_df)
+        if prune_stats is not None:
+            over = sizes > max_df
+            n_over = int(over.sum())
+            if n_over:
+                prune_stats.add.remote(n_over, int(sizes[over].sum()))
         if not keep_grp.any():
             return empty
         row_end = np.repeat(grp_end, sizes)
