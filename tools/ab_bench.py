@@ -18,6 +18,8 @@ import os
 import sys
 import time
 
+sys.path.insert(0, "/root/repo")
+
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
