@@ -2565,6 +2565,47 @@ def test_skew_join_hot_key_missing_from_build(ray_session):
     assert (out["c_nationkey"].to_numpy() == out["user_id"].to_numpy() * 10).all()
 
 
+def test_skew_join_duplicate_build_keys_hot_path(ray_session):
+    """A hot key with MULTIPLE build rows must emit one output row per
+    matching build row (generic inner-join multiplicity) — forces the
+    span-expansion branch of _HotJoin (build keys non-unique), the slow
+    twin of the unique-key single-lookup fast path."""
+    from unsupervised_ner_ray.stages.joins import skew_join
+
+    rd = _rd()
+    rng = np.random.default_rng(5)
+    n = 2_000
+    keys = np.where(rng.random(n) < 0.5, 3, rng.integers(0, 40, n))
+    probe = rd.from_items(
+        [{"event_id": i, "user_id": int(k)} for i, k in enumerate(keys)]
+    ).repartition(4)
+    # keys 0..39, the hot key 3 carries THREE build rows, key 7 two
+    build_rows = [{"c_custkey": k, "c_nationkey": k * 10} for k in range(40)]
+    build_rows += [
+        {"c_custkey": 3, "c_nationkey": 31},
+        {"c_custkey": 3, "c_nationkey": 32},
+        {"c_custkey": 7, "c_nationkey": 71},
+    ]
+    build = rd.from_items(build_rows)
+    ppd = pd.DataFrame({"event_id": np.arange(n), "user_id": keys})
+    bpd = pd.DataFrame(build_rows)
+    want = (
+        ppd.merge(bpd, left_on="user_id", right_on="c_custkey")
+        .drop(columns=["c_custkey"])
+        .sort_values(["event_id", "c_nationkey"])
+        .reset_index(drop=True)
+        .astype(np.int64)
+    )
+    got = (
+        skew_join(probe, build, "user_id", "c_custkey", sample_mod=1, hot_frac=0.2)
+        .to_pandas()[["event_id", "user_id", "c_nationkey"]]
+        .astype(np.int64)
+        .sort_values(["event_id", "c_nationkey"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_fuzzy_pairs_non_ascii_no_false_positives(ray_session):
     """Multi-byte surfaces: byte-level compare stays CONSERVATIVE (a 1-char
     multi-byte substitution costs 2 byte edits, so it is not reported) and

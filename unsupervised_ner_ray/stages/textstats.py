@@ -1459,12 +1459,29 @@ def bpe_train(docs, num_merges: int = 10):
     def _apply_merge(left: str, right: str):
         return _bpe_merge_pass(left, right)
 
+    def _block_argmax(t: pa.Table) -> pa.Table:
+        # per-block winner under the merge order (count desc, pair lex asc);
+        # groupby output blocks hold DISJOINT pairs, so the global winner is
+        # the winner among block winners — the driver pull shrinks from the
+        # full pair-vocab table to <= num_blocks rows
+        if len(t) == 0:
+            return pa.table(
+                {"left": pa.array([], pa.string()),
+                 "right": pa.array([], pa.string()),
+                 "n": pa.array([], pa.int64())}
+            )
+        df = t.to_pandas().sort_values(
+            ["n", "left", "right"], ascending=[False, True, True], kind="mergesort"
+        )
+        return pa.Table.from_pandas(df.head(1), preserve_index=False)
+
     merges = []
     for rank in range(num_merges):
         counts = (
             words.map_batches(_pair_counts, batch_format="pyarrow")
             .groupby(["left", "right"])
             .aggregate(Sum("n", alias_name="n"))
+            .map_batches(_block_argmax, batch_format="pyarrow")
             .to_pandas()
         )
         if counts.empty:
