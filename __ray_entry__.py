@@ -667,6 +667,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             synthesize_payloads(extract_media_refs(_ner_corpus(sf_dir)))
         ).drop_columns(["payload"])
 
+    def q_image_phash(sf_dir: str):
+        # round-5: perceptual-hash image near-dup — REAL byte decode ->
+        # 64-bit DCT pHash -> SimHash-style band LSH -> exact hamming
+        # verify.  Planted cross-format re-encode twins (every 4th image
+        # raster, lossless BMP) are the expected pairs; rows-only
+        # (the hash is a pixel-domain DCT, no SQL face)
+        from unsupervised_ner_ray.stages.multimodal import (
+            phash_image_pairs,
+            plant_near_dup_payloads,
+            synthesize_payloads,
+        )
+
+        planted = plant_near_dup_payloads(
+            synthesize_payloads(extract_media_refs(_ner_corpus(sf_dir))), every=4
+        )
+        return phash_image_pairs(planted, max_hamming=3).sort(["a", "b"])
+
+    def q_kg_kcore(sf_dir: str):
+        # round-5: k-core decomposition over the bigram graph (KG-cleaning
+        # face: keep the densely-linked core).  Rows-only (iterative
+        # peeling SHRINKS a set — recursive CTEs only grow one)
+        from unsupervised_ner_ray.stages.kg import bigram_triples, k_core
+
+        edges = (
+            bigram_triples(_docs(sf_dir))
+            .select_columns(["subj_norm", "obj_norm"])
+            .map_batches(
+                lambda t: t.rename_columns(["s", "o"]), batch_format="pyarrow"
+            )
+        )
+        return k_core(edges, k=3)
+
     def q_dataprep(sf_dir: str):
         from unsupervised_ner_ray.pipelines.dataprep import run_dataprep
 
@@ -1146,6 +1178,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bigram graph (deterministic tie-breaks; dual-regime pinned by a
         # forced-path test).  Rows-only (iterative)
         "q_kg_communities": q_kg_communities,
+        # round-5: pHash image near-dup (real byte decode -> DCT hash ->
+        # band LSH) over planted cross-format re-encode twins.  Rows-only
+        "q_image_phash": q_image_phash,
+        # round-5: k-core decomposition over the bigram graph (dual-regime
+        # peel, forced-path pinned).  Rows-only (iterative shrink)
+        "q_kg_kcore": q_kg_kcore,
     }
 
     # The driver records the FIRST 50 entries: reorder the battery so the
@@ -1162,8 +1200,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # queries (first driver certification of the REAL model-backend code path)
 # + the 12 rows-only queries that had never appeared in any driver window
 # (VERDICT r4 item 2 — after this round every battery entry is
-# driver-recorded at least once across r01-r05) + 24 previously certified
-# oracle-backed re-guards.  tests/test_driver_contract.py pins this list's
+# driver-recorded at least once across r01-r05) + the 2 new round-5
+# operators (q_image_phash, q_kg_kcore — rows-only, first record) + 22
+# previously certified oracle-backed re-guards (q_heavy_hitters/q_top_tfidf,
+# certified r02, ceded their slots to the new ops).
+# tests/test_driver_contract.py pins this list's
 # length, membership, and that every name resolves; its stranded checks
 # FAIL the suite if a new SQL-oracled query (or any never-recorded query)
 # is added without a window slot.
@@ -1221,8 +1262,11 @@ _WINDOW_R5 = [
     "q_sessionize",
     "q_token_stats",
     "q_fingerprint",
-    "q_heavy_hitters",
-    "q_top_tfidf",
+    # new round-5 operators (rows-only; first driver record) — they take
+    # the last two slots, displacing two already-certified re-guards
+    # (q_heavy_hitters r02, q_top_tfidf r02)
+    "q_image_phash",
+    "q_kg_kcore",
 ]
 
 

@@ -185,6 +185,37 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ).to_pandas()
 
     timed("q_media_decode", _media)
+
+    # round-5: pHash image near-dup over planted cross-format twins
+    def _phash():
+        from unsupervised_ner_ray.stages.multimodal import (
+            extract_media_refs,
+            phash_image_pairs,
+            plant_near_dup_payloads,
+            synthesize_payloads,
+        )
+
+        planted = plant_near_dup_payloads(
+            synthesize_payloads(extract_media_refs(corpus_from_sf(sf_dir))), every=4
+        )
+        return phash_image_pairs(planted, max_hamming=3).to_pandas()
+
+    timed("q_image_phash", _phash)
+
+    # round-5: k-core peel over the bigram graph
+    def _kcore():
+        from unsupervised_ner_ray.stages.kg import bigram_triples, k_core
+
+        edges = (
+            bigram_triples(read_sf(sf_dir, "documents", columns=["doc_id", "text"]))
+            .select_columns(["subj_norm", "obj_norm"])
+            .map_batches(
+                lambda t: t.rename_columns(["s", "o"]), batch_format="pyarrow"
+            )
+        )
+        return k_core(edges, k=3).to_pandas()
+
+    timed("q_kg_kcore", _kcore)
     timed("q_two_hop", lambda: _kg.two_hop_counts(docs_tbl).to_pandas())
     timed("q_bm25", lambda: textstats.bm25_rank(docs_tbl))
     def _doc_cosine():

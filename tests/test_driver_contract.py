@@ -64,7 +64,7 @@ def test_window_r5_contract():
     inside, AND every query never RECORDED in any prior driver window is
     inside (so after this round every battery entry has a driver record);
     the only rows-only window entries are the 12 rotated never-recorded
-    queries."""
+    queries plus the two new round-5 operators (pHash near-dup, k-core)."""
     import json
 
     qs = list(entrymod.queries())
@@ -101,6 +101,8 @@ def test_window_r5_contract():
         "q_tdigest_by_type",
         "q_frame_sample",
         "q_two_hop_approx",
+        "q_image_phash",
+        "q_kg_kcore",
     ], rows_only
 
 

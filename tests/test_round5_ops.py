@@ -1,0 +1,231 @@
+"""Round-5 operator tests: perceptual-hash image near-dup + k-core."""
+
+import sys
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+sys.path.insert(0, "/root/repo")
+
+
+def _rd():
+    import ray.data as rd
+
+    return rd
+
+
+# ---------------------------------------------------------------------------
+# pHash
+
+
+def test_phash64_format_invariance_and_noise():
+    """Same raster encoded as PPM/BMP/PNG/GIF decodes to identical pixels
+    -> identical pHash; mild noise on a SMOOTH image moves the hash by at
+    most a few bits; independent random rasters are far apart."""
+    from unsupervised_ner_ray.functions import media_codecs as mc
+    from unsupervised_ner_ray.stages.multimodal import phash64
+
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (40, 56, 3)).astype(np.uint8)
+    h_ref = phash64(img)
+    # lossless containers decode to identical pixels -> identical hash
+    for enc in (mc.encode_ppm, mc.encode_bmp, mc.encode_png):
+        assert phash64(mc.decode_image(enc(img))) == h_ref
+    # JPEG (quant=1) and GIF (median-cut palette) are lossy: close, not equal
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert ham(phash64(mc.decode_image(mc.encode_jpeg(img))), h_ref) <= 8
+    assert ham(phash64(mc.decode_image(mc.encode_gif(img))), h_ref) <= 8
+
+    # smooth gradient: low-frequency mass dominates, so +/-2 pixel noise
+    # flips only near-median sign bits (measured 2-8 across seeds; an
+    # unrelated raster sits at ~32)
+    gx = np.linspace(0, 255, 64)[None, :]
+    gy = np.linspace(0, 255, 48)[:, None]
+    smooth = np.clip(gx + gy, 0, 255)[..., None].repeat(3, axis=2).astype(np.uint8)
+    noisy = np.clip(
+        smooth.astype(np.int64) + rng.randint(-2, 3, smooth.shape), 0, 255
+    ).astype(np.uint8)
+    assert ham(phash64(smooth), phash64(noisy)) <= 12
+
+    other = rng.randint(0, 256, (40, 56, 3)).astype(np.uint8)
+    assert ham(h_ref, phash64(other)) > 10
+
+
+def test_phash_image_pairs_planted(ray_session):
+    """Two planted dup groups (same raster, different container format)
+    come back as hamming-0 pairs; unrelated images produce no pairs."""
+    from unsupervised_ner_ray.functions import media_codecs as mc
+    from unsupervised_ner_ray.stages.multimodal import phash_image_pairs
+
+    rd = _rd()
+    rng = np.random.RandomState(11)
+    imgs = [rng.randint(0, 256, (32, 32, 3)).astype(np.uint8) for _ in range(4)]
+    rows = [
+        ("img-0a", mc.encode_ppm(imgs[0])),
+        ("img-0b", mc.encode_bmp(imgs[0])),
+        ("img-1a", mc.encode_png(imgs[1])),
+        ("img-1b", mc.encode_ppm(imgs[1])),
+        ("img-2", mc.encode_ppm(imgs[2])),
+        ("img-3", mc.encode_bmp(imgs[3])),
+    ]
+    tbl = pa.table(
+        {
+            "media_ref": pa.array([r for r, _ in rows], pa.string()),
+            "kind": pa.array(["image"] * len(rows), pa.string()),
+            "payload": pa.array([p for _, p in rows], pa.binary()),
+        }
+    )
+    pairs = phash_image_pairs(rd.from_arrow(tbl), max_hamming=3, num_parts=4).to_pandas()
+    got = {tuple(sorted((a, b))): h for a, b, h in pairs.itertuples(index=False)}
+    assert got.get(("img-0a", "img-0b")) == 0
+    assert got.get(("img-1a", "img-1b")) == 0
+    assert len(got) == 2, got
+
+
+def test_phash_quarantines_corrupt_payload(ray_session):
+    """A truncated buffer degrades to phash_ok=false for that ROW only;
+    the rest of the batch still hashes (MediaDecoder's quarantine
+    contract)."""
+    from unsupervised_ner_ray.functions import media_codecs as mc
+    from unsupervised_ner_ray.stages.multimodal import phash_media
+
+    rd = _rd()
+    img = np.full((16, 16, 3), 128, np.uint8)
+    tbl = pa.table(
+        {
+            "media_ref": pa.array(["ok", "bad"], pa.string()),
+            "kind": pa.array(["image", "image"], pa.string()),
+            "payload": pa.array([mc.encode_png(img), b"\x89PNG\r\n\x1a\n trunc"], pa.binary()),
+        }
+    )
+    out = phash_media(rd.from_arrow(tbl)).to_pandas().set_index("media_ref")
+    assert bool(out.loc["ok", "phash_ok"]) is True
+    assert bool(out.loc["bad", "phash_ok"]) is False
+
+
+def test_plant_near_dup_payloads_pipeline(ray_session):
+    """synthesize -> plant -> pairs: every planted '#dup' twin pairs with
+    its base ref at hamming 0 (lossless BMP re-encode of the same raster),
+    and no un-planted pair appears."""
+    from unsupervised_ner_ray.stages.multimodal import (
+        phash_image_pairs,
+        plant_near_dup_payloads,
+        synthesize_payloads,
+    )
+
+    rd = _rd()
+    media = rd.from_items(
+        [
+            {"doc_id": f"d{i}", "span_idx": 0, "kind": "image", "media_ref": f"media://img/{i}"}
+            for i in range(24)
+        ]
+    )
+    planted = plant_near_dup_payloads(synthesize_payloads(media), every=3)
+    refs = planted.to_pandas()["media_ref"].tolist()
+    dups = [r for r in refs if r.endswith("#dup")]
+    assert dups, "expected at least one planted twin at every=3 over 24 refs"
+    pairs = phash_image_pairs(planted, max_hamming=3, num_parts=4).to_pandas()
+    got = {tuple(sorted((a, b))) for a, b, _ in pairs.itertuples(index=False)}
+    want = {tuple(sorted((d[: -len("#dup")], d))) for d in dups}
+    assert want <= got, want - got
+    # GIF containers palette-quantize (median-cut, lossy): a base raster
+    # that synthesized as GIF may legitimately hash a few bits from its
+    # lossless twin yet still land inside max_hamming; but NO pair of
+    # DISTINCT rasters may appear
+    for a, b in got:
+        assert b == a + "#dup", (a, b)
+
+
+# ---------------------------------------------------------------------------
+# k-core
+
+
+def test_k_core_hand_graphs(ray_session):
+    """K4 + pendant tail: 3-core = the K4 (core_deg 3 each); path graph
+    peels to nothing at k=2 (cascade); triangle's 2-core is itself."""
+    from unsupervised_ner_ray.stages.kg import k_core
+
+    rd = _rd()
+    k4 = [(a, b) for i, a in enumerate("abcd") for b in "abcd"[i + 1 :]]
+    edges = rd.from_items(
+        [{"s": s, "o": o} for s, o in k4] + [{"s": "d", "o": "tail"}]
+    )
+    out = k_core(edges, k=3, num_parts=4).to_pandas()
+    assert list(out["node"]) == ["a", "b", "c", "d"]
+    assert list(out["core_deg"]) == [3, 3, 3, 3]
+
+    path = rd.from_items(
+        [{"s": "p1", "o": "p2"}, {"s": "p2", "o": "p3"}, {"s": "p3", "o": "p4"}]
+    )
+    assert len(k_core(path, k=2, num_parts=4).to_pandas()) == 0
+
+    tri = rd.from_items(
+        [{"s": "a", "o": "b"}, {"s": "b", "o": "c"}, {"s": "c", "o": "a"}]
+    )
+    out2 = k_core(tri, k=2, num_parts=4).to_pandas()
+    assert list(out2["node"]) == ["a", "b", "c"]
+    assert list(out2["core_deg"]) == [2, 2, 2]
+
+
+def test_k_core_input_contract(ray_session):
+    """Per-occurrence duplicate edges and self-loops do not change the
+    result (same input contract as label_propagation)."""
+    from unsupervised_ner_ray.stages.kg import k_core
+
+    rd = _rd()
+    tri = [{"s": "a", "o": "b"}, {"s": "b", "o": "c"}, {"s": "c", "o": "a"}]
+    dirty = tri * 3 + [{"s": "a", "o": "a"}, {"s": "b", "o": "a"}]
+    out_clean = k_core(rd.from_items(tri), k=2, num_parts=4).to_pandas()
+    out_dirty = k_core(rd.from_items(dirty), k=2, num_parts=4).to_pandas()
+    assert out_clean.reset_index(drop=True).equals(out_dirty.reset_index(drop=True))
+
+
+def test_k_core_forced_distributed_equals_broadcast(ray_session):
+    """broadcast_threshold=0 forces the Dataset-resident delta-peel regime
+    (removed-delta drops via broadcast map filter); results are byte-equal
+    to the driver-resident regime on a 4-iteration cascading graph."""
+    from unsupervised_ner_ray.stages.kg import k_core
+
+    rd = _rd()
+    rng = np.random.RandomState(3)
+    # two planted K5 cliques + random sparse background + pendant chains
+    edges = []
+    for base in ("u", "v"):
+        for i in range(5):
+            for j in range(i + 1, 5):
+                edges.append({"s": f"{base}{i}", "o": f"{base}{j}"})
+    for i in range(40):
+        edges.append({"s": f"bg{rng.randint(20)}", "o": f"bg{rng.randint(20)}"})
+    for i in range(6):
+        edges.append({"s": f"u0", "o": f"chain{i}"})
+    ds = rd.from_items(edges)
+    small = k_core(ds, k=4, num_parts=4).to_pandas()
+    dist = k_core(ds, k=4, broadcast_threshold=0, num_parts=4).to_pandas()
+    assert small.reset_index(drop=True).equals(dist.reset_index(drop=True))
+    # both K5s (and only nodes of core_deg >= 4) survive at k=4
+    assert {f"u{i}" for i in range(5)} <= set(small["node"])
+    assert {f"v{i}" for i in range(5)} <= set(small["node"])
+    assert (small["core_deg"] >= 4).all()
+
+
+def test_k_core_forced_antijoin_delta_path(ray_session):
+    """removed_broadcast_threshold=0 additionally forces the worst-case
+    co-partitioned anti-join drop path; byte-equal to the driver regime on
+    a 2-iteration cascade (triangle + pendant chain into the K4)."""
+    from unsupervised_ner_ray.stages.kg import k_core
+
+    rd = _rd()
+    k4 = [{"s": a, "o": b} for i, a in enumerate("abcd") for b in "abcd"[i + 1 :]]
+    ds = rd.from_items(k4 + [{"s": "d", "o": "p1"}, {"s": "p1", "o": "p2"}])
+    small = k_core(ds, k=3, num_parts=4).to_pandas()
+    anti = k_core(
+        ds, k=3, broadcast_threshold=0, removed_broadcast_threshold=0, num_parts=4
+    ).to_pandas()
+    assert small.reset_index(drop=True).equals(anti.reset_index(drop=True))
+    assert list(small["node"]) == ["a", "b", "c", "d"]
+    assert list(small["core_deg"]) == [3, 3, 3, 3]

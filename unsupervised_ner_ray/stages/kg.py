@@ -1885,3 +1885,234 @@ def label_propagation(
         lambda df: df.rename(columns={"label": "community"}),
         batch_format="pandas",
     ).sort("node")
+
+
+def _node_membership_filter(cands, nodes, col, keep=True, num_parts: int = 64):
+    """Single-key sibling of :func:`_pair_membership_filter`: keep (or
+    drop) candidate rows whose ``col`` value appears in the ``nodes``
+    Dataset (column ``node``) — a co-partitioned hash SEMI/ANTI-join on one
+    key, tagged-union shape, no node set on the driver."""
+    from .grouping import partitioned_apply
+
+    _SIDE = "__is_node"
+    payload = [c for c in cands.schema().names if c != col]
+
+    def _tag_nodes(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({col: df["node"]})
+        for c in payload:
+            out[c] = None
+        out[_SIDE] = np.int8(1)
+        return out[[col, *payload, _SIDE]]
+
+    def _tag_cands(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df[_SIDE] = np.int8(0)
+        return df[[col, *payload, _SIDE]]
+
+    both = nodes.map_batches(_tag_nodes, batch_format="pandas").union(
+        cands.map_batches(_tag_cands, batch_format="pandas")
+    )
+
+    def _filter(part: pd.DataFrame) -> pd.DataFrame:
+        is_n = part[_SIDE].to_numpy() == 1
+        keys = part[col].to_numpy(dtype=object)
+        nkeys = np.sort(keys[is_n])
+        cand = part[~is_n]
+        hit = _sorted_member(nkeys, keys[~is_n])
+        out = cand[hit] if keep else cand[~hit]
+        return out.drop(columns=[_SIDE])
+
+    return partitioned_apply(both, col, _filter, num_parts=num_parts)
+
+
+def k_core(
+    edges,
+    k: int = 3,
+    max_iters: int = 1000,
+    broadcast_threshold: int = 2_000_000,
+    removed_broadcast_threshold: int = 1_000_000,
+    num_parts: int = 64,
+):
+    """k-core decomposition membership over an UNDIRECTED simple graph —
+    the classic KG-cleaning primitive (keep the densely-interconnected
+    core, peel hubs' one-shot satellites): iteratively remove every node
+    whose degree among REMAINING nodes is < ``k`` until fixpoint.  The
+    k-core is unique, so the result is deterministic regardless of peel
+    order.  Input: edge Dataset (columns ``s``, ``o``); per-occurrence
+    feeds dedup and self-loops drop inside the operator (same contract as
+    :func:`label_propagation`).
+
+    Regimes, gated on distinct edge count like :func:`bfs_hops`:
+
+    * small: the active-node set is driver-resident (node-bounded).  Each
+      iteration is ONE broadcast pass over the (never-moving) edge blocks —
+      per batch, rows with both endpoints active reduce to (node, deg)
+      value-count partials; a coarse hash partition sums them; only the
+      node-bounded degree table returns to the driver.
+    * at-scale: DELTA peeling — the live edge set stays a Dataset; each
+      iteration computes degrees (per-batch combiner + one coarse hash
+      partition sum), finds the nodes that fell below ``k`` (the REMOVED
+      delta — typically tiny after the first peel), and drops only edges
+      incident to that delta: a pure broadcast map filter (no shuffle)
+      while the delta fits ``removed_broadcast_threshold``, else a
+      co-partitioned anti-join on ``s`` then ``o``
+      (:func:`_node_membership_filter`).  The full edge set is never
+      semi-joined against the full active set; driver state per iteration
+      is one count scalar (plus the delta array only on the broadcast
+      path).
+
+    Both regimes are pinned byte-equal by a forced-path test.  Iterations
+    are bounded by the peel depth (<= node count; ``max_iters`` is a
+    backstop, not a tuning knob).  Output: (node, core_deg) sorted by node
+    for every node in the k-core, core_deg = its degree WITHIN the core
+    (>= k by construction).  Rows-only (iterative; no SQL twin — recursive
+    CTEs grow monotone sets, peeling shrinks one).
+    """
+    from .grouping import partitioned_apply
+
+    # undirect + global distinct + self-loop drop (label_propagation's
+    # input contract, same kernels)
+    def _undirect(t: pa.Table) -> pa.Table:
+        s = t.column("s").combine_chunks() if isinstance(
+            t.column("s"), pa.ChunkedArray
+        ) else t.column("s")
+        o = t.column("o").combine_chunks() if isinstance(
+            t.column("o"), pa.ChunkedArray
+        ) else t.column("o")
+        sv = np.concatenate(
+            [s.to_numpy(zero_copy_only=False), o.to_numpy(zero_copy_only=False)]
+        )
+        ov = np.concatenate(
+            [o.to_numpy(zero_copy_only=False), s.to_numpy(zero_copy_only=False)]
+        )
+        ne = sv != ov
+        df = pd.DataFrame({"s": sv[ne], "o": ov[ne]}).drop_duplicates()
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    def _dedup_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        return part.drop_duplicates(["s", "o"])
+
+    und = partitioned_apply(
+        edges.map_batches(_undirect, batch_format="pyarrow"),
+        "s",
+        _dedup_pairs,
+        num_parts=num_parts,
+    ).materialize()
+
+    def _deg_sum(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("node", as_index=False, sort=False)["n"].sum()
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    _EMPTY = pd.DataFrame(
+        {"node": pd.Series([], dtype=object), "core_deg": pd.Series([], dtype="int64")}
+    )
+
+    n_edges = und.count()
+    if n_edges == 0:
+        import ray.data as rd
+
+        return rd.from_pandas(_EMPTY)
+
+    if n_edges <= broadcast_threshold:
+        # driver-resident active set (node-bounded); edges never move.
+        # Per-batch (node, deg) partials come straight to the driver and
+        # sum there — the partial table is node-bounded per batch and the
+        # whole regime is already gated on edge count, so no per-iteration
+        # shuffle is needed (the at-scale regime below keeps everything
+        # distributed)
+        active = np.array(sorted(set(und.unique("s"))), dtype=object)
+        deg = None
+        for _ in range(max_iters):
+            a_ref = ray.put(active)
+
+            def _partials(t: pa.Table) -> pd.DataFrame:
+                a = ray.get(a_ref)
+                s = t.column("s").to_numpy(zero_copy_only=False)
+                o = t.column("o").to_numpy(zero_copy_only=False)
+                live = _sorted_member(a, s) & _sorted_member(a, o)
+                vals, cnts = np.unique(s[live], return_counts=True)
+                return pd.DataFrame({"node": vals, "n": cnts.astype(np.int64)})
+
+            degs = _deg_sum(
+                und.map_batches(_partials, batch_format="pyarrow").to_pandas()
+            )
+            keep_nodes = degs.loc[degs["n"] >= k, "node"].to_numpy(dtype=object)
+            keep_nodes = np.sort(keep_nodes)
+            if len(keep_nodes) == len(active):
+                deg = degs
+                break
+            active = keep_nodes
+            deg = degs
+            if len(active) == 0:
+                break
+        if deg is None or len(active) == 0:
+            import ray.data as rd
+
+            return rd.from_pandas(_EMPTY)
+        out = deg[deg["node"].isin(active)].rename(columns={"n": "core_deg"})
+        out = out.sort_values("node").reset_index(drop=True)
+        import ray.data as rd
+
+        return rd.from_pandas(out[["node", "core_deg"]]).sort("node")
+
+    # at-scale: delta peeling.  The live edge set is the only big state;
+    # per iteration: one degree reduce (combiner + coarse partition sum),
+    # then drop edges incident to the nodes that just fell below k.  The
+    # removed DELTA is what shrinks per peel (usually tiny after the first
+    # iteration), so the incident-edge drop is a broadcast pure-map filter
+    # while the delta fits the threshold; the co-partitioned anti-join
+    # covers the worst case (one peel removing a node-scale delta).
+    def _edge_partials(df: pd.DataFrame) -> pd.DataFrame:
+        g = df.groupby("s", as_index=False, sort=False).size()
+        return pd.DataFrame({"node": g["s"], "n": g["size"].astype(np.int64)})
+
+    live = und
+    deg_ds = None
+    for _ in range(max_iters):
+        deg_ds = partitioned_apply(
+            live.map_batches(_edge_partials, batch_format="pandas"),
+            "node",
+            _deg_sum,
+            num_parts=num_parts,
+        ).materialize()
+        bad = (
+            deg_ds.filter(expr=f"n < {int(k)}").select_columns(["node"]).materialize()
+        )
+        n_bad = bad.count()
+        if n_bad == 0:
+            break
+        if n_bad <= removed_broadcast_threshold:
+            bad_arr = np.sort(bad.to_pandas()["node"].to_numpy(dtype=object))
+            b_ref = ray.put(bad_arr)
+
+            def _drop(t: pa.Table) -> pa.Table:
+                b = ray.get(b_ref)
+                s = t.column("s").to_numpy(zero_copy_only=False)
+                o = t.column("o").to_numpy(zero_copy_only=False)
+                keep_m = ~_sorted_member(b, s) & ~_sorted_member(b, o)
+                return t.filter(pa.array(keep_m))
+
+            live = live.map_batches(_drop, batch_format="pyarrow").materialize()
+        else:
+            live = _node_membership_filter(
+                live, bad, "s", keep=False, num_parts=num_parts
+            )
+            live = _node_membership_filter(
+                live, bad, "o", keep=False, num_parts=num_parts
+            ).materialize()
+        if live.count() == 0:
+            import ray.data as rd
+
+            return rd.from_pandas(_EMPTY)
+
+    if deg_ds is None:
+        import ray.data as rd
+
+        return rd.from_pandas(_EMPTY)
+
+    def _fin(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.loc[df["n"] >= k].rename(columns={"n": "core_deg"})
+        return out[["node", "core_deg"]]
+
+    return deg_ds.map_batches(_fin, batch_format="pandas").sort("node")

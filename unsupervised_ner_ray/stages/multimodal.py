@@ -467,3 +467,206 @@ def decode_media(media_with_payloads, dim: int = 8, target: int = 224,
         concurrency=(1, concurrency),
         num_cpus=1,
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash (pHash) near-duplicate detection over image payloads.
+#
+# The image analog of the text dedup stack: decode -> 64-bit DCT perceptual
+# hash (luminance -> 32x32 area-mean downsample -> 2-D DCT-II -> sign vs
+# median of the 8x8 low-frequency block, the classic pHash recipe) ->
+# SimHash-style 4x16-bit band blocking -> exact hamming verification inside
+# each bucket.  Candidate generation is bucketed (never all-pairs); the
+# decode+hash stage is an actor pool.  Exact-pixel duplicates hash equal
+# regardless of container format (PPM vs BMP vs PNG vs GIF), so cross-format
+# re-encodes of one raster are found at hamming 0; mild pixel noise on
+# natural (smooth) images survives thanks to the low-pass DCT face.
+
+
+def _dct_basis(n: int = 32) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (n x n): row k is the k-th cosine."""
+    k = np.arange(n, dtype=np.float64)[:, None]
+    x = np.arange(n, dtype=np.float64)[None, :]
+    basis = np.sqrt(2.0 / n) * np.cos(np.pi * (2.0 * x + 1.0) * k / (2.0 * n))
+    basis[0] *= 1.0 / np.sqrt(2.0)
+    return basis
+
+
+_DCT32 = _dct_basis(32)
+
+
+def phash64(img: np.ndarray) -> int:
+    """64-bit perceptual hash of decoded RGB (or grayscale) pixels.
+
+    Deterministic pure-numpy: luminance -> nearest-sample to 64x64 ->
+    2x2 mean-pool to 32x32 (the pool gives mild noise averaging even for
+    images below 64 px) -> 2-D DCT-II via the precomputed basis -> the
+    8x8 lowest-frequency block thresholded at its median -> 64 bits packed
+    MSB-first into a SIGNED int64 (arrow-friendly; same convention as the
+    text SimHash column)."""
+    if img.ndim == 3:
+        lum = img.astype(np.float64) @ np.array([0.299, 0.587, 0.114])
+    else:
+        lum = img.astype(np.float64)
+    h, w = lum.shape
+    yi = np.minimum(np.arange(64) * h // 64, h - 1)
+    xi = np.minimum(np.arange(64) * w // 64, w - 1)
+    big = lum[yi][:, xi]
+    small = big.reshape(32, 2, 32, 2).mean(axis=(1, 3))
+    freq = _DCT32 @ small @ _DCT32.T
+    block = freq[:8, :8].reshape(-1)
+    bits = block > np.median(block)
+    packed = np.packbits(bits.astype(np.uint8)).tobytes()
+    return int.from_bytes(packed, "big", signed=True)
+
+
+class PHasher:
+    """Actor-pool stage: image payload bytes -> (phash: int64, phash_ok).
+
+    Decode reuses the repo's own byte codecs (``functions/media_codecs``);
+    undecodable payloads quarantine per ROW (phash_ok=false) exactly like
+    MediaDecoder — a corrupt buffer never poisons the batch."""
+
+    def __init__(self):
+        from ..functions import media_codecs as mc
+
+        self.mc = mc
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes, ok = [], []
+        for buf in batch.column("payload").to_pylist():
+            try:
+                hashes.append(phash64(self.mc.decode_image(buf)))
+                ok.append(True)
+            except Exception:
+                hashes.append(0)
+                ok.append(False)
+        return (
+            batch.drop_columns(["payload"])
+            .append_column("phash", pa.array(hashes, pa.int64()))
+            .append_column("phash_ok", pa.array(ok, pa.bool_()))
+        )
+
+
+def phash_media(media_with_payloads, concurrency: int = 8, batch_size: int = 32):
+    """Hash every IMAGE row of a media+payload table (other kinds are
+    filtered before the pool — audio/video payloads never enter the image
+    decode actors)."""
+    imgs = media_with_payloads.filter(expr="kind == 'image'")
+    return imgs.map_batches(
+        PHasher,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+
+
+def phash_image_pairs(
+    media_with_payloads,
+    max_hamming: int = 6,
+    concurrency: int = 8,
+    num_parts: int = 64,
+):
+    """Near-duplicate image pairs (a, b, hamming), a < b by media_ref.
+
+    Mirrors ``dedup.simhash_pairs``'s scale shape exactly: each 64-bit
+    pHash explodes to 4 16-bit band keys; only rows sharing a (band_id,
+    band_key) bucket ever meet (pigeonhole: hamming <= 3 GUARANTEES a
+    shared band at 4 bands; radii 4-6 are best-effort recall — the same
+    LSH trade the text SimHash twin documents); exact popcount verify
+    inside each bucket; cross-band duplicate pairs collapse via the C-path
+    Min aggregate.  Candidate work is bucket-local — no all-pairs matmul,
+    no driver materialization."""
+    import pandas as pd
+    from ray.data.aggregate import Min
+
+    from .grouping import partitioned_map_groups
+
+    sigs = phash_media(media_with_payloads, concurrency=concurrency)
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(batch.column("phash_ok"))
+        n = len(batch)
+        sims = batch.column("phash").to_numpy(zero_copy_only=False).astype(np.int64)
+        u = sims.view(np.uint64) ^ np.uint64(1 << 63)
+        shifts = (np.uint64(16) * np.arange(4, dtype=np.uint64))[None, :]
+        keys = ((u[:, None] >> shifts) & np.uint64(0xFFFF)).reshape(-1)
+        take_idx = pa.array(np.repeat(np.arange(n), 4), pa.int64())
+        return pa.table(
+            {
+                "band_id": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
+                "band_key": pa.array(keys.astype(np.int64), pa.int64()),
+                "media_ref": batch.column("media_ref").take(take_idx),
+                "phash": pa.array(np.repeat(sims, 4), pa.int64()),
+            }
+        )
+
+    buckets = sigs.map_batches(_explode, batch_format="pyarrow")
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("media_ref")
+        refs, sims = list(g["media_ref"]), list(g["phash"])
+        rows = []
+        for i in range(len(refs)):
+            for j in range(i + 1, len(refs)):
+                if refs[i] == refs[j]:
+                    continue
+                ham = bin((sims[i] ^ sims[j]) & ((1 << 64) - 1)).count("1")
+                if ham <= max_hamming:
+                    rows.append({"a": refs[i], "b": refs[j], "hamming": ham})
+        return pd.DataFrame(rows, columns=["a", "b", "hamming"])
+
+    pairs = partitioned_map_groups(buckets, ["band_id", "band_key"], _pairs, num_parts=num_parts)
+    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+def plant_near_dup_payloads(media_with_payloads, every: int = 4, noise: int = 0):
+    """Append deterministic near-duplicate rows for testing/benchmark:
+    every image ref whose blake2b seed % ``every`` == 0 gains a twin row
+    (``ref + "#dup"``) whose payload is the SAME decoded raster re-encoded
+    losslessly as BMP (optionally with +/-``noise`` uniform pixel jitter,
+    ref-seeded).  A production corpus has organic re-encodes; the synthetic
+    tables need them planted so the pHash query returns meaningful pairs."""
+    from ..functions import media_codecs as mc
+
+    def _f(batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        kinds = batch.column("kind").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        others = [
+            batch.column(c).to_pylist()
+            for c in batch.schema.names
+            if c not in ("media_ref", "kind", "payload", "fmt")
+        ]
+        other_names = [
+            c for c in batch.schema.names if c not in ("media_ref", "kind", "payload", "fmt")
+        ]
+        fmts = batch.column("fmt").to_pylist() if "fmt" in batch.schema.names else [""] * len(refs)
+        out = {c: list(v) for c, v in zip(other_names, others)}
+        out_ref, out_kind, out_pay, out_fmt = list(refs), list(kinds), list(payloads), list(fmts)
+        for i, (ref, kind, buf) in enumerate(zip(refs, kinds, payloads)):
+            if kind != "image":
+                continue
+            seed = int.from_bytes(hashlib.blake2b(ref.encode(), digest_size=4).digest(), "big")
+            if seed % every:
+                continue
+            img = mc.decode_image(buf).astype(np.int64)
+            if noise:
+                rng = np.random.RandomState(seed ^ 0xA5A5)
+                img = img + rng.randint(-noise, noise + 1, img.shape)
+            twin = mc.encode_bmp(np.clip(img, 0, 255).astype(np.uint8))
+            out_ref.append(ref + "#dup")
+            out_kind.append("image")
+            out_pay.append(twin)
+            out_fmt.append("bmp")
+            for c in other_names:
+                out[c].append(out[c][i])
+        cols = {"media_ref": pa.array(out_ref, pa.string()), "kind": pa.array(out_kind, pa.string())}
+        for c in other_names:
+            cols[c] = pa.array(out[c], batch.schema.field(c).type)
+        cols["payload"] = pa.array(out_pay, pa.binary())
+        cols["fmt"] = pa.array(out_fmt, pa.string())
+        return pa.table(cols)
+
+    return media_with_payloads.map_batches(_f, batch_format="pyarrow", batch_size=64)
