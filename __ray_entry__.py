@@ -699,6 +699,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return k_core(edges, k=3)
 
+    def q_copurchase_edges(sf_dir: str):
+        # round-5: bipartite->unipartite co-occurrence projection — parts
+        # co-ordered in lineitem become weighted undirected KG edges
+        # (weight = distinct shared orders).  SQL-oracled
+        from unsupervised_ner_ray.sources.io import read_sf
+        from unsupervised_ner_ray.stages.kg import cooccurrence_edges
+
+        li = read_sf(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+        return cooccurrence_edges(li, "l_orderkey", "l_partkey").sort(["a", "b"])
+
+    def q_node_jaccard(sf_dir: str):
+        # round-5: exact neighbor-set Jaccard node similarity over the
+        # co-purchase graph (per-shared-neighbor pair generation; int64
+        # threshold identical both engines).  SQL-oracled
+        from unsupervised_ner_ray.sources.io import read_sf
+        from unsupervised_ner_ray.stages.kg import (
+            cooccurrence_edges,
+            node_jaccard,
+        )
+
+        li = read_sf(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+        edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+        return node_jaccard(edges, tau_pct=10).sort(["a", "b"])
+
     def q_dataprep(sf_dir: str):
         from unsupervised_ner_ray.pipelines.dataprep import run_dataprep
 
@@ -1184,6 +1208,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5: k-core decomposition over the bigram graph (dual-regime
         # peel, forced-path pinned).  Rows-only (iterative shrink)
         "q_kg_kcore": q_kg_kcore,
+        # round-5: bipartite->unipartite co-occurrence edge projection
+        # (co-purchased parts; per-group segmented pair expansion inside
+        # coarse hash partitions) and exact neighbor-set Jaccard node
+        # similarity over those edges (per-shared-neighbor pair generation,
+        # int64 threshold test both engines).  Both SQL-oracled
+        "q_copurchase_edges": q_copurchase_edges,
+        "q_node_jaccard": q_node_jaccard,
     }
 
     # The driver records the FIRST 50 entries: reorder the battery so the
@@ -1200,10 +1231,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # queries (first driver certification of the REAL model-backend code path)
 # + the 12 rows-only queries that had never appeared in any driver window
 # (VERDICT r4 item 2 — after this round every battery entry is
-# driver-recorded at least once across r01-r05) + the 2 new round-5
-# operators (q_image_phash, q_kg_kcore — rows-only, first record) + 22
-# previously certified oracle-backed re-guards (q_heavy_hitters/q_top_tfidf,
-# certified r02, ceded their slots to the new ops).
+# driver-recorded at least once across r01-r05) + the 4 new round-5
+# operators (q_image_phash/q_kg_kcore rows-only first records;
+# q_copurchase_edges/q_node_jaccard new SQL-oracled) + 20 previously
+# certified oracle-backed re-guards (q_heavy_hitters/q_top_tfidf r02 and
+# q_token_stats/q_fingerprint r01-r03 ceded their slots to the new ops).
 # tests/test_driver_contract.py pins this list's
 # length, membership, and that every name resolves; its stranded checks
 # FAIL the suite if a new SQL-oracled query (or any never-recorded query)
@@ -1260,13 +1292,15 @@ _WINDOW_R5 = [
     "q_revenue_by_nation",
     "q_topk_orders_per_customer",
     "q_sessionize",
-    "q_token_stats",
-    "q_fingerprint",
-    # new round-5 operators (rows-only; first driver record) — they take
-    # the last two slots, displacing two already-certified re-guards
-    # (q_heavy_hitters r02, q_top_tfidf r02)
+    # new round-5 operators — the last four slots, displacing four
+    # already-certified re-guards (q_heavy_hitters r02, q_top_tfidf r02,
+    # q_token_stats r01-r03, q_fingerprint r01-r03): pHash + k-core are
+    # rows-only first records; copurchase_edges + node_jaccard are new
+    # SQL-oracled ops whose first certification happens this round
     "q_image_phash",
     "q_kg_kcore",
+    "q_copurchase_edges",
+    "q_node_jaccard",
 ]
 
 
@@ -2740,5 +2774,41 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, CAST(MIN(d) AS BIGINT) AS dist
             FROM walk GROUP BY node ORDER BY node
+        """,
+        # round-5: co-occurrence projection + neighbor-Jaccard node
+        # similarity over the co-purchase graph.  The Jaccard threshold is
+        # pure int64 on both engines; `jaccard` is one float64 division of
+        # the same two int64s (IEEE division is correctly rounded)
+        "q_copurchase_edges": """
+            WITH d AS (
+                SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+            )
+            SELECT a.i AS a, b.i AS b, CAST(COUNT(*) AS BIGINT) AS weight
+            FROM d a JOIN d b ON a.g = b.g AND a.i < b.i
+            GROUP BY a.i, b.i ORDER BY a, b
+        """,
+        "q_node_jaccard": """
+            WITH d AS (
+                SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+            ), e AS (
+                SELECT DISTINCT a.i AS a, b.i AS b
+                FROM d a JOIN d b ON a.g = b.g AND a.i < b.i
+            ), und AS (
+                SELECT a AS n, b AS m FROM e UNION ALL SELECT b, a FROM e
+            ), deg AS (
+                SELECT n, CAST(COUNT(*) AS BIGINT) AS dd FROM und GROUP BY n
+            ), pairs AS (
+                SELECT u1.n AS a, u2.n AS b, CAST(COUNT(*) AS BIGINT) AS inter
+                FROM und u1 JOIN und u2 ON u1.m = u2.m AND u1.n < u2.n
+                GROUP BY u1.n, u2.n
+            )
+            SELECT p.a, p.b, p.inter,
+                   da.dd + db.dd - p.inter AS un,
+                   CAST(p.inter AS DOUBLE) / (da.dd + db.dd - p.inter)
+                       AS jaccard
+            FROM pairs p
+            JOIN deg da ON p.a = da.n JOIN deg db ON p.b = db.n
+            WHERE 100 * p.inter >= 10 * (da.dd + db.dd - p.inter)
+            ORDER BY p.a, p.b
         """,
     }

@@ -216,6 +216,29 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         return k_core(edges, k=3).to_pandas()
 
     timed("q_kg_kcore", _kcore)
+
+    # round-5: co-occurrence projection + neighbor-Jaccard node similarity
+    # over the co-purchase graph (sum(deg²) ~ 150M pair rows at sf0.1,
+    # combined inside 64 coarse partitions before the global reduce)
+    def _copurchase():
+        from unsupervised_ner_ray.stages.kg import cooccurrence_edges
+
+        li = read_sf(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+        return cooccurrence_edges(li, "l_orderkey", "l_partkey").to_pandas()
+
+    timed("q_copurchase_edges", _copurchase)
+
+    def _node_jaccard():
+        from unsupervised_ner_ray.stages.kg import (
+            cooccurrence_edges,
+            node_jaccard,
+        )
+
+        li = read_sf(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+        edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+        return node_jaccard(edges, tau_pct=10).to_pandas()
+
+    timed("q_node_jaccard", _node_jaccard)
     timed("q_two_hop", lambda: _kg.two_hop_counts(docs_tbl).to_pandas())
     timed("q_bm25", lambda: textstats.bm25_rank(docs_tbl))
     def _doc_cosine():

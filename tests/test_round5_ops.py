@@ -229,3 +229,203 @@ def test_k_core_forced_antijoin_delta_path(ray_session):
     assert small.reset_index(drop=True).equals(anti.reset_index(drop=True))
     assert list(small["node"]) == ["a", "b", "c", "d"]
     assert list(small["core_deg"]) == [3, 3, 3, 3]
+
+
+@pytest.mark.skipif(
+    __import__("os").environ.get("RUN_SCALE_SMOKE") != "1",
+    reason="k-core smoke; run with RUN_SCALE_SMOKE=1 "
+    "(result recorded in BASELINE.md)",
+)
+def test_k_core_distributed_scale_smoke(ray_session):
+    """~850k-edge graph through the FORCED at-scale delta-peel regime
+    (broadcast_threshold=0; removed-delta drops via the broadcast map
+    path).  The 5-core is known EXACTLY by construction: 30k planted K6
+    cliques (every node degree 5) survive; the background is a 200k-node
+    ring + fixed-stride chord graph where every node has degree exactly 4
+    (2 ring + 2 chord neighbors), so the whole background peels in one
+    iteration — no probabilistic emergence argument needed."""
+    import time
+
+    rd = _rd()
+    from unsupervised_ner_ray.stages.kg import k_core
+
+    n_cliques, nb = 30_000, 200_000
+    # K6 cliques: 15 edges each
+    ci = np.repeat(np.arange(n_cliques, dtype=np.int64), 15)
+    pairs = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    pa_ = np.tile(np.array([p[0] for p in pairs], dtype=np.int64), n_cliques)
+    pb_ = np.tile(np.array([p[1] for p in pairs], dtype=np.int64), n_cliques)
+    cs = np.char.add(np.char.add("c", ci.astype("U6")), np.char.add("_", pa_.astype("U1")))
+    co = np.char.add(np.char.add("c", ci.astype("U6")), np.char.add("_", pb_.astype("U1")))
+    # background: ring + stride-7919 chords -> every node degree exactly 4
+    i = np.arange(nb, dtype=np.int64)
+    ring_s, ring_o = i, (i + 1) % nb
+    chord_s, chord_o = i, (i + 7919) % nb
+    bs = np.char.add("b", np.concatenate([ring_s, chord_s]).astype("U6"))
+    bo = np.char.add("b", np.concatenate([ring_o, chord_o]).astype("U6"))
+    edges = (
+        rd.from_pandas(
+            pd.DataFrame(
+                {"s": np.concatenate([cs, bs]), "o": np.concatenate([co, bo])}
+            )
+        )
+        .repartition(32)
+        .materialize()
+    )
+    n_edges = edges.count()
+    assert n_edges == n_cliques * 15 + 2 * nb
+
+    t0 = time.time()
+    core = k_core(edges, k=5, broadcast_threshold=0).to_pandas()
+    t_core = time.time() - t0
+    assert len(core) == n_cliques * 6, len(core)
+    assert (core["core_deg"] == 5).all()
+    assert core["node"].str.startswith("c").all()
+    print(
+        f"SMOKE k_core edges={n_edges} forced-distributed delta-peel "
+        f"{t_core:.1f}s core_nodes={len(core)}"
+    )
+
+
+# ---------------------------------------------------------------------------
+# co-occurrence projection + node Jaccard
+
+
+def test_cooccurrence_edges_hand_case(ray_session):
+    """Hand-computed projection: weight counts DISTINCT groups sharing the
+    pair; duplicate (group, item) rows collapse; singleton groups emit no
+    edge."""
+    rd = _rd()
+    from unsupervised_ner_ray.stages.kg import cooccurrence_edges
+
+    rows = pd.DataFrame(
+        {
+            "g": [1, 1, 1, 2, 2, 2, 3, 3, 4],
+            "i": [10, 20, 20, 10, 20, 30, 10, 20, 99],
+        }
+    )
+    out = (
+        cooccurrence_edges(rd.from_pandas(rows), "g", "i", num_parts=4)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    expect = pd.DataFrame(
+        {
+            "a": [10, 10, 20],
+            "b": [20, 30, 30],
+            "weight": [3, 1, 1],
+        }
+    ).astype({"a": "int64", "b": "int64", "weight": "int64"})
+    assert out.equals(expect), out
+
+
+def test_node_jaccard_hand_case(ray_session):
+    """4-node path 1-2-3-4: N(1)={2}, N(3)={2,4} -> pair (1,3) via 2 has
+    inter 1, union {2,4} -> J = 1/2; symmetrically (2,4) via 3 -> 1/2."""
+    rd = _rd()
+    from unsupervised_ner_ray.stages.kg import node_jaccard
+
+    edges = rd.from_pandas(
+        pd.DataFrame({"a": [1, 2, 3], "b": [2, 3, 4]})
+    )
+    out = (
+        node_jaccard(edges, tau_pct=10, num_parts=4)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert list(out["a"]) == [1, 2]
+    assert list(out["b"]) == [3, 4]
+    assert list(out["inter"]) == [1, 1]
+    assert list(out["un"]) == [2, 2]
+    assert np.allclose(out["jaccard"], 1 / 2)
+    # tau above 1/2 filters both
+    hi = node_jaccard(edges, tau_pct=60, num_parts=4).to_pandas()
+    assert len(hi) == 0
+
+
+def test_node_jaccard_input_contract_and_strings(ray_session):
+    """Duplicate edges, reversed duplicates, and self-loops collapse inside
+    the operator; string node ids work end-to-end."""
+    rd = _rd()
+    from unsupervised_ner_ray.stages.kg import node_jaccard
+
+    edges = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "a": ["x", "y", "x", "y", "z", "w"],
+                "b": ["y", "x", "x", "z", "y", "w"],
+            }
+        )
+    )
+    # simple graph: x-y, y-z; pair (x, z) via y -> N(x)=N(z)={y} -> J=1
+    out = node_jaccard(edges, tau_pct=10, num_parts=4).to_pandas()
+    assert len(out) == 1
+    assert (out["a"].iloc[0], out["b"].iloc[0]) == ("x", "z")
+    assert out["inter"].iloc[0] == 1 and out["un"].iloc[0] == 1
+    assert out["jaccard"].iloc[0] == 1.0
+
+
+def test_node_jaccard_forced_distributed_attach(ray_session):
+    """broadcast_max_nodes=0 forces the tagged-union co-partitioned degree
+    attach; results pinned byte-equal to the broadcast regime."""
+    rd = _rd()
+    from unsupervised_ner_ray.stages.kg import node_jaccard
+
+    rng = np.random.RandomState(11)
+    edges = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "a": rng.randint(0, 60, 400).astype(np.int64),
+                "b": rng.randint(0, 60, 400).astype(np.int64),
+            }
+        )
+    ).materialize()
+    bc = (
+        node_jaccard(edges, tau_pct=5, num_parts=4)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    dist = (
+        node_jaccard(edges, tau_pct=5, broadcast_max_nodes=0, num_parts=4)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )[list(bc.columns)]
+    assert len(bc) > 0
+    assert dist.equals(bc)
+
+
+def test_node_jaccard_hub_gate_removal_semantics(ray_session):
+    """max_deg REMOVES hub nodes before pair generation (degrees recomputed
+    on the filtered graph) — equal to running on the hand-filtered edge
+    list."""
+    rd = _rd()
+    from unsupervised_ner_ray.stages.kg import node_jaccard
+
+    # star hub 0 -- 1..9, plus a path 1-2-3
+    star = pd.DataFrame({"a": [0] * 9 + [1, 2], "b": list(range(1, 10)) + [2, 3]})
+    edges = rd.from_pandas(star.astype({"a": "int64", "b": "int64"}))
+    gated = (
+        node_jaccard(edges, tau_pct=10, max_deg=5, num_parts=4)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    # hand-filtered: hub 0 removed -> remaining graph is the path 1-2-3
+    manual = (
+        node_jaccard(
+            rd.from_pandas(
+                pd.DataFrame({"a": [1, 2], "b": [2, 3]}).astype("int64")
+            ),
+            tau_pct=10,
+            num_parts=4,
+        )
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    assert gated.equals(manual)
+    assert list(gated["a"]) == [1] and list(gated["b"]) == [3]

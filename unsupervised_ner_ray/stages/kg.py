@@ -2116,3 +2116,342 @@ def k_core(
         return out[["node", "core_deg"]]
 
     return deg_ds.map_batches(_fin, batch_format="pandas").sort("node")
+
+
+def cooccurrence_edges(items, group_col: str, item_col: str, num_parts: int = 64):
+    """Bipartite -> unipartite co-occurrence projection: two items sharing
+    a group become an undirected weighted edge (a < b), weight = number of
+    DISTINCT groups containing both.  The KG edge-construction primitive
+    over relational logs (co-purchased parts, co-cited entities,
+    co-session users) — the reference's bigram edge lift
+    (/root/reference/batched_main_NER.py builds entity pairs from token
+    adjacency; this generalizes adjacency to set co-membership).
+
+    Scale shape (100 TB): ONE hash shuffle on the group key brings every
+    (group, item) row of a group into a coarse partition
+    (:func:`...grouping.partitioned_apply`); inside, distinct
+    (group, item) dedup, a mergesort by (group, item) and the
+    segmented-arange i<j expansion (the
+    :func:`...textstats.shingle_cosine_pairs` kernel) emit each group's
+    pairs fully vectorized, pre-combined locally before the one global
+    (a, b) combine (coarse hash partition + vectorized pandas groupby —
+    the repo's multi-key-aggregate shape; Ray's native multi-key hash
+    aggregate measured ~50x slower at 1M+ groups).  Work is sum(basket²)
+    over groups — bounded by the max basket size, never all-pairs over
+    items.
+
+    Output: (a, b, weight) with a < b, unsorted (callers sort)."""
+    from .grouping import partitioned_apply
+
+    def _pairs(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "a": part[item_col].iloc[:0],
+                "b": part[item_col].iloc[:0],
+                "weight": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(part):
+            return empty
+        part = part.drop_duplicates([group_col, item_col]).sort_values(
+            [group_col, item_col], kind="mergesort"
+        )
+        g = part[group_col].to_numpy()
+        it = part[item_col].to_numpy()
+        m = len(part)
+        new = np.ones(m, dtype=bool)
+        new[1:] = g[1:] != g[:-1]
+        grp_start = np.flatnonzero(new)
+        grp_end = np.append(grp_start[1:], m)
+        sizes = grp_end - grp_start
+        row_end = np.repeat(grp_end, sizes)
+        row_idx = np.arange(m)
+        reps = row_end - row_idx - 1
+        total = int(reps.sum())
+        if total == 0:
+            return empty
+        i_idx = np.repeat(row_idx, reps)
+        seg = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(reps)[:-1]]), reps
+        )
+        j_idx = i_idx + 1 + seg
+        out = pd.DataFrame(
+            {
+                "a": it[i_idx],
+                "b": it[j_idx],
+                "weight": np.ones(total, dtype=np.int64),
+            }
+        )
+        # partition-local combiner before the global (a, b) combine
+        return out.groupby(["a", "b"], as_index=False, sort=False)["weight"].sum()
+
+    def _combine(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby(["a", "b"], as_index=False, sort=False)["weight"].sum()
+
+    return partitioned_apply(
+        partitioned_apply(
+            items.select_columns([group_col, item_col]),
+            group_col,
+            _pairs,
+            num_parts=num_parts,
+        ),
+        ["a", "b"],
+        _combine,
+        num_parts=num_parts,
+    )
+
+
+def node_jaccard(
+    edges,
+    tau_pct: int = 10,
+    max_deg: int | None = None,
+    broadcast_max_nodes: int = 5_000_000,
+    num_parts: int = 64,
+):
+    """Exact neighbor-set Jaccard similarity over an undirected simple
+    graph — the node-similarity face of KG entity linking / link
+    prediction: J(a, b) = |N(a) ∩ N(b)| / |N(a) ∪ N(b)| for every node
+    pair sharing at least one neighbor, kept when J >= tau_pct / 100.
+
+    Float-parity contract (the :func:`...textstats.shingle_cosine_pairs`
+    rule): the threshold is pure int64 on both engines —
+    ``100 * inter >= tau_pct * (da + db - inter)`` — and the reported
+    ``jaccard`` is ONE float64 division of the same two int64s (IEEE
+    division is correctly rounded, so DuckDB and numpy agree
+    bit-for-bit).  Input ``edges`` (columns a, b): undirected; self-loops
+    and duplicate rows are dropped inside (the :func:`k_core` contract).
+
+    Scale shape (100 TB): degrees are a per-batch value-count combiner +
+    one coarse partition sum (node-bounded, never the edge list on the
+    driver); intersection counts generate PER SHARED NEIGHBOR inside
+    coarse hash partitions (sum(deg²) work — the ssjoin kernel, never
+    all-pairs over nodes), pre-combined locally before the one global
+    (a, b) combine; degrees attach back by broadcast
+    (sorted-searchsorted) below ``broadcast_max_nodes`` or the
+    tagged-union co-partitioned merge above it (forced-path test pins the
+    regimes equal).  ``max_deg`` is the hub gate for dense co-occurrence
+    graphs: nodes with more than ``max_deg`` neighbors are REMOVED from
+    the graph before pair generation and degrees recomputed on the
+    filtered graph — hub-REMOVAL semantics (a defined operator parameter),
+    not silent truncation; the hub list is driver-resident but counting
+    bounds it at 2|E| / max_deg rows, an edge-fraction the caller sizes.
+
+    Output: (a, b, inter, un, jaccard) with a < b, unsorted."""
+    from .grouping import partitioned_apply
+
+    # both-directions view; global distinct via one co-partition on n
+    def _both(t: pa.Table) -> pd.DataFrame:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        ne = a != b
+        a, b = a[ne], b[ne]
+        return pd.DataFrame(
+            {"n": np.concatenate([a, b]), "m": np.concatenate([b, a])}
+        )
+
+    und = partitioned_apply(
+        edges.select_columns(["a", "b"]).map_batches(
+            _both, batch_format="pyarrow"
+        ),
+        "n",
+        lambda part: part.drop_duplicates(["n", "m"]),
+        num_parts=num_parts,
+    ).materialize()
+
+    def _vc(df: pd.DataFrame) -> pd.DataFrame:
+        vals, cnts = np.unique(df["n"].to_numpy(), return_counts=True)
+        return pd.DataFrame({"node": vals, "d": cnts.astype(np.int64)})
+
+    def _dsum(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby("node", as_index=False, sort=False)["d"].sum()
+        g["d"] = g["d"].astype(np.int64)
+        return g
+
+    def _degrees(u):
+        return partitioned_apply(
+            u.map_batches(_vc, batch_format="pandas"),
+            "node",
+            _dsum,
+            num_parts=num_parts,
+        ).materialize()
+
+    deg = _degrees(und)
+
+    if max_deg is not None:
+        hubs_pd = deg.map_batches(
+            lambda df: df[df["d"].to_numpy() > max_deg][["node"]],
+            batch_format="pandas",
+        ).to_pandas()
+        if len(hubs_pd):
+            hubs = np.sort(hubs_pd["node"].to_numpy())
+            href = ray.put(hubs)
+
+            def _drop_hubs(df: pd.DataFrame) -> pd.DataFrame:
+                h = ray.get(href)
+                keep = ~_sorted_member(h, df["n"].to_numpy()) & ~_sorted_member(
+                    h, df["m"].to_numpy()
+                )
+                return df[keep]
+
+            und = und.map_batches(
+                _drop_hubs, batch_format="pandas"
+            ).materialize()
+            deg = _degrees(und)
+
+    def _pairs(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "a": part["n"].iloc[:0],
+                "b": part["n"].iloc[:0],
+                "inter": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(part):
+            return empty
+        part = part.sort_values(["m", "n"], kind="mergesort")
+        mm = part["m"].to_numpy()
+        nn = part["n"].to_numpy()
+        k = len(part)
+        new = np.ones(k, dtype=bool)
+        new[1:] = mm[1:] != mm[:-1]
+        grp_start = np.flatnonzero(new)
+        grp_end = np.append(grp_start[1:], k)
+        sizes = grp_end - grp_start
+        row_end = np.repeat(grp_end, sizes)
+        row_idx = np.arange(k)
+        reps = row_end - row_idx - 1
+        total = int(reps.sum())
+        if total == 0:
+            return empty
+        i_idx = np.repeat(row_idx, reps)
+        seg = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(reps)[:-1]]), reps
+        )
+        j_idx = i_idx + 1 + seg
+        # n sorted within each m-group -> a < b by construction
+        out = pd.DataFrame(
+            {
+                "a": nn[i_idx],
+                "b": nn[j_idx],
+                "inter": np.ones(total, dtype=np.int64),
+            }
+        )
+        return out.groupby(["a", "b"], as_index=False, sort=False)["inter"].sum()
+
+    def _icombine(part: pd.DataFrame) -> pd.DataFrame:
+        return part.groupby(["a", "b"], as_index=False, sort=False)["inter"].sum()
+
+    inter = partitioned_apply(
+        partitioned_apply(und, "m", _pairs, num_parts=num_parts),
+        ["a", "b"],
+        _icombine,
+        num_parts=num_parts,
+    )
+
+    tau = int(tau_pct)
+
+    def _threshold(df: pd.DataFrame) -> pd.DataFrame:
+        iv = df["inter"].to_numpy().astype(np.int64)
+        un = (
+            df["da"].to_numpy().astype(np.int64)
+            + df["db"].to_numpy().astype(np.int64)
+            - iv
+        )
+        keep = 100 * iv >= tau * un
+        out = pd.DataFrame(
+            {
+                "a": df["a"].to_numpy()[keep],
+                "b": df["b"].to_numpy()[keep],
+                "inter": iv[keep],
+                "un": un[keep],
+            }
+        )
+        out["jaccard"] = out["inter"].to_numpy().astype(
+            np.float64
+        ) / out["un"].to_numpy().astype(np.float64)
+        return out
+
+    if deg.count() <= broadcast_max_nodes:
+        dp = deg.to_pandas()
+        order = np.argsort(dp["node"].to_numpy(), kind="mergesort")
+        ref = ray.put(
+            (
+                dp["node"].to_numpy()[order],
+                dp["d"].to_numpy().astype(np.int64)[order],
+            )
+        )
+
+        def _finish(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return pd.DataFrame(
+                    {
+                        "a": df["a"],
+                        "b": df["b"],
+                        "inter": pd.Series([], dtype="int64"),
+                        "un": pd.Series([], dtype="int64"),
+                        "jaccard": pd.Series([], dtype="float64"),
+                    }
+                )
+            ids, dd = ray.get(ref)
+            df = df.copy()
+            df["da"] = dd[np.searchsorted(ids, df["a"].to_numpy())]
+            df["db"] = dd[np.searchsorted(ids, df["b"].to_numpy())]
+            return _threshold(df)
+
+        return inter.map_batches(_finish, batch_format="pandas")
+
+    # at-scale: degrees outgrew the driver — attach each side by a tagged
+    # union + one coarse hash partition on that side (the repo-wide
+    # equi-join shape), explicit column order on both union branches
+    def _attach(ds, key: str, out_col: str):
+        sch = ds.schema()
+        payload = [c for c in sch.names if c != key]
+        # placeholder fills MUST keep each column's dtype: an object-dtype
+        # fill would flip the frame's key hash (hash_pandas_object hashes
+        # int64 and object values differently), scattering the two union
+        # sides across different partitions in the NEXT attach
+        pd_dtypes = {
+            n: t.to_pandas_dtype() for n, t in zip(sch.names, sch.types)
+        }
+
+        def _tag_pairs(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["__d"] = np.int64(-1)
+            df["__isd"] = np.int8(0)
+            return df[[key, *payload, "__d", "__isd"]]
+
+        def _tag_deg(df: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame({key: df["node"]})
+            for c in payload:
+                out[c] = np.zeros(len(df), dtype=pd_dtypes[c])
+            out["__d"] = df["d"].to_numpy().astype(np.int64)
+            out["__isd"] = np.int8(1)
+            return out[[key, *payload, "__d", "__isd"]]
+
+        both = ds.map_batches(_tag_pairs, batch_format="pandas").union(
+            deg.map_batches(_tag_deg, batch_format="pandas")
+        )
+
+        def _merge(part: pd.DataFrame) -> pd.DataFrame:
+            dd = part[part["__isd"] == 1][[key, "__d"]]
+            pr = part[part["__isd"] == 0].drop(columns=["__d", "__isd"])
+            m = pr.merge(dd, on=key, how="inner")
+            return m.rename(columns={"__d": out_col})
+
+        return partitioned_apply(both, key, _merge, num_parts=num_parts)
+
+    withd = _attach(_attach(inter, "a", "da"), "b", "db")
+    return withd.map_batches(
+        lambda df: _threshold(df)
+        if len(df)
+        else pd.DataFrame(
+            {
+                "a": df["a"],
+                "b": df["b"],
+                "inter": pd.Series([], dtype="int64"),
+                "un": pd.Series([], dtype="int64"),
+                "jaccard": pd.Series([], dtype="float64"),
+            }
+        ),
+        batch_format="pandas",
+    )
