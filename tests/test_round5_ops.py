@@ -429,3 +429,66 @@ def test_node_jaccard_hub_gate_removal_semantics(ray_session):
     )
     assert gated.equals(manual)
     assert list(gated["a"]) == [1] and list(gated["b"]) == [3]
+
+
+@pytest.mark.skipif(
+    __import__("os").environ.get("RUN_SCALE_SMOKE") != "1",
+    reason="node_jaccard smoke; run with RUN_SCALE_SMOKE=1 "
+    "(result recorded in BASELINE.md)",
+)
+def test_node_jaccard_distributed_scale_smoke(ray_session):
+    """~10⁶-edge graph through the FORCED at-scale degree attach
+    (broadcast_max_nodes=0 — tagged-union co-partitioned merge on both
+    sides).  The J >= 0.9 answer is known EXACTLY by construction:
+    10k twin pairs (u_t, v_t) each wired to the same 10 private shared
+    neighbors -> J(u,v) = 1.0, and every shared-neighbor pair within a
+    twin group has N = {u, v} -> J = 1.0 (45 such pairs per group); the
+    background is a 400k-node ring + fixed-stride chord graph where any
+    two nodes share at most 1 of their 4 neighbors -> J <= 1/7."""
+    import time
+
+    rd = _rd()
+    from unsupervised_ner_ray.stages.kg import node_jaccard
+
+    T, S, nb = 10_000, 10, 400_000
+    t_idx = np.repeat(np.arange(T, dtype=np.int64), S)
+    s_idx = np.tile(np.arange(S, dtype=np.int64), T)
+    sname = np.char.add(
+        np.char.add("s", t_idx.astype("U6")), np.char.add("_", s_idx.astype("U2"))
+    )
+    uname = np.char.add("u", t_idx.astype("U6"))
+    vname = np.char.add("v", t_idx.astype("U6"))
+    i = np.arange(nb, dtype=np.int64)
+    ring_s = np.char.add("b", i.astype("U6"))
+    ring_o = np.char.add("b", ((i + 1) % nb).astype("U6"))
+    chord_o = np.char.add("b", ((i + 7919) % nb).astype("U6"))
+    edges = (
+        rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "a": np.concatenate([uname, vname, ring_s, ring_s]),
+                    "b": np.concatenate([sname, sname, ring_o, chord_o]),
+                }
+            )
+        )
+        .repartition(32)
+        .materialize()
+    )
+    n_edges = edges.count()
+    assert n_edges == 2 * T * S + 2 * nb
+
+    t0 = time.time()
+    out = node_jaccard(
+        edges, tau_pct=90, broadcast_max_nodes=0
+    ).to_pandas()
+    t_j = time.time() - t0
+    expected = T + T * (S * (S - 1) // 2)
+    assert len(out) == expected, (len(out), expected)
+    assert (out["jaccard"] == 1.0).all()
+    uv = out[out["a"].str.startswith("u")]
+    assert len(uv) == T
+    assert (uv["inter"] == S).all() and (uv["un"] == S).all()
+    print(
+        f"SMOKE node_jaccard edges={n_edges} forced-distributed attach "
+        f"{t_j:.1f}s pairs={len(out)}"
+    )
