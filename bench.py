@@ -239,6 +239,23 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         return node_jaccard(edges, tau_pct=10).to_pandas()
 
     timed("q_node_jaccard", _node_jaccard)
+
+    # round-5: deterministic DeepWalk random-walk corpus over the bigram
+    # graph (broadcast-CSR regime at this scale: one build, zero shuffles)
+    def _kg_walks():
+        from unsupervised_ner_ray.stages.kg import (
+            random_walks,
+            undirected_bigram_edges,
+        )
+
+        edges = undirected_bigram_edges(docs_tbl).map_batches(
+            lambda t: t.rename_columns(["s", "o"]), batch_format="pyarrow"
+        )
+        return random_walks(
+            edges, walk_len=5, walks_per_node=1, seed=11, max_start_nodes=400
+        ).to_pandas()
+
+    timed("q_kg_walks", _kg_walks)
     timed("q_two_hop", lambda: _kg.two_hop_counts(docs_tbl).to_pandas())
     timed("q_bm25", lambda: textstats.bm25_rank(docs_tbl))
     def _doc_cosine():

@@ -144,3 +144,89 @@ def test_input_contracts(ray_session):
         random_walks(_edges_ds(), walk_len=0)
     with pytest.raises(ValueError):
         random_walks(_edges_ds(), walks_per_node=0)
+
+
+@pytest.mark.skipif(
+    __import__("os").environ.get("RUN_SCALE_SMOKE") != "1",
+    reason="random_walks smoke; run with RUN_SCALE_SMOKE=1 "
+    "(result recorded in BASELINE.md)",
+)
+def test_random_walks_distributed_scale_smoke(ray_session):
+    """2x10^6-edge ring+chord graph through the FORCED distributed regime
+    (broadcast_threshold=0): 2,000 walkers x 4 co-partitioned steps, each
+    step shipping the 4M-row symmetric tagged union — the walker Dataset
+    path end to end.  The answer is known EXACTLY: neighbors of b_i are
+    {b_(i±1), b_(i±7919)} mod n by construction, so the pure-python
+    reference walker recomputes every engine choice from the contract
+    without materializing the graph."""
+    import time
+
+    import numpy as np
+
+    n = 1_000_000
+    i = np.arange(n, dtype=np.int64)
+    name = np.char.add("b", i.astype("U7"))
+    ring_o = np.char.add("b", ((i + 1) % n).astype("U7"))
+    chord_o = np.char.add("b", ((i + 7919) % n).astype("U7"))
+    edges = (
+        rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "s": np.concatenate([name, name]),
+                    "o": np.concatenate([ring_o, chord_o]),
+                }
+            )
+        )
+        .repartition(32)
+        .materialize()
+    )
+    assert edges.count() == 2 * n
+
+    t0 = time.time()
+    got = (
+        random_walks(
+            edges,
+            walk_len=5,
+            walks_per_node=1,
+            seed=23,
+            max_start_nodes=2_000,
+            broadcast_threshold=0,
+            num_parts=64,
+        )
+        .to_pandas()
+        .sort_values(["walk_id", "step"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    t_w = time.time() - t0
+    assert len(got) == 2_000 * 5
+
+    # pure-python reference from the analytic adjacency (no graph build)
+    def nbrs(node: str) -> list[str]:
+        j = int(node[1:])
+        return sorted(
+            f"b{k % n}" for k in (j - 1, j + 1, j - 7919, j + 7919)
+        )
+
+    starts = sorted(f"b{k}" for k in range(n))[:2_000]
+    seed_key = (23 * _C_S) & _M
+    rows = []
+    for st in starts:
+        wkey = _mix(_h(st) ^ seed_key)  # r = 0
+        cur = st
+        rows.append((f"{st}#0", 0, cur))
+        for t in range(1, 5):
+            ns = nbrs(cur)
+            cur = ns[_mix(wkey ^ ((t * _C_T) & _M) ^ _h(cur)) % len(ns)]
+            rows.append((f"{st}#0", t, cur))
+    want = (
+        pd.DataFrame(rows, columns=["walk_id", "step", "node"])
+        .sort_values(["walk_id", "step"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    got["step"] = got["step"].astype("int64")
+    want["step"] = want["step"].astype("int64")
+    pd.testing.assert_frame_equal(got[["walk_id", "step", "node"]], want)
+    print(
+        f"SMOKE random_walks sym_edges={4 * n} forced-distributed "
+        f"2000x5 walks {t_w:.1f}s exact-match"
+    )
