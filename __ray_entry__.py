@@ -350,6 +350,53 @@ def _media_dumps(sf_dir: str) -> dict[str, str]:
     return paths
 
 
+_WALKS_DUMP_CACHE: dict[str, str] = {}
+
+
+def _walks_dump(sf_dir: str) -> str:
+    """Hash-pin dump for the random-walk corpus (same pattern as
+    _ner_dumps/_media_dumps): the engine's walk rows land in parquet; the
+    query re-aggregates them with distributed Ray operators while the
+    DuckDB twin runs the identical SQL over the same files, so the walk
+    VALUES (start/end node per walk, path length, distinct-node count) are
+    value-exact certified instead of rows-only.  Walk CORRECTNESS (every
+    hop matches the documented hash contract) is separately pinned by the
+    pure-python reference in tests/test_walks.py."""
+    if sf_dir in _WALKS_DUMP_CACHE:
+        return _WALKS_DUMP_CACHE[sf_dir]
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+
+    from unsupervised_ner_ray.sources.io import read_sf
+    from unsupervised_ner_ray.stages.kg import (
+        random_walks,
+        undirected_bigram_edges,
+    )
+
+    n_total = read_sf(sf_dir, "documents", columns=["doc_id"]).count()
+    edges = undirected_bigram_edges(_docs(sf_dir)).map_batches(
+        lambda t: t.rename_columns(["s", "o"]), batch_format="pyarrow"
+    )
+    walks = random_walks(
+        edges, walk_len=5, walks_per_node=1, seed=11, max_start_nodes=400
+    )
+
+    def _stamp(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "n_docs_total", pa.array(np.full(len(t), n_total, dtype=np.int64))
+        )
+
+    path = f"{_DUMP_ROOT}/walks_{n_total}"
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    walks.map_batches(_stamp, batch_format="pyarrow").write_parquet(path)
+    _WALKS_DUMP_CACHE[sf_dir] = path
+    return path
+
+
 def _query_matrix(emb):
     """First 3 embedding vectors as the ANN query matrix (vectorized Arrow
     filter — no per-row Python predicate)."""
@@ -704,17 +751,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bigram graph (graph-embedding sampling stage; Perozzi et al.
         # 2014).  blake2b+splitmix64 hash-seeded choices -> byte-identical
         # across runs/regimes (pure-python reference pinned in
-        # tests/test_walks.py).  Rows-only (hash-seeded walk, no SQL face)
-        from unsupervised_ner_ray.stages.kg import (
-            random_walks,
-            undirected_bigram_edges,
-        )
+        # tests/test_walks.py).  HASH-PINNED via the _walks_dump parquet:
+        # this query re-aggregates the engine's walk rows per walk
+        # (length, distinct nodes, start/end node) with a distributed
+        # groupby while the DuckDB twin runs the identical SQL over the
+        # same files
+        import pandas as pd
+        import ray.data as rd
 
-        edges = undirected_bigram_edges(_docs(sf_dir)).map_batches(
-            lambda t: t.rename_columns(["s", "o"]), batch_format="pyarrow"
-        )
-        return random_walks(
-            edges, walk_len=5, walks_per_node=1, seed=11, max_start_nodes=400
+        from unsupervised_ner_ray.stages.grouping import partitioned_apply
+
+        path = _walks_dump(sf_dir)
+        ds = rd.read_parquet(path, columns=["walk_id", "step", "node"])
+
+        def _agg(part: pd.DataFrame) -> pd.DataFrame:
+            part = part.sort_values(["walk_id", "step"], kind="mergesort")
+            g = part.groupby("walk_id", sort=True)
+            out = pd.DataFrame(
+                {
+                    "n_steps": g["step"].size().astype("int64"),
+                    "n_distinct": g["node"].nunique().astype("int64"),
+                    "start_node": g["node"].first(),
+                    "end_node": g["node"].last(),
+                }
+            ).reset_index()
+            return out[
+                ["walk_id", "n_steps", "n_distinct", "start_node", "end_node"]
+            ]
+
+        return partitioned_apply(ds, "walk_id", _agg, num_parts=16).sort(
+            "walk_id"
         )
 
     def q_copurchase_edges(sf_dir: str):
@@ -1236,7 +1302,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5: deterministic random-walk corpus (DeepWalk sampling)
         # over the bigram graph — dual-regime (broadcast CSR / per-step
         # co-partitioned walker Dataset), forced-path + pure-python
-        # reference pinned.  Rows-only
+        # reference pinned.  Hash-pinned via the _walks_dump twin
         "q_kg_walks": q_kg_walks,
     }
 
@@ -1255,8 +1321,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # + the 12 rows-only queries that had never appeared in any driver window
 # (VERDICT r4 item 2 — after this round every battery entry is
 # driver-recorded at least once across r01-r05) + the 5 new round-5
-# operators (q_image_phash/q_kg_kcore/q_kg_walks rows-only first records;
-# q_copurchase_edges/q_node_jaccard new SQL-oracled) + 19 previously
+# operators (q_image_phash/q_kg_kcore rows-only first records;
+# q_copurchase_edges/q_node_jaccard new SQL-oracled;
+# q_kg_walks hash-pinned via the walks-dump DuckDB twin) + 19 previously
 # certified oracle-backed re-guards (q_heavy_hitters/q_top_tfidf r02,
 # q_token_stats/q_fingerprint r01-r03 and q_distinct_users r01-r03 ceded
 # their slots to the new ops).
@@ -1468,6 +1535,17 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_DUMP_ROOT}/mediaresize_*/*.parquet')
             WHERE n_docs_total = (SELECT COUNT(*) FROM documents)
             ORDER BY doc_id, span_idx
+        """,
+        "q_kg_walks": f"""
+            SELECT walk_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_steps,
+                   CAST(COUNT(DISTINCT node) AS BIGINT) AS n_distinct,
+                   arg_min(node, step) AS start_node,
+                   arg_max(node, step) AS end_node
+            FROM read_parquet('{_DUMP_ROOT}/walks_*/*.parquet')
+            WHERE n_docs_total = (SELECT COUNT(*) FROM documents)
+            GROUP BY walk_id
+            ORDER BY walk_id
         """,
         "q_token_counts": f"""
             SELECT doc_id,
