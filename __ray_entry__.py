@@ -783,6 +783,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "walk_id"
         )
 
+    def q_kg_skipgram(sf_dir: str):
+        # round-5: skip-gram (center, context) pair counts from the walk
+        # corpus — the second half of DeepWalk preprocessing.  One
+        # walk_id shuffle, shifted-array pair generation, partition-local
+        # combine.  SQL-oracled: self-join on walk_id with |step delta|
+        # in [1, window] over the same walks dump
+        import ray.data as rd
+
+        from unsupervised_ner_ray.stages.kg import walk_skipgram_pairs
+
+        path = _walks_dump(sf_dir)
+        walks = rd.read_parquet(path, columns=["walk_id", "step", "node"])
+        return walk_skipgram_pairs(walks, window=2)
+
     def q_copurchase_edges(sf_dir: str):
         # round-5: bipartite->unipartite co-occurrence projection — parts
         # co-ordered in lineitem become weighted undirected KG edges
@@ -1304,6 +1318,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # co-partitioned walker Dataset), forced-path + pure-python
         # reference pinned.  Hash-pinned via the _walks_dump twin
         "q_kg_walks": q_kg_walks,
+        # round-5: skip-gram pair counts over the walk corpus (DeepWalk
+        # preprocessing second half).  SQL-oracled over the walks dump
+        "q_kg_skipgram": q_kg_skipgram,
     }
 
     # The driver records the FIRST 50 entries: reorder the battery so the
@@ -1379,11 +1396,12 @@ _WINDOW_R5 = [
     "q_boilerplate",
     "q_window_rank",
     "q_asof_last_order",
-    # round-5 late addition: deterministic DeepWalk random-walk corpus —
-    # rows-only first record; displaces q_distinct_users (hash-certified
-    # r01-r03)
+    # round-5 late additions: deterministic DeepWalk random-walk corpus
+    # (hash-pinned via the walks-dump twin) and skip-gram pair counts over
+    # it (SQL-oracled self-join twin) — displace q_distinct_users
+    # (hash-certified r01-r03) and q_revenue_by_nation (r01-r02)
     "q_kg_walks",
-    "q_revenue_by_nation",
+    "q_kg_skipgram",
     "q_topk_orders_per_customer",
     "q_sessionize",
     # new round-5 operators — the last four slots, displacing four
@@ -1535,6 +1553,18 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{_DUMP_ROOT}/mediaresize_*/*.parquet')
             WHERE n_docs_total = (SELECT COUNT(*) FROM documents)
             ORDER BY doc_id, span_idx
+        """,
+        "q_kg_skipgram": f"""
+            SELECT a.node AS center, b.node AS context,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM read_parquet('{_DUMP_ROOT}/walks_*/*.parquet') a
+            JOIN read_parquet('{_DUMP_ROOT}/walks_*/*.parquet') b
+              ON a.walk_id = b.walk_id
+             AND abs(a.step - b.step) BETWEEN 1 AND 2
+             AND a.n_docs_total = b.n_docs_total
+            WHERE a.n_docs_total = (SELECT COUNT(*) FROM documents)
+            GROUP BY center, context
+            ORDER BY center, context
         """,
         "q_kg_walks": f"""
             SELECT walk_id,

@@ -256,6 +256,23 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ).to_pandas()
 
     timed("q_kg_walks", _kg_walks)
+
+    def _kg_skipgram():
+        from unsupervised_ner_ray.stages.kg import (
+            random_walks,
+            undirected_bigram_edges,
+            walk_skipgram_pairs,
+        )
+
+        edges = undirected_bigram_edges(docs_tbl).map_batches(
+            lambda t: t.rename_columns(["s", "o"]), batch_format="pyarrow"
+        )
+        walks = random_walks(
+            edges, walk_len=5, walks_per_node=1, seed=11, max_start_nodes=400
+        )
+        return walk_skipgram_pairs(walks, window=2).to_pandas()
+
+    timed("q_kg_skipgram", _kg_skipgram)
     timed("q_two_hop", lambda: _kg.two_hop_counts(docs_tbl).to_pandas())
     timed("q_bm25", lambda: textstats.bm25_rank(docs_tbl))
     def _doc_cosine():

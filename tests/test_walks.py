@@ -230,3 +230,60 @@ def test_random_walks_distributed_scale_smoke(ray_session):
         f"SMOKE random_walks sym_edges={4 * n} forced-distributed "
         f"2000x5 walks {t_w:.1f}s exact-match"
     )
+
+
+def test_skipgram_pairs_hand_case(ray_session):
+    from unsupervised_ner_ray.stages.kg import walk_skipgram_pairs
+
+    walks = pd.DataFrame(
+        {
+            "walk_id": ["w1"] * 4 + ["w2"] * 2,
+            "step": [0, 1, 2, 3, 0, 1],
+            "node": ["a", "b", "c", "d", "x", "y"],
+        }
+    )
+    # brute force: every pair within |step delta| in [1, 2] of the same walk
+    want: dict[tuple, int] = {}
+    for wid, g in walks.groupby("walk_id"):
+        ns = list(g.sort_values("step")["node"])
+        for i in range(len(ns)):
+            for j in range(len(ns)):
+                if i != j and abs(i - j) <= 2:
+                    k = (ns[i], ns[j])
+                    want[k] = want.get(k, 0) + 1
+    got = (
+        walk_skipgram_pairs(rd.from_pandas(walks), window=2, num_parts=3)
+        .to_pandas()
+        .sort_values(["center", "context"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    wdf = (
+        pd.DataFrame(
+            [(c, x, n) for (c, x), n in want.items()],
+            columns=["center", "context", "n"],
+        )
+        .sort_values(["center", "context"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    got["n"] = got["n"].astype("int64")
+    wdf["n"] = wdf["n"].astype("int64")
+    pd.testing.assert_frame_equal(got, wdf)
+
+
+def test_skipgram_partitioning_independence(ray_session):
+    from unsupervised_ner_ray.stages.kg import walk_skipgram_pairs
+
+    walks = random_walks(_edges_ds(), walk_len=6, walks_per_node=2, seed=5)
+    a = walk_skipgram_pairs(walks, window=2, num_parts=2).to_pandas()
+    b = walk_skipgram_pairs(walks, window=2, num_parts=17).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
+    assert (a["n"] >= 1).all() and a["n"].sum() > 0
+
+
+def test_skipgram_window_contract(ray_session):
+    from unsupervised_ner_ray.stages.kg import walk_skipgram_pairs
+
+    with pytest.raises(ValueError):
+        walk_skipgram_pairs(_edges_ds(), window=0)

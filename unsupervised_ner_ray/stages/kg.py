@@ -2770,3 +2770,75 @@ def random_walks(
     for ds in outs[1:]:
         out = out.union(ds)
     return out.sort(["walk_id", "step"])
+
+
+def walk_skipgram_pairs(walks, window: int = 2, num_parts: int = 64):
+    """Random-walk corpus -> skip-gram training-pair counts: for every walk
+    row, each node within ``±window`` steps in the SAME walk becomes a
+    (center, context) pair; output is the global pair count table — the
+    second half of DeepWalk preprocessing (walks are sentences, these are
+    the word2vec pairs; Perozzi et al. 2014 §4.2).
+
+    Scale shape: ONE hash shuffle on walk_id (a walk is tiny, its rows
+    co-locate), then per-partition vectorized pair generation by
+    shifted-array alignment — after the (walk_id, step) sort, offset ``d``
+    pairs row i with row i+d iff both belong to the same walk (steps are
+    dense within a walk, so the step distance IS d); both directions
+    emitted, partition-local combine, then one (center, context) combine
+    over the already-collapsed partials.  No per-row Python anywhere.
+
+    SQL-expressible (self-join on walk_id with |step delta| in [1, window])
+    -> carries an exact DuckDB twin over the walks dump.
+    Output: (center, context, n) sorted.
+    """
+    from .grouping import partitioned_apply
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+
+    def _pairs(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "center": pd.Series([], dtype=object),
+                "context": pd.Series([], dtype=object),
+                "n": pd.Series([], dtype=np.int64),
+            }
+        )
+        if not len(part):
+            return empty
+        part = part.sort_values(["walk_id", "step"], kind="mergesort")
+        w = part["walk_id"].to_numpy().astype(object)
+        nd = part["node"].to_numpy().astype(object)
+        cs, xs = [], []
+        for d in range(1, window + 1):
+            if d >= len(part):
+                break
+            same = w[d:] == w[:-d]
+            a, b = nd[:-d][same], nd[d:][same]
+            cs.append(a)
+            xs.append(b)
+            cs.append(b)  # both directions: skip-gram is symmetric
+            xs.append(a)
+        if not cs:
+            return empty
+        out = pd.DataFrame(
+            {"center": np.concatenate(cs), "context": np.concatenate(xs)}
+        )
+        out["n"] = np.int64(1)
+        return out.groupby(
+            ["center", "context"], as_index=False, sort=False
+        )["n"].sum()
+
+    def _combine(part: pd.DataFrame) -> pd.DataFrame:
+        if not len(part):
+            return part
+        out = part.groupby(
+            ["center", "context"], as_index=False, sort=False
+        )["n"].sum()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    parts = partitioned_apply(walks, "walk_id", _pairs, num_parts=num_parts)
+    return partitioned_apply(
+        parts, ["center", "context"], _combine, num_parts=num_parts
+    ).sort(["center", "context"])
