@@ -273,6 +273,26 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         return walk_skipgram_pairs(walks, window=2).to_pandas()
 
     timed("q_kg_skipgram", _kg_skipgram)
+
+    def _kg_embed():
+        from unsupervised_ner_ray.stages.kg import (
+            graph_embed_spectral,
+            random_walks,
+            undirected_bigram_edges,
+            walk_skipgram_pairs,
+        )
+
+        edges = undirected_bigram_edges(docs_tbl).map_batches(
+            lambda t: t.rename_columns(["s", "o"]), batch_format="pyarrow"
+        )
+        walks = random_walks(
+            edges, walk_len=5, walks_per_node=1, seed=11, max_start_nodes=400
+        )
+        return graph_embed_spectral(
+            walk_skipgram_pairs(walks, window=2), k=4, iters=20
+        ).to_pandas()
+
+    timed("q_kg_embed", _kg_embed)
     timed("q_two_hop", lambda: _kg.two_hop_counts(docs_tbl).to_pandas())
     timed("q_bm25", lambda: textstats.bm25_rank(docs_tbl))
     def _doc_cosine():

@@ -64,8 +64,9 @@ def test_window_r5_contract():
     inside, AND every query never RECORDED in any prior driver window is
     inside (so after this round every battery entry has a driver record);
     the only rows-only window entries are the 12 rotated never-recorded
-    queries plus the two new rows-only round-5 operators (pHash near-dup,
-    k-core); q_kg_walks is hash-pinned via the walks dump twin."""
+    queries plus the three new rows-only round-5 operators (pHash
+    near-dup, k-core, spectral graph embeddings); q_kg_walks and
+    q_kg_skipgram are SQL-pinned via the walks dump twins."""
     import json
 
     qs = list(entrymod.queries())
@@ -102,6 +103,7 @@ def test_window_r5_contract():
         "q_tdigest_by_type",
         "q_frame_sample",
         "q_two_hop_approx",
+        "q_kg_embed",
         "q_image_phash",
         "q_kg_kcore",
     ], rows_only

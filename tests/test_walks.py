@@ -287,3 +287,77 @@ def test_skipgram_window_contract(ray_session):
 
     with pytest.raises(ValueError):
         walk_skipgram_pairs(_edges_ds(), window=0)
+
+
+def _dense_ppmi(pairs_df):
+    import numpy as np
+
+    nodes = sorted(set(pairs_df["center"]))
+    idx = {n: i for i, n in enumerate(nodes)}
+    V = len(nodes)
+    C = np.zeros((V, V))
+    for c, x, n in pairs_df.itertuples(index=False):
+        C[idx[c], idx[x]] = n
+    T = C.sum()
+    nc = C.sum(axis=1)  # symmetric counts: row marginal == col marginal
+    with np.errstate(divide="ignore", invalid="ignore"):
+        P = np.log(C * T / np.outer(nc, nc))
+    P[~np.isfinite(P)] = 0.0
+    P[P < 0] = 0.0
+    return nodes, P
+
+
+def test_graph_embed_spectral_matches_dense_eigh(ray_session):
+    import numpy as np
+
+    from unsupervised_ner_ray.stages.kg import (
+        graph_embed_spectral,
+        walk_skipgram_pairs,
+    )
+
+    walks = random_walks(_edges_ds(), walk_len=8, walks_per_node=3, seed=2)
+    pairs = walk_skipgram_pairs(walks, window=2)
+    out = graph_embed_spectral(pairs, k=2, iters=80).to_pandas()
+
+    nodes, P = _dense_ppmi(pairs.to_pandas())
+    evals, evecs = np.linalg.eigh(P)
+    order = np.argsort(-np.abs(evals))
+    want_vals = evals[order[:2]]
+    top = evecs[:, order[:2]]
+    # the test graph must have a real |eigen|-gap for subspace convergence
+    assert abs(evals[order[1]]) - abs(evals[order[2]]) > 1e-3
+
+    emb = out[out["node"] != ""].pivot(
+        index="node", columns="dim", values="weight"
+    )
+    E = emb.loc[nodes].to_numpy()
+    # same invariant subspace (projector distance), orthonormal columns,
+    # matching eigenvalues.  Tolerance reflects the iterative rate: the
+    # error contracts like (|l3|/|l2|)^iters, and this graph's gap gives
+    # ~1e-4 at 80 iterations (exactness is numpy-eigh's job, not ours)
+    assert np.linalg.norm(E @ E.T - top @ top.T) < 1e-3
+    np.testing.assert_allclose(E.T @ E, np.eye(2), atol=1e-8)
+    got_vals = (
+        out[out["node"] == ""].sort_values("dim")["weight"].to_numpy()
+    )
+    np.testing.assert_allclose(got_vals, want_vals, rtol=1e-4, atol=1e-6)
+
+
+def test_graph_embed_spectral_determinism_and_contract(ray_session):
+    import numpy as np
+
+    from unsupervised_ner_ray.stages.kg import (
+        graph_embed_spectral,
+        walk_skipgram_pairs,
+    )
+
+    walks = random_walks(_edges_ds(), walk_len=6, walks_per_node=2, seed=9)
+    pairs = walk_skipgram_pairs(walks, window=2)
+    a = graph_embed_spectral(pairs, k=3, iters=15).to_pandas()
+    b = graph_embed_spectral(pairs, k=3, iters=15).to_pandas()
+    np.testing.assert_allclose(
+        a["weight"].to_numpy(), b["weight"].to_numpy(), atol=1e-12
+    )
+    assert list(a.columns) == ["node", "dim", "weight"]
+    with pytest.raises(ValueError):
+        graph_embed_spectral(pairs, k=0)

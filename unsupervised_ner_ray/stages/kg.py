@@ -2842,3 +2842,161 @@ def walk_skipgram_pairs(walks, window: int = 2, num_parts: int = 64):
     return partitioned_apply(
         parts, ["center", "context"], _combine, num_parts=num_parts
     ).sort(["center", "context"])
+
+
+def graph_embed_spectral(
+    pairs,
+    k: int = 4,
+    iters: int = 20,
+    num_parts: int = 64,
+):
+    """Spectral graph embeddings from skip-gram pair counts — the third
+    and final DeepWalk stage (walks -> pairs -> embeddings): factorize the
+    symmetric PPMI matrix of the (center, context, n) counts, which is the
+    closed-form equivalent of skip-gram/negative-sampling training (Levy &
+    Goldberg 2014, "Neural word embedding as implicit matrix
+    factorization").  Output: the top-k (by |eigenvalue|) eigenvectors of
+    PPMI as (node, dim, weight) rows; the k eigenvalues are emitted once
+    under the sentinel node '' (dim j's eigenvalue), mirroring pca_top's
+    leading-eigenvalue row.
+
+    Scale shape: counts reduce to ONE vocab-bounded marginal vector
+    (groupby Sum); the PPMI weight is a pure map over pair rows with the
+    broadcast marginals (searchsorted lookup); each subspace-iteration
+    step is ONE streaming pass over the pair rows emitting per-batch
+    (center, k-vector) partials that collapse through a C-path groupby Sum
+    — the pair table itself never shuffles after the initial id encoding.
+    Driver/broadcast state is O(V x k) (the basis) + O(V) (marginals),
+    the same vocab-bounded class as the BPE vocab broadcast; document
+    V*k <= ~10^8 floats for a 256-node cluster driver.
+
+    Deterministic: hash-seeded start basis (splitmix64 of blake2b node
+    hash ^ column), fixed iteration count, QR re-orthonormalization and a
+    final Rayleigh-Ritz rotation with sign-fixed columns (largest-|w|
+    component positive).  No SQL twin (iterative spectral op) — pinned by
+    dense numpy-eigh subspace parity + orthonormality + determinism tests.
+    """
+    from ray.data.aggregate import Sum
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    # ---- vocab-bounded marginals + node id table ----
+    marg = (
+        pairs.groupby("center")
+        .aggregate(Sum("n", alias_name="nc"))
+        .to_pandas()
+        .sort_values("center", kind="mergesort")
+    )
+    nodes = marg["center"].to_numpy().astype(object)
+    cnt = marg["nc"].to_numpy().astype(np.float64)
+    V = len(nodes)
+    total = float(cnt.sum())
+    if V == 0:
+        return ray.data.from_pandas(
+            pd.DataFrame(
+                {
+                    "node": pd.Series([], dtype=object),
+                    "dim": pd.Series([], dtype=np.int64),
+                    "weight": pd.Series([], dtype=np.float64),
+                }
+            )
+        )
+    k = min(k, V)
+    marg_ref = ray.put((nodes, cnt, total))
+
+    # ---- PPMI rows with integer node ids (one map, materialized) ----
+    def _ppmi(t: pa.Table) -> pa.Table:
+        nd, cn, tt = ray.get(marg_ref)
+        c = t.column("center").to_numpy(zero_copy_only=False).astype(object)
+        x = t.column("context").to_numpy(zero_copy_only=False).astype(object)
+        n = t.column("n").to_numpy(zero_copy_only=False).astype(np.float64)
+        ci = np.searchsorted(nd, c)
+        xi = np.searchsorted(nd, x)
+        w = np.log((n * tt) / (cn[ci] * cn[xi]))
+        keep = w > 0.0
+        return pa.table(
+            {
+                "ci": pa.array(ci[keep].astype(np.int64)),
+                "xi": pa.array(xi[keep].astype(np.int64)),
+                "w": pa.array(w[keep], pa.float64()),
+            }
+        )
+
+    M = pairs.map_batches(_ppmi, batch_format="pyarrow").materialize()
+
+    # ---- deterministic start basis, orthonormalized ----
+    h = _node_hash64(nodes)
+    Y = np.empty((V, k), dtype=np.float64)
+    for j in range(k):
+        z = _mix64(h ^ np.full(V, j + 1, dtype=np.uint64) * _WALK_C_T)
+        Y[:, j] = (z.astype(np.float64) / float(1 << 64)) - 0.5
+    Y, _ = np.linalg.qr(Y)
+
+    def _matvec(Yb) -> np.ndarray:
+        """One streaming pass: Z = PPMI @ Y (symmetric matrix, both
+        directions already present in the pair rows)."""
+        y_ref = ray.put(Yb)
+
+        def _part(t: pa.Table) -> pa.Table:
+            Yl = ray.get(y_ref)
+            ci = t.column("ci").to_numpy(zero_copy_only=False)
+            xi = t.column("xi").to_numpy(zero_copy_only=False)
+            w = t.column("w").to_numpy(zero_copy_only=False)
+            u, inv = np.unique(ci, return_inverse=True)
+            Z = np.zeros((len(u), Yl.shape[1]), dtype=np.float64)
+            np.add.at(Z, inv, w[:, None] * Yl[xi])
+            cols = {"ci": pa.array(u.astype(np.int64))}
+            for j in range(Yl.shape[1]):
+                cols[f"v{j}"] = pa.array(Z[:, j], pa.float64())
+            return pa.table(cols)
+
+        agg = (
+            M.map_batches(_part, batch_format="pyarrow")
+            .groupby("ci")
+            .aggregate(*[Sum(f"v{j}", alias_name=f"v{j}") for j in range(k)])
+            .to_pandas()
+        )
+        Z = np.zeros((V, k), dtype=np.float64)
+        idx = agg["ci"].to_numpy().astype(np.int64)
+        for j in range(k):
+            Z[idx, j] = agg[f"v{j}"].to_numpy(np.float64)
+        return Z
+
+    for _ in range(iters):
+        Z = _matvec(Y)
+        Y, R = np.linalg.qr(Z)
+        # sign-fix Q columns via R's diagonal so iteration is deterministic
+        sgn = np.sign(np.diag(R))
+        sgn[sgn == 0] = 1.0
+        Y = Y * sgn
+
+    # ---- Rayleigh-Ritz: rotate the basis to eigenvector estimates ----
+    Z = _matvec(Y)
+    T_small = Y.T @ Z
+    T_small = (T_small + T_small.T) / 2.0
+    evals, Q = np.linalg.eigh(T_small)
+    order = np.argsort(-np.abs(evals))
+    evals, Q = evals[order], Q[:, order]
+    E = Y @ Q
+    for j in range(k):  # largest-|w| component positive
+        col = E[:, j]
+        if col[np.argmax(np.abs(col))] < 0:
+            E[:, j] = -col
+    out = pd.DataFrame(
+        {
+            "node": np.repeat(nodes, k),
+            "dim": np.tile(np.arange(k, dtype=np.int64), V),
+            "weight": E.ravel(),
+        }
+    )
+    evrows = pd.DataFrame(
+        {
+            "node": np.array([""] * k, dtype=object),
+            "dim": np.arange(k, dtype=np.int64),
+            "weight": evals,
+        }
+    )
+    return ray.data.from_pandas(
+        pd.concat([evrows, out], ignore_index=True)
+    ).sort(["node", "dim"])
