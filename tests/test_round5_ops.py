@@ -396,6 +396,15 @@ def test_node_jaccard_forced_distributed_attach(ray_session):
     )[list(bc.columns)]
     assert len(bc) > 0
     assert dist.equals(bc)
+    # csr_max_edges=0 forces the packed-key shuffle kernel (regime 2) in
+    # its broadcast-degrees flavor; pinned equal to the CSR kernel too
+    shuf = (
+        node_jaccard(edges, tau_pct=5, csr_max_edges=0, num_parts=4)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )[list(bc.columns)]
+    assert shuf.equals(bc)
 
 
 def test_node_jaccard_hub_gate_removal_semantics(ray_session):
