@@ -100,11 +100,30 @@ def brute_force_topk(embeds, queries: np.ndarray, k: int = 10, concurrency: int 
     return rd.from_pandas(out)
 
 
+def _stable_sample_order(sample):
+    """Row order of a ``random_sample(...).to_pandas()`` pull depends on
+    block scheduling, and the k-means trainers below seed their init from
+    POSITIONAL indices into that frame — so two runs over the same rows
+    could train different codebooks.  Sort the driver-side sample by a
+    stable key (``vec_id`` when present, else the raw embedding bytes) so
+    codebook training is a pure function of the sampled row SET."""
+    if "vec_id" in sample.columns:
+        return sample.sort_values("vec_id", kind="mergesort").reset_index(drop=True)
+    key = sample["embedding"].map(lambda v: np.asarray(v, dtype=np.float64).tobytes())
+    return (
+        sample.assign(_key=key)
+        .sort_values("_key", kind="mergesort")
+        .drop(columns="_key")
+        .reset_index(drop=True)
+    )
+
+
 def train_ivf_codebook(
     embeds, n_clusters: int = 16, sample_frac: float = 0.2, iters: int = 10, seed: int = 5
 ) -> np.ndarray:
     """Mini k-means on a sample (driver-side; the sample is small by design)."""
     sample = embeds.random_sample(sample_frac, seed=seed).to_pandas()
+    sample = _stable_sample_order(sample)
     x = np.stack([np.asarray(v, dtype=np.float64) for v in sample["embedding"]])
     rng = np.random.RandomState(seed)
     centers = x[rng.choice(len(x), size=min(n_clusters, len(x)), replace=False)]
@@ -342,6 +361,7 @@ def train_pq_codebooks(
     KB — they broadcast via ``ray.put`` to every encode/score actor.
     """
     sample = embeds.random_sample(sample_frac, seed=seed).to_pandas()
+    sample = _stable_sample_order(sample)
     x = np.stack([np.asarray(v, dtype=np.float64) for v in sample["embedding"]])
     d = x.shape[1]
     if d % m_sub != 0:
