@@ -840,6 +840,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
         return node_jaccard(edges, tau_pct=10).sort(["a", "b"])
 
+    def q_link_prediction(sf_dir: str):
+        # round-5: common-neighbor / Adamic-Adar / Resource-Allocation
+        # link prediction over the co-purchase graph.  Scores are exact
+        # int64 nanounit sums (floor(1e9/ln(deg z)) per shared neighbor
+        # z, quantized once from the exact group-size degree); the float
+        # aa/ra columns are one float64 division each.  SQL-oracled
+        from unsupervised_ner_ray.sources.io import read_sf
+        from unsupervised_ner_ray.stages.kg import (
+            cooccurrence_edges,
+            link_prediction_scores,
+        )
+
+        li = read_sf(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+        edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+        return link_prediction_scores(edges, min_cn=15).sort(["a", "b"])
+
     def q_dataprep(sf_dir: str):
         from unsupervised_ner_ray.pipelines.dataprep import run_dataprep
 
@@ -1332,6 +1348,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # int64 threshold test both engines).  Both SQL-oracled
         "q_copurchase_edges": q_copurchase_edges,
         "q_node_jaccard": q_node_jaccard,
+        # round-5: shared-neighborhood link-prediction indices (common
+        # neighbors / Adamic-Adar / Resource Allocation) over the
+        # co-purchase graph — deg(shared neighbor) = m-group size inside
+        # the one hash partition, so no degree attach; scores are int64
+        # nanounit sums, floats one division.  SQL-oracled
+        "q_link_prediction": q_link_prediction,
         # round-5: deterministic random-walk corpus (DeepWalk sampling)
         # over the bigram graph — dual-regime (broadcast CSR / per-step
         # co-partitioned walker Dataset), forced-path + pure-python
@@ -1423,7 +1445,9 @@ _WINDOW_R5 = [
     # q_distinct_users (hash-certified r01-r03), q_revenue_by_nation
     # (r01-r02) and q_window_rank (r01-r03)
     "q_kg_embed",
-    "q_asof_last_order",
+    # link-prediction indices (CN/AA/RA) — new SQL-oracled round-5 op,
+    # displacing the q_asof_last_order re-guard (hash-certified r01-r03)
+    "q_link_prediction",
     "q_kg_walks",
     "q_kg_skipgram",
     "q_topk_orders_per_customer",
@@ -2969,5 +2993,40 @@ def oracle_sql() -> dict[str, str]:
             JOIN deg da ON p.a = da.n JOIN deg db ON p.b = db.n
             WHERE 100 * p.inter >= 10 * (da.dd + db.dd - p.inter)
             ORDER BY p.a, p.b
+        """,
+        # round-5: shared-neighborhood link prediction over the same
+        # co-purchase graph.  Per-neighbor weights quantize ONCE to int64
+        # nanounits from the exact degree (floor(1e9/ln(d)) and
+        # floor(1e9/d) agree bit-for-bit between DuckDB and numpy — libm
+        # log + IEEE floor/division); pair scores are order-independent
+        # BIGINT sums; aa/ra are one float64 division of those sums
+        "q_link_prediction": """
+            WITH d AS (
+                SELECT DISTINCT l_orderkey AS g, l_partkey AS i FROM lineitem
+            ), e AS (
+                SELECT DISTINCT a.i AS a, b.i AS b
+                FROM d a JOIN d b ON a.g = b.g AND a.i < b.i
+            ), und AS (
+                SELECT a AS n, b AS m FROM e UNION ALL SELECT b, a FROM e
+            ), deg AS (
+                SELECT m, CAST(COUNT(*) AS BIGINT) AS dd FROM und GROUP BY m
+            ), pairs AS (
+                SELECT u1.n AS a, u2.n AS b, u1.m AS z
+                FROM und u1 JOIN und u2 ON u1.m = u2.m AND u1.n < u2.n
+            ), scored AS (
+                SELECT p.a, p.b,
+                       CAST(COUNT(*) AS BIGINT) AS cn,
+                       CAST(SUM(CAST(FLOOR(1000000000.0 / LN(dz.dd))
+                                     AS BIGINT)) AS BIGINT) AS aa_nano,
+                       CAST(SUM(CAST(FLOOR(1000000000.0 / dz.dd)
+                                     AS BIGINT)) AS BIGINT) AS ra_nano
+                FROM pairs p JOIN deg dz ON p.z = dz.m
+                GROUP BY p.a, p.b
+                HAVING COUNT(*) >= 15
+            )
+            SELECT a, b, cn, aa_nano, ra_nano,
+                   CAST(aa_nano AS DOUBLE) / 1000000000.0 AS aa,
+                   CAST(ra_nano AS DOUBLE) / 1000000000.0 AS ra
+            FROM scored ORDER BY a, b
         """,
     }

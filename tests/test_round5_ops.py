@@ -501,3 +501,145 @@ def test_node_jaccard_distributed_scale_smoke(ray_session):
         f"SMOKE node_jaccard edges={n_edges} forced-distributed attach "
         f"{t_j:.1f}s pairs={len(out)}"
     )
+
+
+# ---------------------------------------------------------------------------
+# link-prediction indices (CN / Adamic-Adar / Resource Allocation)
+
+
+def _lp_reference(edge_set, min_cn=1, hub=None):
+    """Pure-python CN/AA/RA over an undirected simple graph, nanounit
+    quantization identical to the operator contract."""
+    import itertools
+    import math
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edge_set:
+        adj[a].add(b)
+        adj[b].add(a)
+    out = {}
+    for z, nb in adj.items():
+        d = len(nb)
+        if hub is not None and d > hub:
+            continue
+        w_aa = math.floor(1e9 / math.log(max(d, 2)))
+        w_ra = math.floor(1e9 / max(d, 2))
+        for x, y in itertools.combinations(sorted(nb), 2):
+            cn, aa, ra = out.get((x, y), (0, 0, 0))
+            out[(x, y)] = (cn + 1, aa + w_aa, ra + w_ra)
+    return {k: v for k, v in out.items() if v[0] >= min_cn}
+
+
+def _lp_random_graph(seed=7, n=40, m=120):
+    import random
+
+    rng = random.Random(seed)
+    edges = set()
+    while len(edges) < m:
+        a, b = rng.sample(range(n), 2)
+        edges.add((min(a, b), max(a, b)))
+    return edges
+
+
+def test_link_prediction_reference_parity(ray_session):
+    """Random graph with dirty input (dups, reversed dups, self-loop):
+    operator == pure-python reference for every (min_cn, hub, num_parts)
+    combination; float columns are exactly nano/1e9."""
+    import random
+
+    from unsupervised_ner_ray.stages.kg import link_prediction_scores
+
+    edges = _lp_random_graph()
+    rng = random.Random(3)
+    rows = []
+    for a, b in edges:
+        rows.append((a, b))
+        if rng.random() < 0.3:
+            rows.append((b, a))
+        if rng.random() < 0.2:
+            rows.append((a, b))
+    rows.append((5, 5))
+    df = pd.DataFrame(rows, columns=["a", "b"])
+    for min_cn, hub, nparts in [(1, None, 1), (1, None, 7), (2, None, 8), (1, 4, 8)]:
+        got = link_prediction_scores(
+            _rd().from_pandas(df),
+            min_cn=min_cn,
+            max_shared_deg=hub,
+            num_parts=nparts,
+        ).to_pandas()
+        exp = _lp_reference(edges, min_cn, hub)
+        gd = {
+            (int(r.a), int(r.b)): (int(r.cn), int(r.aa_nano), int(r.ra_nano))
+            for r in got.itertuples()
+        }
+        assert gd == exp, (min_cn, hub, nparts)
+        assert np.all(
+            got["aa"].to_numpy()
+            == got["aa_nano"].to_numpy().astype(np.float64) / 1e9
+        )
+        assert np.all(
+            got["ra"].to_numpy()
+            == got["ra_nano"].to_numpy().astype(np.float64) / 1e9
+        )
+
+
+def test_link_prediction_hand_case(ray_session):
+    """Square a-b-c-d-a: opposite corners share exactly the two adjacent
+    corners (deg 2 each) -> cn=2, aa_nano=2*floor(1e9/ln 2),
+    ra_nano=2*floor(1e9/2); adjacent corners share nothing."""
+    import math
+
+    from unsupervised_ner_ray.stages.kg import link_prediction_scores
+
+    df = pd.DataFrame({"a": [0, 1, 2, 3], "b": [1, 2, 3, 0]})
+    got = (
+        link_prediction_scores(_rd().from_pandas(df), num_parts=3)
+        .to_pandas()
+        .sort_values(["a", "b"])
+        .reset_index(drop=True)
+    )
+    w = math.floor(1e9 / math.log(2))
+    assert list(map(tuple, got[["a", "b", "cn"]].to_numpy())) == [
+        (0, 2, 2),
+        (1, 3, 2),
+    ]
+    assert (got["aa_nano"] == 2 * w).all()
+    assert (got["ra_nano"] == 2 * 500_000_000).all()
+
+
+def test_link_prediction_nanounit_duckdb_parity():
+    """The quantization floor(1e9/ln d) / floor(1e9/d) is bit-identical
+    between numpy and DuckDB over the full realistic degree range — the
+    premise that makes the int64 sums oracle-exact."""
+    import duckdb
+
+    s = np.arange(2, 200_001, dtype=np.float64)
+    np_aa = np.floor(1e9 / np.log(s)).astype(np.int64)
+    np_ra = np.floor(1e9 / s).astype(np.int64)
+    con = duckdb.connect()
+    db = con.execute(
+        "SELECT CAST(FLOOR(1000000000.0 / LN(s)) AS BIGINT) aa,"
+        "       CAST(FLOOR(1000000000.0 / s) AS BIGINT) ra "
+        "FROM range(2, 200001) r(s) ORDER BY s"
+    ).fetchnumpy()
+    con.close()
+    assert np.array_equal(np_aa, db["aa"])
+    assert np.array_equal(np_ra, db["ra"])
+
+
+def test_link_prediction_string_nodes(ray_session):
+    """String node ids ride the generic frame path unchanged."""
+    from unsupervised_ner_ray.stages.kg import link_prediction_scores
+
+    df = pd.DataFrame(
+        {"a": ["x", "x", "y"], "b": ["hub", "y", "hub"]}
+    )  # triangle x-y-hub
+    got = link_prediction_scores(
+        _rd().from_pandas(df), num_parts=2
+    ).to_pandas()
+    gd = {
+        (r.a, r.b): int(r.cn) for r in got.itertuples()
+    }
+    # each pair shares exactly the third node
+    assert gd == {("hub", "x"): 1, ("hub", "y"): 1, ("x", "y"): 1}

@@ -3318,3 +3318,154 @@ def graph_embed_spectral(
     return ray.data.from_pandas(
         pd.concat([evrows, out], ignore_index=True)
     ).sort(["node", "dim"])
+
+
+def link_prediction_scores(
+    edges,
+    min_cn: int = 1,
+    max_shared_deg: int | None = None,
+    num_parts: int = 64,
+):
+    """Classic shared-neighborhood link-prediction indices over an
+    undirected simple graph — for every node pair (a, b) with at least
+    ``min_cn`` common neighbors: the common-neighbor count CN, Adamic-Adar
+    AA = sum_z 1/ln(deg z) and Resource Allocation RA = sum_z 1/deg z
+    (Adamic & Adar 2003; Zhou, Lu & Zhang 2009).  This is the "which
+    entities should be linked next" face of KG construction, complementing
+    :func:`node_jaccard`: Jaccard scores overlap relative to the union
+    size, these score the raw shared-neighborhood evidence with
+    hub-discounted weights.
+
+    Exactness contract (the repo's float-parity rule): a shared neighbor
+    z contributes integer NANOUNITS ``floor(1e9 / ln(deg z))`` /
+    ``floor(1e9 / deg z)``, quantized ONCE per z from its exact int64
+    degree (deg z >= 2 whenever z is shared, so ln > 0); the per-pair
+    scores are order-independent int64 Sums, and the float ``aa`` /
+    ``ra`` columns are ONE correctly-rounded float64 division each of
+    those sums by 1e9 — bit-equal to the DuckDB twin by construction
+    (libm log + IEEE floor/division on both engines; parity asserted
+    over deg in [2, 2e5] by test).
+
+    Scale shape (100 TB): ONE hash shuffle of the both-direction
+    adjacency on the shared-neighbor key m; inside each coarse partition
+    every m-group is complete after the partition-local distinct, so
+    deg(m) IS the m-group size — the per-neighbor weight needs NO degree
+    attach, no broadcast, no second shuffle (contrast node_jaccard,
+    whose union-size denominator forces the endpoint-degree attach).
+    Pair generation is the segmented-arange i<j kernel (sum(deg^2) work,
+    never all-pairs over nodes) with a partition-local (a, b) combine
+    before the one global combine; the ``min_cn`` filter runs inside the
+    global combine task so only survivors ever leave it.
+    ``max_shared_deg`` is the hub gate for dense co-occurrence graphs:
+    shared neighbors with degree above it are SKIPPED as evidence
+    (defined operator semantics — standard AA practice, their 1/ln(deg)
+    weight is negligible while their deg^2 pair cost dominates); it is
+    partition-local group-size masking, zero extra passes.  Input
+    ``edges`` (columns a, b): undirected; self-loops and duplicate rows
+    are dropped inside (the :func:`k_core` contract).
+
+    Output: (a, b, cn, aa_nano, ra_nano, aa, ra) with a < b, unsorted.
+    """
+    from .grouping import partitioned_apply
+
+    min_cn = int(min_cn)
+    hub_cap = None if max_shared_deg is None else int(max_shared_deg)
+
+    def _both(t: pa.Table) -> pd.DataFrame:
+        a = t.column("a").to_numpy(zero_copy_only=False)
+        b = t.column("b").to_numpy(zero_copy_only=False)
+        ne = a != b
+        a, b = a[ne], b[ne]
+        return pd.DataFrame(
+            {"n": np.concatenate([a, b]), "m": np.concatenate([b, a])}
+        )
+
+    both = edges.select_columns(["a", "b"]).map_batches(
+        _both, batch_format="pyarrow"
+    )
+
+    def _pairs(part: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "a": part["n"].iloc[:0],
+                "b": part["n"].iloc[:0],
+                "cn": pd.Series([], dtype="int64"),
+                "aa_nano": pd.Series([], dtype="int64"),
+                "ra_nano": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(part):
+            return empty
+        # partitioned by m -> every (n, m) copy of a given m is here, so
+        # the local distinct is the global distinct and the m-group size
+        # is exactly deg(m) in the undirected simple graph
+        part = part.drop_duplicates(["n", "m"]).sort_values(
+            ["m", "n"], kind="mergesort"
+        )
+        mm = part["m"].to_numpy()
+        nn = part["n"].to_numpy()
+        k = len(part)
+        new = np.ones(k, dtype=bool)
+        new[1:] = mm[1:] != mm[:-1]
+        grp_start = np.flatnonzero(new)
+        grp_end = np.append(grp_start[1:], k)
+        sizes = (grp_end - grp_start).astype(np.int64)
+        if hub_cap is not None:
+            live = sizes <= hub_cap
+            if not live.all():
+                keep_rows = np.repeat(live, sizes)
+                part = part[keep_rows]
+                if not len(part):
+                    return empty
+                mm, nn = part["m"].to_numpy(), part["n"].to_numpy()
+                k = len(part)
+                new = np.ones(k, dtype=bool)
+                new[1:] = mm[1:] != mm[:-1]
+                grp_start = np.flatnonzero(new)
+                grp_end = np.append(grp_start[1:], k)
+                sizes = (grp_end - grp_start).astype(np.int64)
+        # nanounit weights per m-group; size-1 groups emit no pairs —
+        # mask them out of the ln so the kernel stays warning-free
+        s = np.maximum(sizes, 2).astype(np.float64)
+        w_aa = np.floor(1e9 / np.log(s)).astype(np.int64)
+        w_ra = np.floor(1e9 / s).astype(np.int64)
+        row_end = np.repeat(grp_end, sizes)
+        row_idx = np.arange(k)
+        reps = row_end - row_idx - 1
+        total = int(reps.sum())
+        if total == 0:
+            return empty
+        i_idx = np.repeat(row_idx, reps)
+        seg = np.arange(total) - np.repeat(
+            np.concatenate([[0], np.cumsum(reps)[:-1]]), reps
+        )
+        j_idx = i_idx + 1 + seg
+        w_aa_row = np.repeat(w_aa, sizes)
+        w_ra_row = np.repeat(w_ra, sizes)
+        # n sorted within each m-group -> a < b by construction
+        out = pd.DataFrame(
+            {
+                "a": nn[i_idx],
+                "b": nn[j_idx],
+                "cn": np.ones(total, dtype=np.int64),
+                "aa_nano": w_aa_row[i_idx],
+                "ra_nano": w_ra_row[i_idx],
+            }
+        )
+        return out.groupby(["a", "b"], as_index=False, sort=False)[
+            ["cn", "aa_nano", "ra_nano"]
+        ].sum()
+
+    pairs = partitioned_apply(both, "m", _pairs, num_parts=num_parts)
+
+    def _combine(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(["a", "b"], as_index=False, sort=False)[
+            ["cn", "aa_nano", "ra_nano"]
+        ].sum()
+        g = g[g["cn"].to_numpy().astype(np.int64) >= min_cn].copy()
+        g["aa"] = g["aa_nano"].to_numpy().astype(np.float64) / 1e9
+        g["ra"] = g["ra_nano"].to_numpy().astype(np.float64) / 1e9
+        return g
+
+    # key (a, b) co-locates under a hash partition on a alone
+    return partitioned_apply(pairs, "a", _combine, num_parts=num_parts)
