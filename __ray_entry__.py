@@ -977,6 +977,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return label_propagation(edges, max_iters=10)
 
+    def q_kg_hits(sf_dir: str):
+        # round-5: HITS hubs/authorities over the directed bigram graph
+        # (dual-regime like pagerank; forced-path + numpy-parity pinned).
+        # Rows-only (iterative, float-normalized — the q_kg_ppr class)
+        from unsupervised_ner_ray.stages.kg import bigram_triples, hits
+
+        edges = (
+            bigram_triples(_docs(sf_dir))
+            .select_columns(["subj_norm", "obj_norm"])
+            .map_batches(
+                lambda t: t.rename_columns(["s", "o"]), batch_format="pyarrow"
+            )
+        )
+        return hits(edges, iters=20).sort("node_id")
+
     def q_bpe_encode(sf_dir: str):
         docs = _docs(sf_dir).select_columns(["doc_id", "text"])
         merges = textstats.bpe_train(docs, num_merges=8)
@@ -1335,6 +1350,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bigram graph (deterministic tie-breaks; dual-regime pinned by a
         # forced-path test).  Rows-only (iterative)
         "q_kg_communities": q_kg_communities,
+        # round-5: HITS hubs/authorities (dual-regime, numpy-parity
+        # pinned).  Rows-only
+        "q_kg_hits": q_kg_hits,
         # round-5: pHash image near-dup (real byte decode -> DCT hash ->
         # band LSH) over planted cross-format re-encode twins.  Rows-only
         "q_image_phash": q_image_phash,
@@ -1446,11 +1464,14 @@ _WINDOW_R5 = [
     # (r01-r02) and q_window_rank (r01-r03)
     "q_kg_embed",
     # link-prediction indices (CN/AA/RA) — new SQL-oracled round-5 op,
-    # displacing the q_asof_last_order re-guard (hash-certified r01-r03)
+    # displacing the q_asof_last_order re-guard (hash-certified r01-r03);
+    # HITS hubs/authorities — new rows-only round-5 op (numpy-parity +
+    # forced-path pinned), displacing the q_topk_orders_per_customer
+    # re-guard (hash-certified r02)
     "q_link_prediction",
+    "q_kg_hits",
     "q_kg_walks",
     "q_kg_skipgram",
-    "q_topk_orders_per_customer",
     "q_sessionize",
     # new round-5 operators — the last four slots, displacing four
     # already-certified re-guards (q_heavy_hitters r02, q_top_tfidf r02,

@@ -64,8 +64,8 @@ def test_window_r5_contract():
     inside, AND every query never RECORDED in any prior driver window is
     inside (so after this round every battery entry has a driver record);
     the only rows-only window entries are the 12 rotated never-recorded
-    queries plus the three new rows-only round-5 operators (pHash
-    near-dup, k-core, spectral graph embeddings); q_kg_walks and
+    queries plus the four new rows-only round-5 operators (pHash
+    near-dup, k-core, spectral graph embeddings, HITS); q_kg_walks and
     q_kg_skipgram are SQL-pinned via the walks dump twins."""
     import json
 
@@ -104,6 +104,7 @@ def test_window_r5_contract():
         "q_frame_sample",
         "q_two_hop_approx",
         "q_kg_embed",
+        "q_kg_hits",
         "q_image_phash",
         "q_kg_kcore",
     ], rows_only

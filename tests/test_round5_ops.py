@@ -643,3 +643,85 @@ def test_link_prediction_string_nodes(ray_session):
     }
     # each pair shares exactly the third node
     assert gd == {("hub", "x"): 1, ("hub", "y"): 1, ("x", "y"): 1}
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs/authorities
+
+
+def _hits_numpy(edge_set, iters):
+    """Dense numpy HITS (Gauss-Seidel ordering, L2 norms) over the distinct
+    simple digraph."""
+    nodes = sorted({x for e in edge_set for x in e})
+    idx = {v: i for i, v in enumerate(nodes)}
+    A = np.zeros((len(nodes), len(nodes)))
+    for s, o in edge_set:
+        A[idx[s], idx[o]] = 1.0
+    h = np.full(len(nodes), 1.0 / np.sqrt(len(nodes)))
+    a = np.zeros(len(nodes))
+    for _ in range(iters):
+        a = A.T @ h
+        nrm = np.linalg.norm(a)
+        a = a / nrm if nrm > 0 else a
+        h = A @ a
+        nrm = np.linalg.norm(h)
+        h = h / nrm if nrm > 0 else h
+    return {str(v): (h[idx[v]], a[idx[v]]) for v in nodes}
+
+
+def _hits_random_digraph(seed=11, n=25, m=80):
+    import random
+
+    rng = random.Random(seed)
+    E = set()
+    while len(E) < m:
+        s, o = rng.sample(range(n), 2)
+        E.add((s, o))
+    return E
+
+
+def test_hits_numpy_parity_broadcast(ray_session):
+    """Broadcast regime == dense numpy HITS on a random digraph with dirty
+    input (self-loop + duplicate edges)."""
+    from unsupervised_ner_ray.stages.kg import hits
+
+    E = _hits_random_digraph()
+    rows = list(E) + [(3, 3), (1, 2), (1, 2)]
+    df = pd.DataFrame(rows, columns=["s", "o"])
+    got = hits(_rd().from_pandas(df), iters=30).to_pandas()
+    ref = _hits_numpy(set((s, o) for s, o in rows if s != o), 30)
+    assert set(got["node_id"]) == set(ref)
+    for r in got.itertuples():
+        eh, ea = ref[r.node_id]
+        assert abs(r.hub - eh) < 1e-9 and abs(r.auth - ea) < 1e-9, r.node_id
+
+
+def test_hits_forced_shuffle_regime_equals_numpy(ray_session):
+    """broadcast_threshold=0 forces the at-scale Dataset-vector regime;
+    few iterations keep the per-iteration shuffle count test-sized."""
+    from unsupervised_ner_ray.stages.kg import hits
+
+    E = _hits_random_digraph(seed=5, n=15, m=40)
+    df = pd.DataFrame(sorted(E), columns=["s", "o"])
+    got = hits(
+        _rd().from_pandas(df), iters=2, broadcast_threshold=0
+    ).to_pandas()
+    ref = _hits_numpy(E, 2)
+    assert set(got["node_id"]) == set(ref)
+    for r in got.itertuples():
+        eh, ea = ref[r.node_id]
+        assert abs(r.hub - eh) < 1e-12 and abs(r.auth - ea) < 1e-12, r.node_id
+
+
+def test_hits_hand_case_and_sink_source(ray_session):
+    """Star into z: every source is a pure hub (auth 0), z a pure
+    authority (hub 0); hubs tie at 1/sqrt(3), z's authority is 1."""
+    from unsupervised_ner_ray.stages.kg import hits
+
+    df = pd.DataFrame({"s": ["a", "b", "c"], "o": ["z", "z", "z"]})
+    got = hits(_rd().from_pandas(df), iters=5).to_pandas().set_index("node_id")
+    assert abs(got.loc["z", "auth"] - 1.0) < 1e-12
+    assert got.loc["z", "hub"] == 0.0
+    for v in "abc":
+        assert abs(got.loc[v, "hub"] - 1.0 / np.sqrt(3)) < 1e-12
+        assert got.loc[v, "auth"] == 0.0

@@ -3469,3 +3469,372 @@ def link_prediction_scores(
 
     # key (a, b) co-locates under a hash partition on a alone
     return partitioned_apply(pairs, "a", _combine, num_parts=num_parts)
+
+
+def hits(
+    edges,
+    iters: int = 30,
+    tol: float = 1e-12,
+    num_partitions: int = 16,
+    broadcast_threshold: int = 2_000_000,
+):
+    """HITS hubs-and-authorities (Kleinberg 1999) over a directed simple
+    graph — the KG face of "which entities aggregate links (hubs) and
+    which attract them (authorities)", complementing :func:`pagerank`'s
+    single-score ranking.  Per iteration: ``a = A'h; a /= ||a||2`` then
+    ``h = A a; h /= ||h||2`` (the new ``a`` — the classic Gauss-Seidel
+    ordering), init ``h = 1/sqrt(n)``.
+
+    Input ``edges`` (columns s, o): directed; duplicate rows and
+    self-loops are dropped inside (the :func:`k_core` contract, directed
+    flavor: (s, o) distinct, s != o).  Returns (node_id, hub, auth) over
+    every node appearing on either side; sink nodes get hub 0, source
+    nodes auth 0.
+
+    Two regimes by node count, the :func:`pagerank` shape exactly
+    (forced-path test pins them equal):
+
+    * ``n <= broadcast_threshold``: the hub/auth vectors live with the
+      driver (same bound as broadcasting them); each half-iteration is
+      ONE shuffle-free streaming pass over the edge dataset — the
+      current vector is ``ray.put`` once, per-batch output is pre-summed
+      per destination (pandas-groupby combiner), the driver reindex-sums
+      the node-bounded partials and normalizes with one scalar.
+    * above: the vectors stay a Dataset (node_id, h, a) end-to-end;
+      each half-iteration = one tagged-union co-partitioned merge of
+      edge rows with the source-side weights (coarse hash on the key —
+      Dataset.join avoided for the schema-less-empty-block reason
+      documented on pagerank), a groupby-Sum over pre-combined partials,
+      and a carrier union back onto the node table; the L2 norm and the
+      L1 delta are per-block scalars summed on the driver — nothing
+      node-sized ever leaves the cluster.
+
+    Iterative and float-normalized, so rows-only in the battery (the
+    q_pca_top / q_kg_ppr class); pinned by a dense numpy parity test and
+    the forced-path equivalence test.
+    """
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ray.data.aggregate import Count as _RdCount
+
+    from .grouping import partitioned_apply
+
+    # distinct directed edges, self-loops dropped — partition on s so the
+    # local distinct is global
+    def _clean(t: pa.Table) -> pd.DataFrame:
+        s = t.column("s").to_numpy(zero_copy_only=False)
+        o = t.column("o").to_numpy(zero_copy_only=False)
+        ne = s != o
+        return pd.DataFrame({"s": s[ne], "o": o[ne]})
+
+    edges = partitioned_apply(
+        edges.select_columns(["s", "o"]).map_batches(
+            _clean, batch_format="pyarrow"
+        ),
+        "s",
+        lambda part: part.drop_duplicates(["s", "o"]),
+        num_parts=num_partitions,
+    ).materialize()
+    edges = _coalesce_for_iteration(edges, num_partitions)
+
+    nodes = (
+        edges.map_batches(
+            lambda t: pa.table(
+                {
+                    "node_id": pa.concat_arrays(
+                        [
+                            pc.cast(t.column("s"), pa.string()).combine_chunks(),
+                            pc.cast(t.column("o"), pa.string()).combine_chunks(),
+                        ]
+                    ).unique()
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .groupby("node_id")
+        .aggregate(_RdCount(alias_name="_n"))
+        .materialize()
+    )
+    n = nodes.count()
+    if n == 0:
+        return rd.from_pandas(
+            pd.DataFrame({"node_id": [], "hub": [], "auth": []})
+        )
+
+    if n <= broadcast_threshold:
+        return _hits_broadcast_regime(edges, nodes, n, iters, tol)
+    return _hits_shuffle_regime(edges, nodes, n, iters, tol, num_partitions)
+
+
+def _hits_broadcast_regime(edges, nodes, n, iters, tol):
+    """Driver-resident vectors; one shuffle-free edges pass per half-step."""
+    import ray.data as rd
+
+    nd = nodes.to_pandas()
+    node_index = pd.Index(nd["node_id"].astype(str))
+    _P = pa.schema([("node_id", pa.string()), ("v", pa.float64())])
+
+    def _propagate(vec: np.ndarray, src_col: str, dst_col: str) -> np.ndarray:
+        w_ref = ray.put(pd.Series(vec, index=node_index))
+
+        def _contrib(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:
+                return _P.empty_table()
+            ws = ray.get(w_ref)
+            sv = ws.reindex(
+                t.column(src_col).to_pandas().astype(str)
+            ).to_numpy()
+            df = pd.DataFrame(
+                {"node_id": t.column(dst_col).to_pandas().astype(str), "v": sv}
+            )
+            p = df.groupby("node_id", sort=False)["v"].sum().reset_index()
+            return pa.table(
+                {
+                    "node_id": pa.array(p["node_id"], pa.string()),
+                    "v": pa.array(p["v"].to_numpy(), pa.float64()),
+                }
+            )
+
+        parts = edges.map_batches(_contrib, batch_format="pyarrow").to_pandas()
+        return (
+            parts.groupby("node_id", sort=False)["v"].sum()
+            .reindex(node_index).fillna(0.0).to_numpy()
+        )
+
+    h = np.full(n, 1.0 / np.sqrt(n))
+    a = np.zeros(n)
+    for _ in range(iters):
+        a_raw = _propagate(h, "s", "o")
+        a_norm = float(np.sqrt((a_raw * a_raw).sum()))
+        a_new = a_raw / a_norm if a_norm > 0 else a_raw
+        h_raw = _propagate(a_new, "o", "s")
+        h_norm = float(np.sqrt((h_raw * h_raw).sum()))
+        h_new = h_raw / h_norm if h_norm > 0 else h_raw
+        delta = float(np.abs(a_new - a).sum() + np.abs(h_new - h).sum())
+        a, h = a_new, h_new
+        if delta < tol:
+            break
+    return rd.from_pandas(
+        pd.DataFrame({"node_id": node_index.to_numpy(), "hub": h, "auth": a})
+    )
+
+
+def _hits_shuffle_regime(edges, nodes, n, iters, tol, num_partitions):
+    """At-scale regime: vectors stay a Dataset; per half-step one
+    co-partitioned tagged-union merge + one groupby Sum + one carrier
+    union; only scalars (norm, delta) reach the driver."""
+    import pyarrow.compute as pc
+
+    from ray.data.aggregate import Sum
+
+    _VEC = pa.schema(
+        [("node_id", pa.string()), ("h", pa.float64()), ("a", pa.float64())]
+    )
+    _MERGE = pa.schema(
+        [("key", pa.string()), ("dst", pa.string()),
+         ("w", pa.float64()), ("is_w", pa.int8())]
+    )
+    _CAR = pa.schema(
+        [("node_id", pa.string()), ("v", pa.float64()),
+         ("h", pa.float64()), ("a", pa.float64())]
+    )
+
+    def _init_vec(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return _VEC.empty_table()
+        k = len(t)
+        return pa.table(
+            {
+                "node_id": pc.cast(t.column("node_id"), pa.string()),
+                "h": pa.array(np.full(k, 1.0 / np.sqrt(n)), pa.float64()),
+                "a": pa.array(np.zeros(k), pa.float64()),
+            }
+        )
+
+    vec = nodes.map_batches(_init_vec, batch_format="pyarrow").materialize()
+
+    def _tag_part(df: pd.DataFrame) -> pd.DataFrame:
+        hsh = pd.util.hash_pandas_object(df["key"], index=False)
+        df = df.copy()
+        df["part"] = (hsh % num_partitions).astype("int32")
+        return df
+
+    def _merge_part(g: pd.DataFrame) -> pd.DataFrame:
+        voc = g[g["is_w"] == 1]
+        men = g[g["is_w"] == 0]
+        if men.empty or voc.empty:
+            return pd.DataFrame(
+                {"node_id": pd.Series([], dtype=object),
+                 "v": pd.Series([], dtype="float64")}
+            )
+        m = men[["key", "dst"]].merge(voc[["key", "w"]], on="key", how="inner")
+        p = m.groupby("dst", sort=False)["w"].sum().reset_index()
+        return pd.DataFrame({"node_id": p["dst"], "v": p["w"]})
+
+    def _propagate(vcol: str, src_col: str, dst_col: str):
+        """raw[dst] = sum over edges of vec[vcol][src] — returns a Dataset
+        (node_id, v) of pre-combined partial sums fully reduced."""
+
+        def _weight_rows(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:
+                return _MERGE.empty_table()
+            k = len(t)
+            return pa.table(
+                {
+                    "key": pc.cast(t.column("node_id"), pa.string()),
+                    "dst": pa.array([""] * k, pa.string()),
+                    "w": pc.cast(t.column(vcol), pa.float64()),
+                    "is_w": pa.array(np.ones(k, dtype=np.int8)),
+                }
+            )
+
+        def _edge_rows(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:
+                return _MERGE.empty_table()
+            return pa.table(
+                {
+                    "key": pc.cast(t.column(src_col), pa.string()),
+                    "dst": pc.cast(t.column(dst_col), pa.string()),
+                    "w": pa.array(np.zeros(len(t)), pa.float64()),
+                    "is_w": pa.array(np.zeros(len(t), dtype=np.int8)),
+                }
+            )
+
+        def _raw_carrier(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return pa.schema(
+                    [("node_id", pa.string()), ("v", pa.float64())]
+                ).empty_table()
+            return pa.table(
+                {
+                    "node_id": pc.cast(t.column("node_id"), pa.string()),
+                    "v": pc.cast(t.column("v"), pa.float64()),
+                }
+            )
+
+        return (
+            edges.map_batches(_edge_rows, batch_format="pyarrow")
+            .union(vec.map_batches(_weight_rows, batch_format="pyarrow"))
+            .map_batches(_tag_part, batch_format="pandas")
+            .groupby("part")
+            .map_groups(_merge_part, batch_format="pandas")
+            .map_batches(_raw_carrier, batch_format="pyarrow")
+            .groupby("node_id")
+            .aggregate(Sum("v", alias_name="v"))
+        )
+
+    def _sumsq(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table({"ss": pa.array([0.0], pa.float64())})
+        v = t.column("v").to_numpy(zero_copy_only=False)
+        return pa.table({"ss": pa.array([float((v * v).sum())], pa.float64())})
+
+    def _attach(raw, col: str, norm: float):
+        """vec[col] <- raw/norm via a carrier union + groupby Sum; emits
+        per-block L1-delta scalars as a side column consumed by _delta."""
+
+        def _vec_carrier(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:
+                return _CAR.empty_table()
+            return pa.table(
+                {
+                    "node_id": pc.cast(t.column("node_id"), pa.string()),
+                    "v": pa.array(np.zeros(len(t)), pa.float64()),
+                    "h": pc.cast(t.column("h"), pa.float64()),
+                    "a": pc.cast(t.column("a"), pa.float64()),
+                }
+            )
+
+        def _raw_as_car(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return _CAR.empty_table()
+            k = len(t)
+            return pa.table(
+                {
+                    "node_id": pc.cast(t.column("node_id"), pa.string()),
+                    "v": pc.cast(t.column("v"), pa.float64()),
+                    "h": pa.array(np.zeros(k), pa.float64()),
+                    "a": pa.array(np.zeros(k), pa.float64()),
+                }
+            )
+
+        merged = (
+            vec.map_batches(_vec_carrier, batch_format="pyarrow")
+            .union(raw.map_batches(_raw_as_car, batch_format="pyarrow"))
+            .groupby("node_id")
+            .aggregate(
+                Sum("v", alias_name="v"),
+                Sum("h", alias_name="h"),
+                Sum("a", alias_name="a"),
+            )
+        )
+
+        def _scale(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0:
+                sch = pa.schema(
+                    [("node_id", pa.string()), ("h", pa.float64()),
+                     ("a", pa.float64()), ("absdiff", pa.float64())]
+                )
+                return sch.empty_table()
+            v = t.column("v").to_numpy(zero_copy_only=False)
+            new = v / norm if norm > 0 else v
+            old = t.column(col).to_numpy(zero_copy_only=False)
+            out = {
+                "node_id": t.column("node_id"),
+                "h": t.column("h"),
+                "a": t.column("a"),
+            }
+            out[col] = pa.array(new, pa.float64())
+            out["absdiff"] = pa.array(np.abs(new - old), pa.float64())
+            return pa.table(out)
+
+        return merged.map_batches(_scale, batch_format="pyarrow").materialize()
+
+    def _delta(ds) -> float:
+        def _block(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return pa.table({"d": pa.array([0.0], pa.float64())})
+            return pa.table(
+                {"d": pa.array([pc.sum(t.column("absdiff")).as_py() or 0.0])}
+            )
+
+        return float(ds.map_batches(_block, batch_format="pyarrow").to_pandas()["d"].sum())
+
+    for _ in range(iters):
+        a_raw = _propagate("h", "s", "o").materialize()
+        a_norm = float(
+            np.sqrt(
+                a_raw.map_batches(_sumsq, batch_format="pyarrow")
+                .to_pandas()["ss"].sum()
+            )
+        )
+        vec = _attach(a_raw, "a", a_norm)
+        d_a = _delta(vec)
+        h_raw = _propagate("a", "o", "s").materialize()
+        h_norm = float(
+            np.sqrt(
+                h_raw.map_batches(_sumsq, batch_format="pyarrow")
+                .to_pandas()["ss"].sum()
+            )
+        )
+        vec = _attach(h_raw, "h", h_norm)
+        delta = d_a + _delta(vec)
+        if delta < tol:
+            break
+
+    def _final(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0:
+            return pa.schema(
+                [("node_id", pa.string()), ("hub", pa.float64()),
+                 ("auth", pa.float64())]
+            ).empty_table()
+        return pa.table(
+            {
+                "node_id": t.column("node_id"),
+                "hub": t.column("h"),
+                "auth": t.column("a"),
+            }
+        )
+
+    return vec.map_batches(_final, batch_format="pyarrow")
