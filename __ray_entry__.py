@@ -856,6 +856,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
         return link_prediction_scores(edges, min_cn=15).sort(["a", "b"])
 
+    def q_exact_quantiles(sf_dir: str):
+        # round-5: EXACT per-group order-statistic quantiles by
+        # distributed selection (iterative bucket refinement — zero
+        # shuffles, driver holds groups x buckets counters, answers are
+        # actual column elements).  The exact twin of q_tdigest_*.
+        # SQL-oracled (quantile_disc)
+        from unsupervised_ner_ray.sources.io import read_sf
+        from unsupervised_ner_ray.stages.relational import (
+            exact_group_quantiles,
+        )
+
+        orders = read_sf(
+            sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"]
+        )
+        return exact_group_quantiles(
+            orders, "o_orderstatus", "o_totalprice", qs=(0.5, 0.9)
+        ).sort("grp")
+
     def q_dataprep(sf_dir: str):
         from unsupervised_ner_ray.pipelines.dataprep import run_dataprep
 
@@ -1237,6 +1255,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_hll_users_by_day": q_hll_users_by_day,
         "q_tdigest_quantiles": q_tdigest_quantiles,
         "q_tdigest_by_type": q_tdigest_by_type,  # per-group sketch: rows-only
+        # round-5: exact per-group quantiles (distributed selection, zero
+        # shuffles) — the exact twin of the t-digest sketch.  SQL-oracled
+        "q_exact_quantiles": q_exact_quantiles,
         "q_langid": lambda sf: textstats.langid(_docs(sf)),  # heuristic: rows-only
         "q_frame_sample": q_frame_sample,  # real AVI container scan: rows-only
         # round-3b: inverted index + posting stats, hash split assignment,
@@ -1472,7 +1493,9 @@ _WINDOW_R5 = [
     "q_kg_hits",
     "q_kg_walks",
     "q_kg_skipgram",
-    "q_sessionize",
+    # exact group quantiles — new SQL-oracled round-5 op (distributed
+    # selection), displacing the q_sessionize re-guard (certified r01-r02)
+    "q_exact_quantiles",
     # new round-5 operators — the last four slots, displacing four
     # already-certified re-guards (q_heavy_hitters r02, q_top_tfidf r02,
     # q_token_stats r01-r03, q_fingerprint r01-r03): pHash + k-core are
@@ -3049,5 +3072,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(aa_nano AS DOUBLE) / 1000000000.0 AS aa,
                    CAST(ra_nano AS DOUBLE) / 1000000000.0 AS ra
             FROM scored ORDER BY a, b
+        """,
+        # round-5: exact per-group order-statistic quantiles — the engine
+        # computes rank ceil(q*n)-1 in exact Fraction arithmetic (DuckDB
+        # treats the literal as DECIMAL) and returns ACTUAL column
+        # elements, so doubles hash bit-equal with no rounding
+        "q_exact_quantiles": """
+            SELECT o_orderstatus AS grp,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   quantile_disc(o_totalprice, 0.5) AS p50,
+                   quantile_disc(o_totalprice, 0.9) AS p90
+            FROM orders GROUP BY o_orderstatus ORDER BY grp
         """,
     }

@@ -3476,3 +3476,100 @@ def test_semantic_dedup_scale_smoke(ray_session):
     n_lost = int((~keep).sum())
     assert n_lost == len(copies), n_lost
     print(f"SMOKE semantic_dedup 500k: {secs:.1f}s, {n_lost} dups removed")
+
+
+# ---------------------------------------------------------------------------
+# exact group quantiles (distributed selection)
+
+
+def test_exact_group_quantiles_duckdb_parity(ray_session):
+    """Tight buckets + tiny collect threshold force several refinement
+    passes; answers must still be the exact quantile_disc elements,
+    including on a duplicates-only group."""
+    import duckdb
+    import ray.data as rd
+
+    from unsupervised_ner_ray.stages.relational import exact_group_quantiles
+
+    rng = np.random.RandomState(3)
+    n = 20000
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["A", "B", "C"], n),
+            "v": np.round(rng.lognormal(3, 1.5, n), 2),
+        }
+    )
+    dup = df["g"] == "C"
+    df.loc[dup, "v"] = rng.choice([1.0, 2.0, 3.0], int(dup.sum()))
+    got = (
+        exact_group_quantiles(
+            rd.from_pandas(df), "g", "v",
+            qs=(0.07, 0.5, 0.9, 0.999),
+            num_buckets=16, collect_threshold=50,
+        )
+        .to_pandas()
+        .sort_values("grp")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    exp = con.execute(
+        """SELECT g AS grp, CAST(COUNT(*) AS BIGINT) n_rows,
+               quantile_disc(v, 0.07) p07, quantile_disc(v, 0.5) p50,
+               quantile_disc(v, 0.9) p90, quantile_disc(v, 0.999) p99_9
+           FROM t GROUP BY g ORDER BY g"""
+    ).df()
+    con.close()
+    assert np.array_equal(got["n_rows"].to_numpy(), exp["n_rows"].to_numpy())
+    for c in ("p07", "p50", "p90", "p99_9"):
+        assert np.array_equal(
+            got[c].to_numpy().astype(float), exp[c].to_numpy()
+        ), c
+
+
+def test_exact_group_quantiles_rank_rule_fractions(ray_session):
+    """The rank is ceil(q*n)-1 in EXACT decimal arithmetic: q=0.07, n=100
+    is the float trap (0.07*100 = 7.000000000000001 would ceil to 8 and
+    shift the rank; DuckDB's DECIMAL literal does not)."""
+    import ray.data as rd
+
+    from unsupervised_ner_ray.stages.relational import exact_group_quantiles
+
+    df = pd.DataFrame({"g": ["x"] * 100, "v": np.arange(1.0, 101.0)})
+    got = exact_group_quantiles(
+        rd.from_pandas(df), "g", "v", qs=(0.07,)
+    ).to_pandas()
+    assert got["p07"].iloc[0] == 7.0  # rank ceil(7)-1 = 6 -> element 7
+
+
+def test_exact_group_quantiles_int_dtype_and_edges(ray_session):
+    """int64 answers keep the integer dtype (answers are actual elements);
+    q=0.0/1.0 hit min/max; a single-value group resolves at init."""
+    import ray.data as rd
+
+    from unsupervised_ner_ray.stages.relational import exact_group_quantiles
+
+    rng = np.random.RandomState(9)
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * 999 + ["solo"],
+            "v": np.concatenate(
+                [rng.randint(0, 10**6, 999), np.array([42])]
+            ).astype(np.int64),
+        }
+    )
+    got = (
+        exact_group_quantiles(rd.from_pandas(df), "g", "v", qs=(0.0, 1.0, 0.5))
+        .to_pandas()
+        .set_index("grp")
+    )
+    sa = np.sort(df.loc[df["g"] == "a", "v"].to_numpy())
+    assert got.loc["a", "p0"] == sa[0]
+    assert got.loc["a", "p100"] == sa[-1]
+    assert got.loc["a", "p50"] == sa[499]
+    assert (
+        got.loc["solo", "p0"]
+        == got.loc["solo", "p50"]
+        == got.loc["solo", "p100"]
+        == 42
+    )

@@ -2184,3 +2184,229 @@ def late_event_flags(
         return pd.concat(out_rows, ignore_index=True)
 
     return partitioned_apply(tagged, _B, _resolve).sort("event_id")
+
+
+def exact_group_quantiles(
+    ds,
+    key_col: str,
+    val_col: str,
+    qs=(0.5, 0.9),
+    num_buckets: int = 1024,
+    collect_threshold: int = 8192,
+    max_passes: int = 8,
+):
+    """EXACT per-group order-statistic quantiles by distributed selection —
+    the exact twin of the mergeable t-digest sketch (q_tdigest_*): where
+    the sketch trades accuracy for one pass, this finds the true element
+    in a handful of passes and ZERO shuffles.
+
+    Semantics are DuckDB's ``quantile_disc``: the answer is the element at
+    0-indexed rank ``ceil(q*n) - 1`` of the sorted group, with the rank
+    computed in EXACT integer arithmetic (q as a decimal Fraction — DuckDB
+    treats the quantile literal as DECIMAL, so float rounding of q*n must
+    never shift the rank; pinned by a 300-case randomized parity test).
+
+    Scale shape (100 TB): iterative bucket refinement (the classic
+    distributed k-th selection).  Each pass is ONE streaming map over the
+    data emitting per-(group, q, bucket) count partials, pre-combined by a
+    tiny groupby Sum; the driver holds only groups x len(qs) x num_buckets
+    counters and narrows each (group, q) interval to the bucket containing
+    its rank — log_B(n / collect_threshold) passes (2-3 at 10^12 rows),
+    then one final pass collects the <= collect_threshold candidate values
+    per survivor and picks the exact element.  The data NEVER shuffles and
+    nothing row-sized ever reaches the driver.  Groups are assumed
+    result-bounded (one output row per group — the q_constraint_checks
+    contract); ranks recount "below interval" from scratch each pass, so
+    no incremental bookkeeping can drift.  All-equal tails converge via
+    lo == hi regardless of duplicate mass.  NaN/null values are dropped
+    (the SQL aggregate contract).  int64 columns beyond 2^53 may tie-break
+    differently under the float64 bucket comparisons (documented caveat;
+    values themselves are returned exactly).
+
+    Returns one row per group: (grp, n_rows, p<Q>...) with p-columns named
+    from the decimal (0.5 -> p50, 0.99 -> p99, 0.999 -> p99_9).
+    """
+    from fractions import Fraction
+
+    import ray.data as rd
+
+    qs = list(qs)
+    fracs = [Fraction(str(q)) for q in qs]
+
+    def _pname(q) -> str:
+        s = ("%g" % float(q)).split(".")
+        if len(s) == 1:
+            return f"p{int(s[0]) * 100}"
+        digits = s[1]
+        return "p" + (digits[:2].ljust(2, "0")) + (
+            "_" + digits[2:] if len(digits) > 2 else ""
+        )
+
+    pnames = [_pname(q) for q in qs]
+
+    base = ds.select_columns([key_col, val_col]).materialize()
+
+    # ---- pass 0: per-group n / min / max (combiner partials) ----
+    def _stats(df: pd.DataFrame) -> pd.DataFrame:
+        v = pd.to_numeric(df[val_col], errors="coerce")
+        d = pd.DataFrame({"g": df[key_col], "v": v}).dropna()
+        g = d.groupby("g", sort=False)["v"]
+        out = g.agg(n="count", lo="min", hi="max").reset_index()
+        out["n"] = out["n"].astype(np.int64)
+        return out
+
+    st = (
+        base.map_batches(_stats, batch_format="pandas")
+        .to_pandas()
+        .groupby("g", sort=False)
+        .agg(n=("n", "sum"), lo=("lo", "min"), hi=("hi", "max"))
+        .reset_index()
+    )
+    if not len(st):
+        return rd.from_pandas(
+            pd.DataFrame(
+                {"grp": pd.Series([], dtype=object),
+                 "n_rows": pd.Series([], dtype="int64"),
+                 **{p: pd.Series([], dtype="float64") for p in pnames}}
+            )
+        )
+
+    # state per (group, q): global 1-indexed rank k, interval [lo, hi]
+    state = {}
+    answers = {}
+    for row in st.itertuples():
+        for qi, f in enumerate(fracs):
+            n = int(row.n)
+            k = max(1, min(n, -(-f.numerator * n // f.denominator)))
+            if row.lo == row.hi:
+                answers[(row.g, qi)] = row.lo
+            else:
+                state[(row.g, qi)] = (k, float(row.lo), float(row.hi))
+
+    B = int(num_buckets)
+
+    def _refine_pass(active: dict):
+        """One streaming count pass; returns {(g, qi): (below, counts[B])}."""
+        act_ref = ray.put(active)
+
+        def _counts(df: pd.DataFrame) -> pd.DataFrame:
+            act = ray.get(act_ref)
+            v_all = pd.to_numeric(df[val_col], errors="coerce").to_numpy(
+                np.float64
+            )
+            g_all = df[key_col].to_numpy()
+            rows_g, rows_q, rows_b, rows_c = [], [], [], []
+            for (g, qi), (_k, lo, hi) in act.items():
+                sel = g_all == g
+                v = v_all[sel]
+                v = v[~np.isnan(v)]
+                if not len(v):
+                    continue
+                below = int((v < lo).sum())
+                ins = v[(v >= lo) & (v <= hi)]
+                if below:
+                    rows_g.append(g); rows_q.append(qi)
+                    rows_b.append(-1); rows_c.append(below)
+                if len(ins):
+                    bnds = np.linspace(lo, hi, B + 1)
+                    idx = np.searchsorted(bnds[1:-1], ins, side="right")
+                    cnt = np.bincount(idx, minlength=B)
+                    nz = np.flatnonzero(cnt)
+                    rows_g.extend([g] * len(nz)); rows_q.extend([qi] * len(nz))
+                    rows_b.extend(nz.tolist()); rows_c.extend(cnt[nz].tolist())
+            return pd.DataFrame(
+                {"g": pd.Series(rows_g, dtype=df[key_col].dtype
+                                if len(rows_g) else object),
+                 "qi": pd.Series(rows_q, dtype="int64"),
+                 "b": pd.Series(rows_b, dtype="int64"),
+                 "c": pd.Series(rows_c, dtype="int64")}
+            )
+
+        parts = (
+            base.map_batches(_counts, batch_format="pandas")
+            .groupby(["g", "qi", "b"])
+            .aggregate(Sum("c", alias_name="c"))
+            .to_pandas()
+        )
+        out = {}
+        for (g, qi), grp in parts.groupby(["g", "qi"], sort=False):
+            below = int(grp.loc[grp["b"] == -1, "c"].sum())
+            counts = np.zeros(B, dtype=np.int64)
+            inb = grp[grp["b"] >= 0]
+            counts[inb["b"].to_numpy()] = inb["c"].to_numpy()
+            out[(g, qi)] = (below, counts)
+        return out
+
+    def _collect(ready: dict):
+        """Final pass for survivors: pull the <= collect_threshold in-range
+        ORIGINAL values per (group, q) plus the exact below-count, sort on
+        the driver, pick rank k - below."""
+        ready_ref = ray.put(ready)
+
+        def _gather(df: pd.DataFrame) -> pd.DataFrame:
+            act = ray.get(ready_ref)
+            raw = df[val_col].to_numpy()
+            v_all = pd.to_numeric(df[val_col], errors="coerce").to_numpy(
+                np.float64
+            )
+            g_all = df[key_col].to_numpy()
+            rg, rq, rb, rv = [], [], [], []
+            for (g, qi), (_k, lo, hi) in act.items():
+                sel = g_all == g
+                v = v_all[sel]
+                ok = ~np.isnan(v)
+                v = v[ok]
+                below = int((v < lo).sum())
+                ins_mask = (v >= lo) & (v <= hi)
+                vals = raw[sel][ok][ins_mask]
+                rg.append(g)
+                rq.append(qi)
+                rb.append(below)
+                rv.append(list(vals))
+            return pd.DataFrame(
+                {"g": pd.Series(rg, dtype=df[key_col].dtype if rg else object),
+                 "qi": pd.Series(rq, dtype="int64"),
+                 "below": pd.Series(rb, dtype="int64"),
+                 "vals": pd.Series(rv, dtype=object)}
+            )
+
+        parts = base.map_batches(_gather, batch_format="pandas").to_pandas()
+        for (g, qi), grp in parts.groupby(["g", "qi"], sort=False):
+            k = ready[(g, qi)][0]
+            below = int(grp["below"].sum())
+            chunks = [np.asarray(x) for x in grp["vals"] if len(x)]
+            vals = np.sort(np.concatenate(chunks))
+            answers[(g, qi)] = vals[k - below - 1]
+
+    passes = 0
+    while state and passes < max_passes:
+        passes += 1
+        res = _refine_pass(state)
+        nxt, ready = {}, {}
+        for (g, qi), (k, lo, hi) in state.items():
+            below, counts = res.get((g, qi), (0, np.zeros(B, dtype=np.int64)))
+            target = k - below  # rank within [lo, hi]
+            cum = np.cumsum(counts)
+            j = int(np.searchsorted(cum, target))
+            bnds = np.linspace(lo, hi, B + 1)
+            nlo = float(bnds[j]) if j > 0 else lo
+            nhi = float(bnds[j + 1]) if j < B - 1 else hi
+            inside = int(counts[j])
+            if nlo == nhi:
+                answers[(g, qi)] = nlo
+            elif inside <= collect_threshold:
+                ready[(g, qi)] = (k, nlo, nhi)
+            else:
+                nxt[(g, qi)] = (k, nlo, nhi)
+        if ready:
+            _collect(ready)
+        state = nxt
+    if state:  # max_passes fallback: collect whatever remains
+        _collect(state)
+
+    # ---- assemble: one row per group, original group order sorted ----
+    st_sorted = st.sort_values("g").reset_index(drop=True)
+    out = {"grp": st_sorted["g"], "n_rows": st_sorted["n"].astype(np.int64)}
+    for qi, p in enumerate(pnames):
+        out[p] = [answers[(g, qi)] for g in st_sorted["g"]]
+    return rd.from_pandas(pd.DataFrame(out))
