@@ -856,6 +856,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
         return link_prediction_scores(edges, min_cn=15).sort(["a", "b"])
 
+    def q_rollup_revenue(sf_dir: str):
+        # round-5: GROUP BY ROLLUP — finest groupby over the data ONCE,
+        # subtotal levels re-aggregate the finest result (int64-exact so
+        # aggregating aggregates is bit-identical).  SQL-oracled
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from unsupervised_ner_ray.sources.io import read_sf
+        from unsupervised_ner_ray.stages.relational import (
+            _to_cents,
+            rollup_aggregate,
+        )
+
+        li = read_sf(
+            sf_dir, "lineitem",
+            columns=["l_returnflag", "l_linestatus", "l_quantity",
+                     "l_extendedprice"],
+        )
+
+        def _prep(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "l_returnflag": t.column("l_returnflag"),
+                    "l_linestatus": t.column("l_linestatus"),
+                    "sum_qty": pc.cast(t.column("l_quantity"), pa.int64()),
+                    "sum_price_cents": _to_cents(t.column("l_extendedprice")),
+                }
+            )
+
+        return rollup_aggregate(
+            li.map_batches(_prep, batch_format="pyarrow"),
+            ["l_returnflag", "l_linestatus"],
+            ["sum_qty", "sum_price_cents"],
+        ).sort(["l_returnflag", "l_linestatus"])
+
     def q_exact_quantiles(sf_dir: str):
         # round-5: EXACT per-group order-statistic quantiles by
         # distributed selection (iterative bucket refinement — zero
@@ -1258,6 +1293,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5: exact per-group quantiles (distributed selection, zero
         # shuffles) — the exact twin of the t-digest sketch.  SQL-oracled
         "q_exact_quantiles": q_exact_quantiles,
+        # round-5: ROLLUP hierarchical subtotals (one data pass, levels
+        # re-aggregate the finest aggregate).  SQL-oracled
+        "q_rollup_revenue": q_rollup_revenue,
         "q_langid": lambda sf: textstats.langid(_docs(sf)),  # heuristic: rows-only
         "q_frame_sample": q_frame_sample,  # real AVI container scan: rows-only
         # round-3b: inverted index + posting stats, hash split assignment,
@@ -1466,7 +1504,9 @@ _WINDOW_R5 = [
     "q_doc_cosine",
     "q_late_events",
     "q_kg_bfs",
-    "q_token_histogram",
+    # ROLLUP subtotals — new SQL-oracled round-5 op, displacing the
+    # q_token_histogram re-guard (hash-certified r01-r03)
+    "q_rollup_revenue",
     "q_vocab_merge",
     "q_jaccard_adjacent",
     "q_quality",
@@ -3083,5 +3123,20 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(o_totalprice, 0.5) AS p50,
                    quantile_disc(o_totalprice, 0.9) AS p90
             FROM orders GROUP BY o_orderstatus ORDER BY grp
+        """,
+        # round-5: ROLLUP hierarchical subtotals; rolled-up key levels
+        # surface as the 'ALL' sentinel on both engines (COALESCE here,
+        # fill inside rollup_aggregate there); int64-exact measures make
+        # re-aggregating aggregates bit-identical to aggregating rows
+        "q_rollup_revenue": """
+            SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag,
+                   COALESCE(l_linestatus, 'ALL') AS l_linestatus,
+                   CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(SUM(CAST(FLOOR(l_extendedprice*100) AS BIGINT))
+                        AS BIGINT) AS sum_price_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM lineitem
+            GROUP BY ROLLUP(l_returnflag, l_linestatus)
+            ORDER BY l_returnflag, l_linestatus
         """,
     }

@@ -3573,3 +3573,74 @@ def test_exact_group_quantiles_int_dtype_and_edges(ray_session):
         == got.loc["solo", "p100"]
         == 42
     )
+
+
+# ---------------------------------------------------------------------------
+# ROLLUP hierarchical subtotals
+
+
+def test_rollup_aggregate_duckdb_parity(ray_session):
+    """Random 3-key data == DuckDB GROUP BY ROLLUP at every level."""
+    import duckdb
+    import ray.data as rd
+
+    from unsupervised_ner_ray.stages.relational import rollup_aggregate
+
+    rng = np.random.RandomState(5)
+    n = 5000
+    df = pd.DataFrame(
+        {
+            "r": rng.choice(["east", "west"], n),
+            "s": rng.choice(["a", "b", "c"], n),
+            "t": rng.choice(["x", "y"], n),
+            "m1": rng.randint(0, 100, n).astype(np.int64),
+            "m2": rng.randint(-50, 50, n).astype(np.int64),
+        }
+    )
+    got = (
+        rollup_aggregate(rd.from_pandas(df), ["r", "s", "t"], ["m1", "m2"])
+        .to_pandas()
+        .sort_values(["r", "s", "t"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("d", df)
+    exp = con.execute(
+        """SELECT COALESCE(r,'ALL') r, COALESCE(s,'ALL') s,
+                  COALESCE(t,'ALL') t,
+                  CAST(SUM(m1) AS BIGINT) m1, CAST(SUM(m2) AS BIGINT) m2,
+                  CAST(COUNT(*) AS BIGINT) n_rows
+           FROM d GROUP BY ROLLUP(r, s, t) ORDER BY r, s, t"""
+    ).df()
+    con.close()
+    assert len(got) == len(exp)
+    for c in ("r", "s", "t", "m1", "m2", "n_rows"):
+        assert np.array_equal(got[c].to_numpy(), exp[c].to_numpy()), c
+
+
+def test_rollup_level_consistency(ray_session):
+    """Each subtotal equals the sum of its children; the grand total
+    equals the raw data sum."""
+    import ray.data as rd
+
+    from unsupervised_ner_ray.stages.relational import rollup_aggregate
+
+    rng = np.random.RandomState(1)
+    df = pd.DataFrame(
+        {
+            "k1": rng.choice(["p", "q"], 1000),
+            "k2": rng.choice(["u", "v", "w"], 1000),
+            "m": rng.randint(0, 10, 1000).astype(np.int64),
+        }
+    )
+    got = rollup_aggregate(
+        rd.from_pandas(df), ["k1", "k2"], ["m"]
+    ).to_pandas()
+    fine = got[(got["k1"] != "ALL") & (got["k2"] != "ALL")]
+    sub = got[(got["k1"] != "ALL") & (got["k2"] == "ALL")]
+    grand = got[(got["k1"] == "ALL") & (got["k2"] == "ALL")]
+    assert len(grand) == 1
+    assert grand["m"].iloc[0] == df["m"].sum()
+    assert grand["n_rows"].iloc[0] == len(df)
+    for k1, g in fine.groupby("k1"):
+        assert sub.loc[sub["k1"] == k1, "m"].iloc[0] == g["m"].sum()

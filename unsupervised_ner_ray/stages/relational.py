@@ -2410,3 +2410,96 @@ def exact_group_quantiles(
     for qi, p in enumerate(pnames):
         out[p] = [answers[(g, qi)] for g in st_sorted["g"]]
     return rd.from_pandas(pd.DataFrame(out))
+
+
+def rollup_aggregate(
+    ds,
+    keys: list[str],
+    sum_cols: list[str],
+    all_label: str = "ALL",
+    count_alias: str = "n_rows",
+):
+    """GROUP BY ROLLUP(keys...) — hierarchical subtotals (the OLAP
+    drill-down face the engine's flat groupbys don't cover): one result
+    row per finest group, per prefix-level subtotal, and the grand total,
+    with rolled-up key columns filled with ``all_label``.
+
+    Scale shape (100 TB): the DATA is aggregated exactly ONCE — the
+    finest-level groupby over per-batch int64 partials (the q1 combiner
+    shape).  Every coarser level then re-aggregates the FINEST RESULT
+    (bounded by distinct key combinations, orders of magnitude smaller
+    than the data — the classic rollup optimization; L-1 tiny shuffles +
+    one scalar pass for the grand total, never a second data scan).
+    Measures must be int64-exact (cents/micro domain), so re-aggregating
+    aggregates is bit-identical to aggregating rows, and the union levels
+    hash-match the SQL ROLLUP regardless of order.
+
+    ``keys`` are string columns with no NULLs and no ``all_label`` values
+    (the COALESCE sentinel contract of the SQL twin).  Returns columns
+    (keys..., sum_cols..., count_alias); unsorted.
+    """
+    import ray.data as rd
+
+    aggs = [Sum(c, alias_name=c) for c in sum_cols]
+    finest = (
+        ds.groupby(keys)
+        .aggregate(*aggs, Count(alias_name=count_alias))
+        .materialize()
+    )
+    meas = [*sum_cols, count_alias]
+    out_cols = [*keys, *meas]
+
+    def _norm(filled: list[str]):
+        """Normalize a level block: fill rolled-up keys, fix column order,
+        and absorb the zero-column empty blocks hash-shuffle groupbys emit
+        for keyless partitions."""
+
+        def _f(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return pa.schema(
+                    [(k, pa.string()) for k in keys]
+                    + [(m, pa.int64()) for m in meas]
+                ).empty_table()
+            cols = {}
+            for k in keys:
+                if k in filled:
+                    cols[k] = pa.array([all_label] * len(t), pa.string())
+                else:
+                    cols[k] = pc.cast(t.column(k), pa.string())
+            for m in meas:
+                cols[m] = pc.cast(t.column(m), pa.int64())
+            return pa.table({c: cols[c] for c in out_cols})
+
+        return _f
+
+    levels = [finest.map_batches(_norm([]), batch_format="pyarrow")]
+    for i in range(len(keys) - 1, 0, -1):
+        lvl = (
+            finest.groupby(keys[:i])
+            .aggregate(*[Sum(m, alias_name=m) for m in meas])
+            .map_batches(_norm(keys[i:]), batch_format="pyarrow")
+        )
+        levels.append(lvl)
+
+    # grand total: per-block partial sums -> one driver add (scalars only)
+    def _block_tot(t: pa.Table) -> pa.Table:
+        if t.num_columns == 0 or len(t) == 0:
+            return pa.table({m: pa.array([0], pa.int64()) for m in meas})
+        return pa.table(
+            {m: pa.array([pc.sum(t.column(m)).as_py() or 0], pa.int64())
+             for m in meas}
+        )
+
+    tot = finest.map_batches(_block_tot, batch_format="pyarrow").to_pandas()
+    grand = pa.table(
+        {
+            **{k: pa.array([all_label], pa.string()) for k in keys},
+            **{m: pa.array([int(tot[m].sum())], pa.int64()) for m in meas},
+        }
+    ).select(out_cols)
+    levels.append(rd.from_arrow(grand))
+
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
