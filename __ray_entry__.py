@@ -731,6 +731,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return phash_image_pairs(planted, max_hamming=3).sort(["a", "b"])
 
+    def q_audio_fingerprint(sf_dir: str):
+        # round-5: perceptual audio fingerprint near-dup — REAL WAV
+        # decode -> 64-bit log-band-spectrum DCT-sign hash -> band LSH ->
+        # exact hamming verify.  Planted noisy volume-scaled WAV twins
+        # (every 3rd audio ref) are the expected pairs; rows-only (the
+        # hash is a sample-domain FFT, no SQL face)
+        from unsupervised_ner_ray.stages.multimodal import (
+            audio_fingerprint_pairs,
+            plant_audio_dup_payloads,
+            synthesize_payloads,
+        )
+
+        planted = plant_audio_dup_payloads(
+            synthesize_payloads(extract_media_refs(_ner_corpus(sf_dir))),
+            every=3,
+            noise=50,
+            gain=0.6,
+        )
+        return audio_fingerprint_pairs(planted, max_hamming=2).sort(["a", "b"])
+
     def q_kg_kcore(sf_dir: str):
         # round-5: k-core decomposition over the bigram graph (KG-cleaning
         # face: keep the densely-linked core).  Rows-only (iterative
@@ -1415,6 +1435,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5: pHash image near-dup (real byte decode -> DCT hash ->
         # band LSH) over planted cross-format re-encode twins.  Rows-only
         "q_image_phash": q_image_phash,
+        # round-5: perceptual audio fingerprint near-dup (WAV decode ->
+        # spectral DCT-sign hash -> band LSH).  Rows-only
+        "q_audio_fingerprint": q_audio_fingerprint,
         # round-5: k-core decomposition over the bigram graph (dual-regime
         # peel, forced-path pinned).  Rows-only (iterative shrink)
         "q_kg_kcore": q_kg_kcore,
@@ -1507,7 +1530,6 @@ _WINDOW_R5 = [
     # ROLLUP subtotals — new SQL-oracled round-5 op, displacing the
     # q_token_histogram re-guard (hash-certified r01-r03)
     "q_rollup_revenue",
-    "q_vocab_merge",
     "q_jaccard_adjacent",
     "q_quality",
     "q_scrub_pii",
@@ -1542,6 +1564,9 @@ _WINDOW_R5 = [
     # rows-only first records; copurchase_edges + node_jaccard are new
     # SQL-oracled ops whose first certification happens this round
     "q_image_phash",
+    # audio fingerprint near-dup — new rows-only round-5 op, displacing
+    # the q_vocab_merge re-guard (hash-certified r01-r03)
+    "q_audio_fingerprint",
     "q_kg_kcore",
     "q_copurchase_edges",
     "q_node_jaccard",

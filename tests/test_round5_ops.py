@@ -725,3 +725,102 @@ def test_hits_hand_case_and_sink_source(ray_session):
     for v in "abc":
         assert abs(got.loc[v, "hub"] - 1.0 / np.sqrt(3)) < 1e-12
         assert got.loc[v, "auth"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# audio fingerprint (perceptual hash over PCM WAV)
+
+
+def test_ahash64_invariances():
+    """Lossless WAV re-encode hashes identically; -40 dB noise + 0.5x
+    volume moves at most a few bits; distinct tones are far apart."""
+    from unsupervised_ner_ray.functions import media_codecs as mc
+    from unsupervised_ner_ray.stages.multimodal import ahash64
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    rng = np.random.RandomState(4)
+    hashes = []
+    for i in range(20):
+        t = np.arange(1600 + i * 37)
+        s = (
+            np.sin(2 * np.pi * (110 + i * 13.7) * t / 16000.0) * 12000
+        ).astype(np.int16)
+        h = ahash64(s, 16000)
+        s2, r2 = mc.decode_wav(mc.encode_wav(s, 16000))
+        assert ahash64(s2, r2) == h
+        noisy = np.clip(
+            s * 0.5 + rng.randint(-60, 61, s.shape), -32768, 32767
+        ).astype(np.int16)
+        assert ham(ahash64(noisy, 16000), h) <= 2
+        hashes.append(h)
+    cross = [
+        ham(hashes[i], hashes[j])
+        for i in range(20)
+        for j in range(i + 1, 20)
+    ]
+    assert min(cross) >= 3 and sorted(cross)[len(cross) // 2] >= 20
+
+
+def test_audio_fingerprint_planted_pairs(ray_session):
+    """End-to-end: synthesize WAV payloads -> plant noisy volume-scaled
+    twins -> every planted (ref, ref#dup) pair comes back."""
+    import ray.data as rd
+
+    from unsupervised_ner_ray.stages.multimodal import (
+        audio_fingerprint_pairs,
+        plant_audio_dup_payloads,
+        synthesize_payloads,
+    )
+
+    media = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [f"d{i}" for i in range(30)],
+                "span_idx": np.zeros(30, dtype=np.int32),
+                "kind": ["audio"] * 30,
+                "media_ref": [f"aud://{i:03d}" for i in range(30)],
+            }
+        )
+    )
+    planted = plant_audio_dup_payloads(
+        synthesize_payloads(media), every=3, noise=50, gain=0.6
+    )
+    n_twins = sum(1 for r in planted.to_pandas()["media_ref"] if r.endswith("#dup"))
+    assert n_twins > 0
+    pairs = audio_fingerprint_pairs(planted, max_hamming=2).to_pandas()
+    got = {(r.a, r.b) for r in pairs.itertuples()}
+    for a, b in got:
+        assert a < b
+    planted_pairs = {
+        (r[: -len("#dup")], r)
+        for r in planted.to_pandas()["media_ref"]
+        if r.endswith("#dup")
+    }
+    missing = planted_pairs - got
+    assert not missing, missing
+
+
+def test_ahasher_quarantines_corrupt_payload(ray_session):
+    """A truncated WAV buffer degrades to ahash_ok=false, never a
+    poisoned batch."""
+    import ray.data as rd
+
+    from unsupervised_ner_ray.functions import media_codecs as mc
+    from unsupervised_ner_ray.stages.multimodal import ahash_media
+
+    good = mc.encode_wav(
+        (np.sin(np.arange(2000) * 0.05) * 9000).astype(np.int16), 16000
+    )
+    df = pd.DataFrame(
+        {
+            "kind": ["audio", "audio"],
+            "media_ref": ["ok", "bad"],
+            "payload": [good, good[:11]],
+        }
+    )
+    out = ahash_media(rd.from_pandas(df), concurrency=1).to_pandas()
+    out = out.set_index("media_ref")
+    assert bool(out.loc["ok", "ahash_ok"]) is True
+    assert bool(out.loc["bad", "ahash_ok"]) is False

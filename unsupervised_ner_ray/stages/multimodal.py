@@ -670,3 +670,202 @@ def plant_near_dup_payloads(media_with_payloads, every: int = 4, noise: int = 0)
         return pa.table(cols)
 
     return media_with_payloads.map_batches(_f, batch_format="pyarrow", batch_size=64)
+
+
+_DCT64 = _dct_basis(64)
+
+
+def ahash64(samples: np.ndarray, rate: int) -> int:
+    """64-bit perceptual hash of decoded PCM audio — the audio analog of
+    :func:`phash64` (DCT-sign recipe over the log band spectrum).
+
+    Deterministic pure-numpy: mono mixdown -> fixed 4096-sample window
+    (truncate/zero-pad) -> full-window rfft power -> 64 log-spaced
+    frequency bands -> peak-normalize (volume invariance) -> log with a
+    -40 dB relative floor (sub-floor broadband noise is invisible, the
+    tonal-content trap a framed spectrogram falls into) -> 64-point
+    DCT-II -> signs of coefficients 1..64 (DC skipped) packed MSB-first
+    into a SIGNED int64 (the phash/SimHash column convention).
+
+    Lossless re-encodes hash identically; volume scaling is exactly
+    invariant; mild noise moves a few bits; different tonal content
+    lands in different bands and flips many DCT signs.  ``rate`` is
+    accepted for interface parity (bands are relative to the window
+    spectrum)."""
+    x = samples.astype(np.float64)
+    if x.ndim == 2:
+        x = x.mean(axis=1)
+    n = 4096
+    x = x[:n] if len(x) >= n else np.pad(x, (0, n - len(x)))
+    P = np.abs(np.fft.rfft(x)) ** 2  # 2049 bins
+    edges = np.round(np.geomspace(2, len(P) - 1, 65)).astype(np.int64)
+    idx = np.clip(np.searchsorted(edges, np.arange(len(P)), side="right") - 1,
+                  -1, 63)
+    B = np.zeros(64)
+    valid = idx >= 0
+    np.add.at(B, idx[valid], P[valid])
+    peak = B.max()
+    if peak > 0:
+        B = B / peak
+    L = np.log(np.maximum(B, 1e-4))
+    coef = _DCT64 @ L
+    bits = coef[1:65] > 0
+    packed = np.packbits(bits.astype(np.uint8)).tobytes()
+    return int.from_bytes(packed, "big", signed=True)
+
+
+class AHasher:
+    """Actor-pool stage: audio payload bytes -> (ahash: int64, ahash_ok).
+    Per-row quarantine like :class:`PHasher` — a corrupt WAV never
+    poisons the batch."""
+
+    def __init__(self):
+        from ..functions import media_codecs as mc
+
+        self.mc = mc
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes, ok = [], []
+        for buf in batch.column("payload").to_pylist():
+            try:
+                samples, rate = self.mc.decode_wav(buf)
+                hashes.append(ahash64(samples, rate))
+                ok.append(True)
+            except Exception:
+                hashes.append(0)
+                ok.append(False)
+        return (
+            batch.drop_columns(["payload"])
+            .append_column("ahash", pa.array(hashes, pa.int64()))
+            .append_column("ahash_ok", pa.array(ok, pa.bool_()))
+        )
+
+
+def ahash_media(media_with_payloads, concurrency: int = 8, batch_size: int = 32):
+    """Hash every AUDIO row of a media+payload table."""
+    auds = media_with_payloads.filter(expr="kind == 'audio'")
+    return auds.map_batches(
+        AHasher,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+
+
+def audio_fingerprint_pairs(
+    media_with_payloads,
+    max_hamming: int = 6,
+    concurrency: int = 8,
+    num_parts: int = 64,
+):
+    """Near-duplicate audio pairs (a, b, hamming), a < b by media_ref —
+    the audio face of the near-dup stack (:func:`phash_image_pairs` /
+    ``dedup.simhash_pairs``), identical scale shape: 4x16-bit band LSH
+    buckets (pigeonhole-exact at hamming <= 3), bucket-local popcount
+    verify, cross-band Min collapse.  No all-pairs work, no driver
+    materialization; decode runs in the AHasher actor pool."""
+    import pandas as pd
+    from ray.data.aggregate import Min
+
+    from .grouping import partitioned_map_groups
+
+    sigs = ahash_media(media_with_payloads, concurrency=concurrency)
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(batch.column("ahash_ok"))
+        n = len(batch)
+        sims = batch.column("ahash").to_numpy(zero_copy_only=False).astype(np.int64)
+        u = sims.view(np.uint64) ^ np.uint64(1 << 63)
+        shifts = (np.uint64(16) * np.arange(4, dtype=np.uint64))[None, :]
+        keys = ((u[:, None] >> shifts) & np.uint64(0xFFFF)).reshape(-1)
+        take_idx = pa.array(np.repeat(np.arange(n), 4), pa.int64())
+        return pa.table(
+            {
+                "band_id": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
+                "band_key": pa.array(keys.astype(np.int64), pa.int64()),
+                "media_ref": batch.column("media_ref").take(take_idx),
+                "ahash": pa.array(np.repeat(sims, 4), pa.int64()),
+            }
+        )
+
+    buckets = sigs.map_batches(_explode, batch_format="pyarrow")
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("media_ref")
+        refs, sims = list(g["media_ref"]), list(g["ahash"])
+        rows = []
+        for i in range(len(refs)):
+            for j in range(i + 1, len(refs)):
+                if refs[i] == refs[j]:
+                    continue
+                ham = bin((sims[i] ^ sims[j]) & ((1 << 64) - 1)).count("1")
+                if ham <= max_hamming:
+                    rows.append({"a": refs[i], "b": refs[j], "hamming": ham})
+        return pd.DataFrame(rows, columns=["a", "b", "hamming"])
+
+    pairs = partitioned_map_groups(
+        buckets, ["band_id", "band_key"], _pairs, num_parts=num_parts
+    )
+    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+def plant_audio_dup_payloads(
+    media_with_payloads, every: int = 4, noise: int = 0, gain: float = 1.0
+):
+    """Append deterministic audio near-dup twins: every audio ref whose
+    blake2b seed % ``every`` == 0 gains a twin row (``ref + "#dup"``)
+    whose payload is the SAME decoded samples re-encoded as PCM WAV,
+    optionally with +/-``noise`` int16 jitter (ref-seeded) and a
+    ``gain`` volume scale — the audio face of
+    :func:`plant_near_dup_payloads`."""
+    from ..functions import media_codecs as mc
+
+    def _f(batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        kinds = batch.column("kind").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        other_names = [
+            c for c in batch.schema.names
+            if c not in ("media_ref", "kind", "payload", "fmt")
+        ]
+        out = {c: batch.column(c).to_pylist() for c in other_names}
+        fmts = (
+            batch.column("fmt").to_pylist()
+            if "fmt" in batch.schema.names else [""] * len(refs)
+        )
+        out_ref, out_kind = list(refs), list(kinds)
+        out_pay, out_fmt = list(payloads), list(fmts)
+        for i, (ref, kind, buf) in enumerate(zip(refs, kinds, payloads)):
+            if kind != "audio":
+                continue
+            seed = int.from_bytes(
+                hashlib.blake2b(ref.encode(), digest_size=4).digest(), "big"
+            )
+            if seed % every:
+                continue
+            samples, rate = mc.decode_wav(buf)
+            s = samples.astype(np.float64) * gain
+            if noise:
+                rng = np.random.RandomState(seed ^ 0x5A5A)
+                s = s + rng.randint(-noise, noise + 1, s.shape)
+            twin = mc.encode_wav(
+                np.clip(s, -32768, 32767).astype(np.int16), rate=rate
+            )
+            out_ref.append(ref + "#dup")
+            out_kind.append("audio")
+            out_pay.append(twin)
+            out_fmt.append("wav")
+            for c in other_names:
+                out[c].append(out[c][i])
+        cols = {
+            "media_ref": pa.array(out_ref, pa.string()),
+            "kind": pa.array(out_kind, pa.string()),
+        }
+        for c in other_names:
+            cols[c] = pa.array(out[c], batch.schema.field(c).type)
+        cols["payload"] = pa.array(out_pay, pa.binary())
+        cols["fmt"] = pa.array(out_fmt, pa.string())
+        return pa.table(cols)
+
+    return media_with_payloads.map_batches(_f, batch_format="pyarrow", batch_size=64)
