@@ -412,6 +412,88 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     ).to_pandas())
     timed("q_bpe_train", lambda: textstats.bpe_train(docs_tbl, num_merges=10))
 
+    # round-5 late additions: link-prediction indices (broadcast-CSR
+    # weighted-gather kernel), HITS, exact quantiles (bucket-refinement
+    # selection), ROLLUP, audio fingerprint LSH
+    def _link_pred():
+        from unsupervised_ner_ray.stages.kg import (
+            cooccurrence_edges,
+            link_prediction_scores,
+        )
+
+        li = read_sf(sf_dir, "lineitem", columns=["l_orderkey", "l_partkey"])
+        edges = cooccurrence_edges(li, "l_orderkey", "l_partkey")
+        return link_prediction_scores(edges, min_cn=15).to_pandas()
+
+    timed("q_link_prediction", _link_pred)
+
+    def _hits():
+        from unsupervised_ner_ray.stages.kg import bigram_triples, hits
+
+        edges = (
+            bigram_triples(read_sf(sf_dir, "documents", columns=["doc_id", "text"]))
+            .select_columns(["subj_norm", "obj_norm"])
+            .map_batches(
+                lambda t: t.rename_columns(["s", "o"]), batch_format="pyarrow"
+            )
+        )
+        return hits(edges, iters=20).to_pandas()
+
+    timed("q_kg_hits", _hits)
+    timed(
+        "q_exact_quantiles",
+        lambda: relational.exact_group_quantiles(
+            read_sf(sf_dir, "orders", columns=["o_orderstatus", "o_totalprice"]),
+            "o_orderstatus", "o_totalprice", qs=(0.5, 0.9),
+        ).to_pandas(),
+    )
+
+    def _rollup():
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        li = read_sf(
+            sf_dir, "lineitem",
+            columns=["l_returnflag", "l_linestatus", "l_quantity",
+                     "l_extendedprice"],
+        )
+
+        def _prep(t):
+            return pa.table(
+                {
+                    "l_returnflag": t.column("l_returnflag"),
+                    "l_linestatus": t.column("l_linestatus"),
+                    "sum_qty": pc.cast(t.column("l_quantity"), pa.int64()),
+                    "sum_price_cents": relational._to_cents(
+                        t.column("l_extendedprice")
+                    ),
+                }
+            )
+
+        return relational.rollup_aggregate(
+            li.map_batches(_prep, batch_format="pyarrow"),
+            ["l_returnflag", "l_linestatus"],
+            ["sum_qty", "sum_price_cents"],
+        ).to_pandas()
+
+    timed("q_rollup_revenue", _rollup)
+
+    def _audio_fp():
+        from unsupervised_ner_ray.stages.multimodal import (
+            audio_fingerprint_pairs,
+            extract_media_refs,
+            plant_audio_dup_payloads,
+            synthesize_payloads,
+        )
+
+        planted = plant_audio_dup_payloads(
+            synthesize_payloads(extract_media_refs(corpus_from_sf(sf_dir))),
+            every=3, noise=50, gain=0.6,
+        )
+        return audio_fingerprint_pairs(planted, max_hamming=2).to_pandas()
+
+    timed("q_audio_fingerprint", _audio_fp)
+
     return {
         "metric": "flagship_ner_kg",
         "value": headline,

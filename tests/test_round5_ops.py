@@ -824,3 +824,40 @@ def test_ahasher_quarantines_corrupt_payload(ray_session):
     out = out.set_index("media_ref")
     assert bool(out.loc["ok", "ahash_ok"]) is True
     assert bool(out.loc["bad", "ahash_ok"]) is False
+
+
+def test_link_prediction_forced_generic_equals_csr(ray_session):
+    """csr_max_edges=0 forces the partitioned frame path; both kernels
+    must emit identical rows on the same dirty random graph."""
+    from unsupervised_ner_ray.stages.kg import link_prediction_scores
+
+    edges = _lp_random_graph(seed=13, n=30, m=90)
+    df = pd.DataFrame(sorted(edges), columns=["a", "b"])
+
+    def rows(res):
+        return {
+            (int(r.a), int(r.b)): (int(r.cn), int(r.aa_nano), int(r.ra_nano))
+            for r in res.itertuples()
+        }
+
+    csr = rows(
+        link_prediction_scores(_rd().from_pandas(df), min_cn=2).to_pandas()
+    )
+    gen = rows(
+        link_prediction_scores(
+            _rd().from_pandas(df), min_cn=2, csr_max_edges=0
+        ).to_pandas()
+    )
+    assert csr == gen and len(csr) > 0
+    # hub gate rides both kernels identically
+    csr_h = rows(
+        link_prediction_scores(
+            _rd().from_pandas(df), max_shared_deg=5
+        ).to_pandas()
+    )
+    gen_h = rows(
+        link_prediction_scores(
+            _rd().from_pandas(df), max_shared_deg=5, csr_max_edges=0
+        ).to_pandas()
+    )
+    assert csr_h == gen_h
