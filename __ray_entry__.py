@@ -911,6 +911,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["sum_qty", "sum_price_cents"],
         ).sort(["l_returnflag", "l_linestatus"])
 
+    def q_cube_revenue(sf_dir: str):
+        # round-5: GROUP BY CUBE — all 2^k grouping sets from ONE data
+        # pass (coarser sets re-aggregate the finest int64-exact
+        # aggregate).  SQL-oracled
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from unsupervised_ner_ray.sources.io import read_sf
+        from unsupervised_ner_ray.stages.relational import (
+            _to_cents,
+            cube_aggregate,
+        )
+
+        orders = read_sf(
+            sf_dir, "orders",
+            columns=["o_orderstatus", "o_orderpriority", "o_totalprice"],
+        )
+
+        def _prep(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "o_orderstatus": t.column("o_orderstatus"),
+                    "o_orderpriority": t.column("o_orderpriority"),
+                    "sum_price_cents": _to_cents(t.column("o_totalprice")),
+                }
+            )
+
+        return cube_aggregate(
+            orders.map_batches(_prep, batch_format="pyarrow"),
+            ["o_orderstatus", "o_orderpriority"],
+            ["sum_price_cents"],
+        ).sort(["o_orderstatus", "o_orderpriority"])
+
     def q_exact_quantiles(sf_dir: str):
         # round-5: EXACT per-group order-statistic quantiles by
         # distributed selection (iterative bucket refinement — zero
@@ -1316,6 +1349,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5: ROLLUP hierarchical subtotals (one data pass, levels
         # re-aggregate the finest aggregate).  SQL-oracled
         "q_rollup_revenue": q_rollup_revenue,
+        # round-5: CUBE — all 2^k grouping sets from the same one-pass
+        # kernel.  SQL-oracled
+        "q_cube_revenue": q_cube_revenue,
         "q_langid": lambda sf: textstats.langid(_docs(sf)),  # heuristic: rows-only
         "q_frame_sample": q_frame_sample,  # real AVI container scan: rows-only
         # round-3b: inverted index + posting stats, hash split assignment,
@@ -1527,11 +1563,11 @@ _WINDOW_R5 = [
     "q_doc_cosine",
     "q_late_events",
     "q_kg_bfs",
-    # ROLLUP subtotals — new SQL-oracled round-5 op, displacing the
-    # q_token_histogram re-guard (hash-certified r01-r03)
+    # ROLLUP subtotals + CUBE — new SQL-oracled round-5 ops, displacing
+    # the q_token_histogram (r01-r03) and q_quality (r01-r03) re-guards
     "q_rollup_revenue",
+    "q_cube_revenue",
     "q_jaccard_adjacent",
-    "q_quality",
     "q_scrub_pii",
     "q_bm25",
     "q_zscore_balance",
@@ -3163,5 +3199,15 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY ROLLUP(l_returnflag, l_linestatus)
             ORDER BY l_returnflag, l_linestatus
+        """,
+        "q_cube_revenue": """
+            SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+                   COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   CAST(SUM(CAST(FLOOR(o_totalprice*100) AS BIGINT))
+                        AS BIGINT) AS sum_price_cents,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM orders
+            GROUP BY CUBE(o_orderstatus, o_orderpriority)
+            ORDER BY o_orderstatus, o_orderpriority
         """,
     }

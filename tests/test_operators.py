@@ -3644,3 +3644,47 @@ def test_rollup_level_consistency(ray_session):
     assert grand["n_rows"].iloc[0] == len(df)
     for k1, g in fine.groupby("k1"):
         assert sub.loc[sub["k1"] == k1, "m"].iloc[0] == g["m"].sum()
+
+
+def test_cube_aggregate_duckdb_parity(ray_session):
+    """3-key CUBE == DuckDB GROUP BY CUBE: all 8 grouping sets present
+    and value-exact."""
+    import duckdb
+    import ray.data as rd
+
+    from unsupervised_ner_ray.stages.relational import cube_aggregate
+
+    rng = np.random.RandomState(8)
+    n = 4000
+    df = pd.DataFrame(
+        {
+            "r": rng.choice(["east", "west"], n),
+            "s": rng.choice(["a", "b", "c"], n),
+            "t": rng.choice(["x", "y"], n),
+            "m": rng.randint(0, 100, n).astype(np.int64),
+        }
+    )
+    got = (
+        cube_aggregate(rd.from_pandas(df), ["r", "s", "t"], ["m"])
+        .to_pandas()
+        .sort_values(["r", "s", "t"])
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("d", df)
+    exp = con.execute(
+        """SELECT COALESCE(r,'ALL') r, COALESCE(s,'ALL') s,
+                  COALESCE(t,'ALL') t, CAST(SUM(m) AS BIGINT) m,
+                  CAST(COUNT(*) AS BIGINT) n_rows
+           FROM d GROUP BY CUBE(r, s, t) ORDER BY r, s, t"""
+    ).df()
+    con.close()
+    assert len(got) == len(exp)
+    for c in ("r", "s", "t", "m", "n_rows"):
+        assert np.array_equal(got[c].to_numpy(), exp[c].to_numpy()), c
+    # every one of the 2^3 grouping-set shapes occurs
+    shapes = {
+        tuple(v == "ALL" for v in row)
+        for row in got[["r", "s", "t"]].itertuples(index=False)
+    }
+    assert len(shapes) == 8

@@ -2429,33 +2429,32 @@ def exact_group_quantiles(
     return rd.from_pandas(pd.DataFrame(out))
 
 
-def rollup_aggregate(
+def _grouping_sets_aggregate(
     ds,
     keys: list[str],
+    sets: list[tuple],
     sum_cols: list[str],
     all_label: str = "ALL",
     count_alias: str = "n_rows",
 ):
-    """GROUP BY ROLLUP(keys...) — hierarchical subtotals (the OLAP
-    drill-down face the engine's flat groupbys don't cover): one result
-    row per finest group, per prefix-level subtotal, and the grand total,
-    with rolled-up key columns filled with ``all_label``.
-
-    Scale shape (100 TB): the DATA is aggregated exactly ONCE — the
-    finest-level groupby over per-batch int64 partials (the q1 combiner
-    shape).  Every coarser level then re-aggregates the FINEST RESULT
-    (bounded by distinct key combinations, orders of magnitude smaller
-    than the data — the classic rollup optimization; L-1 tiny shuffles +
-    one scalar pass for the grand total, never a second data scan).
-    Measures must be int64-exact (cents/micro domain), so re-aggregating
-    aggregates is bit-identical to aggregating rows, and the union levels
-    hash-match the SQL ROLLUP regardless of order.
-
-    ``keys`` are string columns with no NULLs and no ``all_label`` values
-    (the COALESCE sentinel contract of the SQL twin).  Returns columns
-    (keys..., sum_cols..., count_alias); unsorted.
-    """
+    """Shared kernel for :func:`rollup_aggregate` / :func:`cube_aggregate`
+    (GROUPING SETS): the DATA aggregates exactly ONCE at the finest level
+    (per-batch int64 combiner groupby); every other grouping set
+    re-aggregates the FINEST RESULT — bounded by distinct key combos,
+    orders of magnitude smaller than the data (the classic rollup/cube
+    optimization; |sets|-1 tiny shuffles + one scalar pass for the empty
+    set, never a second data scan).  Measures must be int64-exact
+    (cents/micro domain), so aggregating aggregates is bit-identical to
+    aggregating rows.  ``sets`` must include the full key tuple; rolled-up
+    key columns fill ``all_label`` (the COALESCE sentinel contract —
+    ``keys`` are string columns with no NULLs and no ``all_label``
+    values).  Returns (keys..., sum_cols..., count_alias); unsorted."""
     import ray.data as rd
+
+    full = tuple(keys)
+    sets = [tuple(s) for s in sets]
+    if full not in sets:
+        raise ValueError("grouping sets must include the full key tuple")
 
     aggs = [Sum(c, alias_name=c) for c in sum_cols]
     finest = (
@@ -2466,10 +2465,9 @@ def rollup_aggregate(
     meas = [*sum_cols, count_alias]
     out_cols = [*keys, *meas]
 
-    def _norm(filled: list[str]):
+    def _norm(filled: tuple):
         """Normalize a level block: fill rolled-up keys, fix column order,
-        and absorb the zero-column empty blocks hash-shuffle groupbys emit
-        for keyless partitions."""
+        absorb the zero-column empty blocks hash-shuffle groupbys emit."""
 
         def _f(t: pa.Table) -> pa.Table:
             if t.num_columns == 0 or len(t) == 0:
@@ -2489,34 +2487,88 @@ def rollup_aggregate(
 
         return _f
 
-    levels = [finest.map_batches(_norm([]), batch_format="pyarrow")]
-    for i in range(len(keys) - 1, 0, -1):
+    levels = [finest.map_batches(_norm(()), batch_format="pyarrow")]
+    need_grand = False
+    for s in sets:
+        if s == full:
+            continue
+        if not s:
+            need_grand = True
+            continue
+        filled = tuple(k for k in keys if k not in s)
         lvl = (
-            finest.groupby(keys[:i])
+            finest.groupby(list(s))
             .aggregate(*[Sum(m, alias_name=m) for m in meas])
-            .map_batches(_norm(keys[i:]), batch_format="pyarrow")
+            .map_batches(_norm(filled), batch_format="pyarrow")
         )
         levels.append(lvl)
 
-    # grand total: per-block partial sums -> one driver add (scalars only)
-    def _block_tot(t: pa.Table) -> pa.Table:
-        if t.num_columns == 0 or len(t) == 0:
-            return pa.table({m: pa.array([0], pa.int64()) for m in meas})
-        return pa.table(
-            {m: pa.array([pc.sum(t.column(m)).as_py() or 0], pa.int64())
-             for m in meas}
-        )
+    if need_grand:
+        # grand total: per-block partial sums -> one driver add (scalars)
+        def _block_tot(t: pa.Table) -> pa.Table:
+            if t.num_columns == 0 or len(t) == 0:
+                return pa.table(
+                    {m: pa.array([0], pa.int64()) for m in meas}
+                )
+            return pa.table(
+                {m: pa.array([pc.sum(t.column(m)).as_py() or 0], pa.int64())
+                 for m in meas}
+            )
 
-    tot = finest.map_batches(_block_tot, batch_format="pyarrow").to_pandas()
-    grand = pa.table(
-        {
-            **{k: pa.array([all_label], pa.string()) for k in keys},
-            **{m: pa.array([int(tot[m].sum())], pa.int64()) for m in meas},
-        }
-    ).select(out_cols)
-    levels.append(rd.from_arrow(grand))
+        tot = finest.map_batches(_block_tot, batch_format="pyarrow").to_pandas()
+        grand = pa.table(
+            {
+                **{k: pa.array([all_label], pa.string()) for k in keys},
+                **{m: pa.array([int(tot[m].sum())], pa.int64())
+                   for m in meas},
+            }
+        ).select(out_cols)
+        levels.append(rd.from_arrow(grand))
 
     out = levels[0]
     for lv in levels[1:]:
         out = out.union(lv)
     return out
+
+
+def rollup_aggregate(
+    ds,
+    keys: list[str],
+    sum_cols: list[str],
+    all_label: str = "ALL",
+    count_alias: str = "n_rows",
+):
+    """GROUP BY ROLLUP(keys...) — hierarchical subtotals (the OLAP
+    drill-down face): one row per finest group, per prefix-level
+    subtotal, and the grand total.  Thin wrapper over
+    :func:`_grouping_sets_aggregate` (see its docstring for the
+    one-data-pass scale shape and the int64/'ALL'-sentinel contracts)."""
+    sets = [tuple(keys[:i]) for i in range(len(keys), -1, -1)]
+    return _grouping_sets_aggregate(
+        ds, keys, sets, sum_cols, all_label, count_alias
+    )
+
+
+def cube_aggregate(
+    ds,
+    keys: list[str],
+    sum_cols: list[str],
+    all_label: str = "ALL",
+    count_alias: str = "n_rows",
+):
+    """GROUP BY CUBE(keys...) — every one of the 2^k grouping sets (the
+    full OLAP cross-tab).  Same one-data-pass shape as
+    :func:`rollup_aggregate`: the 2^k - 1 coarser sets all re-aggregate
+    the finest result, so the data cost is independent of k."""
+    from itertools import combinations
+
+    sets = [
+        tuple(c)
+        for r in range(len(keys), -1, -1)
+        for c in combinations(keys, r)
+    ]
+    return _grouping_sets_aggregate(
+        ds, keys, sets, sum_cols, all_label, count_alias
+    )
+
+
