@@ -944,6 +944,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["sum_price_cents"],
         ).sort(["o_orderstatus", "o_orderpriority"])
 
+    def q_pivot_revenue(sf_dir: str):
+        # round-5: long->wide pivot with int64 Sum cells (the reshape
+        # twin of unpivot): one pass keyed on the packed (index,
+        # category) pair, partition-local widen.  SQL-oracled
+        # (conditional-aggregation twin)
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from unsupervised_ner_ray.sources.io import read_sf
+        from unsupervised_ner_ray.stages.relational import (
+            _to_cents,
+            pivot_aggregate,
+        )
+
+        orders = read_sf(
+            sf_dir, "orders",
+            columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+        )
+
+        def _prep(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "o_orderpriority": t.column("o_orderpriority"),
+                    "o_orderstatus": t.column("o_orderstatus"),
+                    "price_cents": _to_cents(t.column("o_totalprice")),
+                }
+            )
+
+        return pivot_aggregate(
+            orders.map_batches(_prep, batch_format="pyarrow"),
+            "o_orderpriority", "o_orderstatus", "price_cents",
+        ).sort("o_orderpriority")
+
     def q_exact_quantiles(sf_dir: str):
         # round-5: EXACT per-group order-statistic quantiles by
         # distributed selection (iterative bucket refinement — zero
@@ -1352,6 +1385,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5: CUBE — all 2^k grouping sets from the same one-pass
         # kernel.  SQL-oracled
         "q_cube_revenue": q_cube_revenue,
+        # round-5: long->wide pivot (int64 Sum cells).  SQL-oracled
+        "q_pivot_revenue": q_pivot_revenue,
         "q_langid": lambda sf: textstats.langid(_docs(sf)),  # heuristic: rows-only
         "q_frame_sample": q_frame_sample,  # real AVI container scan: rows-only
         # round-3b: inverted index + posting stats, hash split assignment,
@@ -1567,8 +1602,10 @@ _WINDOW_R5 = [
     # the q_token_histogram (r01-r03) and q_quality (r01-r03) re-guards
     "q_rollup_revenue",
     "q_cube_revenue",
+    # long->wide pivot — new SQL-oracled round-5 op, displacing the
+    # q_scrub_pii re-guard (hash-certified r03)
+    "q_pivot_revenue",
     "q_jaccard_adjacent",
-    "q_scrub_pii",
     "q_bm25",
     "q_zscore_balance",
     "q_decontaminate",
@@ -3209,5 +3246,21 @@ def oracle_sql() -> dict[str, str]:
             FROM orders
             GROUP BY CUBE(o_orderstatus, o_orderpriority)
             ORDER BY o_orderstatus, o_orderpriority
+        """,
+        # round-5: long->wide pivot as conditional aggregation; category
+        # column names are the category VALUES on both engines
+        "q_pivot_revenue": """
+            SELECT o_orderpriority,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                        THEN CAST(FLOOR(o_totalprice*100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS "F",
+                   CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                        THEN CAST(FLOOR(o_totalprice*100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS "O",
+                   CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                        THEN CAST(FLOOR(o_totalprice*100) AS BIGINT)
+                        ELSE 0 END) AS BIGINT) AS "P",
+                   CAST(COUNT(*) AS BIGINT) AS n_rows
+            FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
         """,
     }

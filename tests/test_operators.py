@@ -3688,3 +3688,60 @@ def test_cube_aggregate_duckdb_parity(ray_session):
         for row in got[["r", "s", "t"]].itertuples(index=False)
     }
     assert len(shapes) == 8
+
+
+def test_pivot_aggregate_duckdb_parity_and_contract(ray_session):
+    """Random long table == DuckDB conditional-aggregation pivot; absent
+    (index, category) cells are 0; explicit and discovered category lists
+    agree; 'n_rows' collision rejected."""
+    import duckdb
+    import pytest as _pytest
+    import ray.data as rd
+
+    from unsupervised_ner_ray.stages.relational import pivot_aggregate
+
+    rng = np.random.RandomState(2)
+    n = 3000
+    df = pd.DataFrame(
+        {
+            "idx": rng.choice([f"g{i}" for i in range(40)], n),
+            "cat": rng.choice(["alpha", "beta", "gamma"], n),
+            "v": rng.randint(-20, 100, n).astype(np.int64),
+        }
+    )
+    # force an absent combination
+    df = df[~((df["idx"] == "g0") & (df["cat"] == "gamma"))]
+    got = (
+        pivot_aggregate(rd.from_pandas(df), "idx", "cat", "v")
+        .to_pandas()
+        .sort_values("idx")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("d", df)
+    exp = con.execute(
+        """SELECT idx,
+              CAST(SUM(CASE WHEN cat='alpha' THEN v ELSE 0 END) AS BIGINT) alpha,
+              CAST(SUM(CASE WHEN cat='beta' THEN v ELSE 0 END) AS BIGINT) beta,
+              CAST(SUM(CASE WHEN cat='gamma' THEN v ELSE 0 END) AS BIGINT) gamma,
+              CAST(COUNT(*) AS BIGINT) n_rows
+           FROM d GROUP BY idx ORDER BY idx"""
+    ).df()
+    con.close()
+    for c in ("idx", "alpha", "beta", "gamma", "n_rows"):
+        assert np.array_equal(got[c].to_numpy(), exp[c].to_numpy()), c
+    explicit = (
+        pivot_aggregate(
+            rd.from_pandas(df), "idx", "cat", "v",
+            categories=["gamma", "alpha", "beta"],
+        )
+        .to_pandas()
+        .sort_values("idx")
+        .reset_index(drop=True)
+    )
+    assert list(explicit.columns) == list(got.columns)  # sorted either way
+    assert explicit.equals(got)
+    with _pytest.raises(ValueError):
+        pivot_aggregate(
+            rd.from_pandas(df), "idx", "cat", "v", categories=["n_rows"]
+        )

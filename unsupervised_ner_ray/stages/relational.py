@@ -2572,3 +2572,93 @@ def cube_aggregate(
     )
 
 
+
+
+def pivot_aggregate(
+    ds,
+    index_col: str,
+    pivot_col: str,
+    val_col: str,
+    categories: list[str] | None = None,
+):
+    """Long -> wide pivot with int64 Sum cells — the reshape twin of
+    ``textstats.unpivot_stats``: one output row per ``index_col`` value,
+    one int64 column per ``pivot_col`` category (sorted), cells are the
+    exact sums of ``val_col`` (0 where the combination is absent), plus
+    ``n_rows``.
+
+    Scale shape (100 TB): the long table aggregates ONCE by the packed
+    (index, category) pair (per-batch int64 combiner partials + one
+    groupby Sum); the widen step is a partition-local pandas pivot inside
+    ONE coarse hash partition on the index key (every category cell of an
+    index row is already co-located because the groupby keyed on index
+    first) — categories are column-bounded by contract (the pivot width
+    IS the output schema), discovered with one tiny distinct pass when
+    not given.  Category values must be strings usable as column names;
+    ``n_rows`` counts the long rows per index (collision with a category
+    named 'n_rows' is rejected)."""
+    from .grouping import partitioned_apply
+
+    if categories is None:
+        cats_pd = (
+            ds.select_columns([pivot_col])
+            .groupby(pivot_col)
+            .aggregate(Count(alias_name="_c"))
+            .to_pandas()
+        )
+        categories = sorted(str(c) for c in cats_pd[pivot_col])
+    else:
+        categories = sorted(str(c) for c in categories)
+    if "n_rows" in categories or index_col == "n_rows":
+        raise ValueError("'n_rows' collides with the count column")
+
+    def _prep(t: pa.Table) -> pd.DataFrame:
+        df = pd.DataFrame(
+            {
+                "idx": t.column(index_col).to_pandas(),
+                "cat": t.column(pivot_col).to_pandas().astype(str),
+                "v": pd.to_numeric(
+                    t.column(val_col).to_pandas(), errors="coerce"
+                ).fillna(0).astype(np.int64),
+            }
+        )
+        g = df.groupby(["idx", "cat"], sort=False, as_index=False).agg(
+            v=("v", "sum"), n=("v", "size")
+        )
+        g["n"] = g["n"].astype(np.int64)
+        return g
+
+    long = (
+        ds.select_columns([index_col, pivot_col, val_col])
+        .map_batches(_prep, batch_format="pyarrow")
+    )
+
+    cats = list(categories)
+
+    def _widen(part: pd.DataFrame) -> pd.DataFrame:
+        if not len(part):
+            out = pd.DataFrame(
+                {index_col: pd.Series([], dtype=object),
+                 **{c: pd.Series([], dtype="int64") for c in cats},
+                 "n_rows": pd.Series([], dtype="int64")}
+            )
+            return out
+        comb = part.groupby(["idx", "cat"], sort=False, as_index=False).agg(
+            v=("v", "sum"), n=("n", "sum")
+        )
+        wide = (
+            comb.pivot_table(
+                index="idx", columns="cat", values="v",
+                aggfunc="sum", fill_value=0,
+            )
+            .reindex(columns=cats, fill_value=0)
+            .astype(np.int64)
+        )
+        nr = comb.groupby("idx", sort=False)["n"].sum().astype(np.int64)
+        wide["n_rows"] = nr
+        wide.index.name = index_col
+        out = wide.reset_index()
+        out.columns = [index_col, *cats, "n_rows"]
+        return out
+
+    return partitioned_apply(long, "idx", _widen, num_parts=64)
