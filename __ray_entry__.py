@@ -1116,6 +1116,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return label_propagation(edges, max_iters=10)
 
+    def q_kg_centrality(sf_dir: str):
+        # round-5: sampled harmonic closeness centrality over the bigram
+        # graph (deterministic hash-sampled sources, one certified
+        # bfs_hops sweep each).  Rows-only (sampled + iterative)
+        from unsupervised_ner_ray.stages.kg import (
+            bigram_triples,
+            harmonic_centrality,
+        )
+
+        edges = (
+            bigram_triples(_docs(sf_dir))
+            .select_columns(["subj_norm", "obj_norm"])
+            .map_batches(
+                lambda t: t.rename_columns(["s", "o"]), batch_format="pyarrow"
+            )
+        )
+        return harmonic_centrality(edges, sample=6, max_hops=4).sort("node")
+
     def q_kg_hits(sf_dir: str):
         # round-5: HITS hubs/authorities over the directed bigram graph
         # (dual-regime like pagerank; forced-path + numpy-parity pinned).
@@ -1503,6 +1521,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5: HITS hubs/authorities (dual-regime, numpy-parity
         # pinned).  Rows-only
         "q_kg_hits": q_kg_hits,
+        # round-5: sampled harmonic centrality (hash-sampled bfs_hops
+        # sweeps).  Rows-only
+        "q_kg_centrality": q_kg_centrality,
         # round-5: pHash image near-dup (real byte decode -> DCT hash ->
         # band LSH) over planted cross-format re-encode twins.  Rows-only
         "q_image_phash": q_image_phash,
@@ -1606,7 +1627,6 @@ _WINDOW_R5 = [
     # q_scrub_pii re-guard (hash-certified r03)
     "q_pivot_revenue",
     "q_jaccard_adjacent",
-    "q_bm25",
     "q_zscore_balance",
     "q_decontaminate",
     "q_chunk_dedup",
@@ -1640,6 +1660,7 @@ _WINDOW_R5 = [
     # audio fingerprint near-dup — new rows-only round-5 op, displacing
     # the q_vocab_merge re-guard (hash-certified r01-r03)
     "q_audio_fingerprint",
+    "q_kg_centrality",
     "q_kg_kcore",
     "q_copurchase_edges",
     "q_node_jaccard",

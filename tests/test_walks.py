@@ -361,3 +361,73 @@ def test_graph_embed_spectral_determinism_and_contract(ray_session):
     assert list(a.columns) == ["node", "dim", "weight"]
     with pytest.raises(ValueError):
         graph_embed_spectral(pairs, k=0)
+
+
+# ---------------------------------------------------------------------------
+# sampled harmonic centrality
+
+
+def test_harmonic_centrality_reference_parity(ray_session):
+    """Operator == pure-python sampled harmonic centrality: identical
+    hash-chosen sources, nanounit-exact contributions, zero for
+    unreached nodes."""
+    import hashlib
+    import random
+    from collections import defaultdict, deque
+
+    import ray.data as rd
+
+    from unsupervised_ner_ray.stages.kg import harmonic_centrality
+
+    rng = random.Random(21)
+    E = set()
+    while len(E) < 50:
+        a, b = rng.sample(range(20), 2)
+        E.add((min(a, b), max(a, b)))
+    # isolated pair far from the core sample sources
+    E.add((100, 101))
+    df = pd.DataFrame(sorted(E), columns=["s", "o"])
+
+    adj = defaultdict(set)
+    for a, b in E:
+        adj[str(a)].add(str(b))
+        adj[str(b)].add(str(a))
+    nodes = sorted(adj)
+
+    def bfs(src, cap):
+        d = {src: 0}
+        q = deque([src])
+        while q:
+            u = q.popleft()
+            if d[u] == cap:
+                continue
+            for w in adj[u]:
+                if w not in d:
+                    d[w] = d[u] + 1
+                    q.append(w)
+        return d
+
+    hk = {
+        v: int.from_bytes(
+            hashlib.blake2b(v.encode(), digest_size=8).digest(), "big"
+        )
+        for v in nodes
+    }
+    srcs = sorted(nodes, key=lambda v: hk[v])[:4]
+    exp = {}
+    for v in nodes:
+        s_nano, reach = 0, 0
+        for u in srcs:
+            d = bfs(u, 4).get(v)
+            if d and d >= 1:
+                s_nano += 1_000_000_000 // d
+                reach += 1
+        exp[v] = (s_nano / (4 * 1e9), reach)
+
+    got = harmonic_centrality(
+        rd.from_pandas(df), sample=4, max_hops=4
+    ).to_pandas()
+    assert set(got["node"]) == set(nodes)
+    for r in got.itertuples():
+        eh, er = exp[r.node]
+        assert abs(r.harmonic - eh) < 1e-15 and r.reached == er, r.node
