@@ -3745,3 +3745,49 @@ def test_pivot_aggregate_duckdb_parity_and_contract(ray_session):
         pivot_aggregate(
             rd.from_pandas(df), "idx", "cat", "v", categories=["n_rows"]
         )
+
+
+@pytest.mark.skipif(
+    __import__("os").environ.get("RUN_SCALE_SMOKE") != "1",
+    reason="RUN_SCALE_SMOKE=1 (result recorded in BASELINE.md)",
+)
+def test_exact_group_quantiles_scale_smoke(ray_session):
+    """5M rows, 4 groups: the bucket refinement must resolve every
+    quantile in <= 3 refinement passes (log_B(n/threshold) with B=1024)
+    and stay value-exact vs DuckDB."""
+    import time
+
+    import duckdb
+    import ray.data as rd
+
+    from unsupervised_ner_ray.stages.relational import exact_group_quantiles
+
+    rng = np.random.RandomState(11)
+    n = 5_000_000
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b", "c", "d"], n),
+            "v": rng.lognormal(5, 2, n),
+        }
+    )
+    t0 = time.time()
+    got = (
+        exact_group_quantiles(
+            rd.from_pandas(df), "g", "v", qs=(0.5, 0.99), max_passes=3
+        )
+        .to_pandas()
+        .sort_values("grp")
+        .reset_index(drop=True)
+    )
+    secs = time.time() - t0
+    con = duckdb.connect()
+    con.register("d", df)
+    exp = con.execute(
+        """SELECT g grp, quantile_disc(v, 0.5) p50,
+                  quantile_disc(v, 0.99) p99
+           FROM d GROUP BY g ORDER BY g"""
+    ).df()
+    con.close()
+    assert np.array_equal(got["p50"].to_numpy(), exp["p50"].to_numpy())
+    assert np.array_equal(got["p99"].to_numpy(), exp["p99"].to_numpy())
+    print(f"SMOKE exact_group_quantiles 5M: {secs:.1f}s, <=3 passes")
