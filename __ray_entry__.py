@@ -944,6 +944,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["sum_price_cents"],
         ).sort(["o_orderstatus", "o_orderpriority"])
 
+    def q_chunk_documents(sf_dir: str):
+        # round-5: RAG sliding-window chunker (size 6, overlap 2) — pure
+        # vectorized flat_map, no shuffle.  SQL-oracled (string_split +
+        # UNNEST(range) + list-slice twin)
+        return textstats.chunk_documents(
+            _docs(sf_dir), size=6, overlap=2
+        ).sort(["doc_id", "chunk_idx"])
+
     def q_pivot_revenue(sf_dir: str):
         # round-5: long->wide pivot with int64 Sum cells (the reshape
         # twin of unpivot): one pass keyed on the packed (index,
@@ -1405,6 +1413,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q_cube_revenue": q_cube_revenue,
         # round-5: long->wide pivot (int64 Sum cells).  SQL-oracled
         "q_pivot_revenue": q_pivot_revenue,
+        # round-5: RAG sliding-window chunker.  SQL-oracled
+        "q_chunk_documents": q_chunk_documents,
         "q_langid": lambda sf: textstats.langid(_docs(sf)),  # heuristic: rows-only
         "q_frame_sample": q_frame_sample,  # real AVI container scan: rows-only
         # round-3b: inverted index + posting stats, hash split assignment,
@@ -1623,12 +1633,12 @@ _WINDOW_R5 = [
     # the q_token_histogram (r01-r03) and q_quality (r01-r03) re-guards
     "q_rollup_revenue",
     "q_cube_revenue",
-    # long->wide pivot — new SQL-oracled round-5 op, displacing the
-    # q_scrub_pii re-guard (hash-certified r03)
+    # long->wide pivot + RAG chunker — new SQL-oracled round-5 ops,
+    # displacing the q_scrub_pii (r03) and q_decontaminate (r03) re-guards
     "q_pivot_revenue",
+    "q_chunk_documents",
     "q_jaccard_adjacent",
     "q_zscore_balance",
-    "q_decontaminate",
     "q_chunk_dedup",
     "q_weighted_sample",
     "q_boilerplate",
@@ -3283,5 +3293,24 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0 END) AS BIGINT) AS "P",
                    CAST(COUNT(*) AS BIGINT) AS n_rows
             FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        # round-5: sliding-window chunker twin — chunk starts are stride
+        # multiples below the token count; tail chunks short; empty docs
+        # emit nothing; both engines join tokens with single spaces
+        "q_chunk_documents": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), c AS (
+                SELECT doc_id, toks, CAST(u.i AS BIGINT) AS start
+                FROM t, UNNEST(range(0, GREATEST(len(toks), 1), 4)) u(i)
+                WHERE len(toks) > 0 AND u.i < len(toks)
+            )
+            SELECT doc_id,
+                   start // 4 AS chunk_idx,
+                   start AS start_tok,
+                   CAST(LEAST(len(toks) - start, 6) AS BIGINT) AS n_toks,
+                   array_to_string(toks[start + 1 : start + 6], ' ')
+                       AS chunk_text
+            FROM c ORDER BY doc_id, chunk_idx
         """,
     }

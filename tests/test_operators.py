@@ -3791,3 +3791,49 @@ def test_exact_group_quantiles_scale_smoke(ray_session):
     assert np.array_equal(got["p50"].to_numpy(), exp["p50"].to_numpy())
     assert np.array_equal(got["p99"].to_numpy(), exp["p99"].to_numpy())
     print(f"SMOKE exact_group_quantiles 5M: {secs:.1f}s, <=3 passes")
+
+
+def test_chunk_documents_hand_and_reconstruction(ray_session):
+    """Hand case (size 4, overlap 1) + reconstruction property: chunk 0
+    plus every later chunk's non-overlap tail re-concatenates to the doc;
+    empty and whitespace-only docs emit nothing."""
+    import ray.data as rd
+
+    from unsupervised_ner_ray.stages.textstats import chunk_documents
+
+    df = pd.DataFrame(
+        {
+            "doc_id": ["d1", "d2", "d3", "d4"],
+            "text": ["a b  c d e f g", "x y", "", "   "],
+        }
+    )
+    got = (
+        chunk_documents(rd.from_pandas(df), size=4, overlap=1)
+        .to_pandas()
+        .sort_values(["doc_id", "chunk_idx"])
+        .reset_index(drop=True)
+    )
+    d1 = got[got["doc_id"] == "d1"]
+    assert list(d1["chunk_text"]) == ["a b c d", "d e f g", "g"]
+    assert list(d1["start_tok"]) == [0, 3, 6]
+    assert list(d1["n_toks"]) == [4, 4, 1]
+    assert list(got[got["doc_id"] == "d2"]["chunk_text"]) == ["x y"]
+    assert not set(got["doc_id"]) & {"d3", "d4"}
+    # reconstruction on a longer random doc
+    rng = np.random.RandomState(0)
+    words = [f"w{i}" for i in rng.randint(0, 50, 137)]
+    doc = " ".join(words)
+    got2 = (
+        chunk_documents(
+            rd.from_pandas(pd.DataFrame({"doc_id": ["x"], "text": [doc]})),
+            size=10, overlap=3,
+        )
+        .to_pandas()
+        .sort_values("chunk_idx")
+    )
+    rebuilt = got2["chunk_text"].iloc[0].split(" ")
+    for ct in got2["chunk_text"].iloc[1:]:
+        rebuilt.extend(ct.split(" ")[3:])
+    assert rebuilt == words
+    with pytest.raises(ValueError):
+        chunk_documents(rd.from_pandas(df), size=4, overlap=4)

@@ -1968,3 +1968,82 @@ def bpe_encode(docs, merges: pd.DataFrame, vocab_broadcast_max: int = 5_000_000)
         )
 
     return docs.map_batches(_score, batch_format="pyarrow").sort("doc_id")
+
+
+def chunk_documents(docs, size: int = 4, overlap: int = 1):
+    """RAG-style sliding-window chunker: documents -> one row per chunk of
+    ``size`` whitespace tokens with ``overlap`` tokens shared between
+    consecutive chunks (stride = size - overlap).  Chunk starts are the
+    stride multiples below the doc's token count; the tail chunk may be
+    short; empty docs emit nothing.  Tokens are the nonempty whitespace
+    splits (the :func:`explode_tokens` contract), so the op carries an
+    exact DuckDB twin (string_split + UNNEST(range) + list slice).
+
+    Pure vectorized per-batch reshape — flatten + segmented-arange chunk
+    expansion + one groupby-join for the chunk text; one input row maps
+    to ceil-ish(n_toks/stride) output rows with NO shuffle (the flat_map
+    class).  Output: (doc_id, chunk_idx, start_tok, n_toks, chunk_text).
+    """
+    if overlap >= size:
+        raise ValueError("overlap must be < size")
+    step = size - overlap
+
+    def _f(batch: pa.Table) -> pd.DataFrame:
+        n = len(batch)
+        empty = pd.DataFrame(
+            {
+                "doc_id": pd.Series([], dtype=object),
+                "chunk_idx": pd.Series([], dtype="int64"),
+                "start_tok": pd.Series([], dtype="int64"),
+                "n_toks": pd.Series([], dtype="int64"),
+                "chunk_text": pd.Series([], dtype=object),
+            }
+        )
+        if n == 0:
+            return empty
+        tok_lists = pc.split_pattern(batch.column("text"), pattern=" ")
+        counts = pc.list_value_length(tok_lists).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(tok_lists)
+        keep = pc.not_equal(flat, pa.scalar("")).to_numpy(zero_copy_only=False)
+        toks = flat.filter(pa.array(keep)).to_numpy(zero_copy_only=False)
+        doc_idx = np.repeat(np.arange(n), counts)[keep]
+        ntok = np.bincount(doc_idx, minlength=n).astype(np.int64)
+        doc_off = np.concatenate([[0], np.cumsum(ntok)[:-1]])
+        # chunks per doc: ceil(ntok / step) capped so start < ntok
+        n_chunks = (ntok + step - 1) // step
+        total_chunks = int(n_chunks.sum())
+        if total_chunks == 0:
+            return empty
+        chunk_doc = np.repeat(np.arange(n), n_chunks)
+        chunk_idx = np.arange(total_chunks) - np.repeat(
+            np.concatenate([[0], np.cumsum(n_chunks)[:-1]]), n_chunks
+        )
+        start = chunk_idx * step
+        lens = np.minimum(ntok[chunk_doc] - start, size)
+        # gather token indices per chunk (segmented arange)
+        tot_tok = int(lens.sum())
+        gi = np.repeat(doc_off[chunk_doc] + start, lens) + (
+            np.arange(tot_tok)
+            - np.repeat(np.concatenate([[0], np.cumsum(lens)[:-1]]), lens)
+        )
+        cid = np.repeat(np.arange(total_chunks), lens)
+        texts = (
+            pd.Series(toks[gi])
+            .groupby(cid, sort=True)
+            .agg(" ".join)
+            .to_numpy()
+        )
+        ids = batch.column("doc_id").to_numpy()
+        return pd.DataFrame(
+            {
+                "doc_id": ids[chunk_doc],
+                "chunk_idx": chunk_idx.astype(np.int64),
+                "start_tok": start.astype(np.int64),
+                "n_toks": lens.astype(np.int64),
+                "chunk_text": texts,
+            }
+        )
+
+    return docs.select_columns(["doc_id", "text"]).map_batches(
+        _f, batch_format="pyarrow"
+    )
