@@ -751,6 +751,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return audio_fingerprint_pairs(planted, max_hamming=2).sort(["a", "b"])
 
+    def q_video_fingerprint(sf_dir: str):
+        # round-5: perceptual video fingerprint near-dup — AVI-MJPEG
+        # decode -> per-frame pHash -> majority-bit fold -> band LSH.
+        # Planted re-encode twins are the expected pairs; rows-only
+        from unsupervised_ner_ray.stages.multimodal import (
+            plant_video_dup_payloads,
+            synthesize_payloads,
+            video_fingerprint_pairs,
+        )
+
+        planted = plant_video_dup_payloads(
+            synthesize_payloads(extract_media_refs(_ner_corpus(sf_dir))),
+            every=3,
+        )
+        return video_fingerprint_pairs(planted, max_hamming=3).sort(["a", "b"])
+
     def q_kg_kcore(sf_dir: str):
         # round-5: k-core decomposition over the bigram graph (KG-cleaning
         # face: keep the densely-linked core).  Rows-only (iterative
@@ -1540,6 +1556,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5: perceptual audio fingerprint near-dup (WAV decode ->
         # spectral DCT-sign hash -> band LSH).  Rows-only
         "q_audio_fingerprint": q_audio_fingerprint,
+        # round-5: perceptual video fingerprint near-dup (frame pHash
+        # majority fold -> band LSH).  Rows-only
+        "q_video_fingerprint": q_video_fingerprint,
         # round-5: k-core decomposition over the bigram graph (dual-regime
         # peel, forced-path pinned).  Rows-only (iterative shrink)
         "q_kg_kcore": q_kg_kcore,
@@ -1639,7 +1658,6 @@ _WINDOW_R5 = [
     "q_chunk_documents",
     "q_jaccard_adjacent",
     "q_zscore_balance",
-    "q_chunk_dedup",
     "q_weighted_sample",
     "q_boilerplate",
     # round-5 late additions — the full DeepWalk stack: deterministic
@@ -1670,6 +1688,7 @@ _WINDOW_R5 = [
     # audio fingerprint near-dup — new rows-only round-5 op, displacing
     # the q_vocab_merge re-guard (hash-certified r01-r03)
     "q_audio_fingerprint",
+    "q_video_fingerprint",
     "q_kg_centrality",
     "q_kg_kcore",
     "q_copurchase_edges",

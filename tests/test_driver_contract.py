@@ -65,7 +65,7 @@ def test_window_r5_contract():
     inside (so after this round every battery entry has a driver record);
     the only rows-only window entries are the 12 rotated never-recorded
     queries plus the new rows-only round-5 operators (pHash
-    near-dup, audio fingerprint, harmonic centrality, k-core, spectral graph embeddings, HITS); q_kg_walks and
+    near-dup, audio/video fingerprints, harmonic centrality, k-core, spectral graph embeddings, HITS); q_kg_walks and
     q_kg_skipgram are SQL-pinned via the walks dump twins."""
     import json
 
@@ -107,6 +107,7 @@ def test_window_r5_contract():
         "q_kg_hits",
         "q_image_phash",
         "q_audio_fingerprint",
+        "q_video_fingerprint",
         "q_kg_centrality",
         "q_kg_kcore",
     ], rows_only

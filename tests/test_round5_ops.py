@@ -861,3 +861,82 @@ def test_link_prediction_forced_generic_equals_csr(ray_session):
         ).to_pandas()
     )
     assert csr_h == gen_h
+
+
+# ---------------------------------------------------------------------------
+# video fingerprint (frame-pHash majority fold)
+
+
+def test_vhash64_reencode_invariance_and_separation():
+    """MJPEG re-encode of the same frames hashes identically; unrelated
+    clips are far apart; empty frame list rejected."""
+    from unsupervised_ner_ray.functions import media_codecs as mc
+    from unsupervised_ner_ray.stages.multimodal import vhash64
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    rng = np.random.RandomState(5)
+    hashes = []
+    for i in range(10):
+        base = rng.randint(0, 200, (24 + i, 30 + i, 3)).astype(np.int64)
+        frames = [
+            np.clip(base + 10 * k, 0, 255).astype(np.uint8)
+            for k in range(3 + i % 4)
+        ]
+        dec, fps = mc.decode_avi_mjpeg(mc.encode_avi_mjpeg(frames, fps=5))
+        hv = vhash64(dec)
+        dec2, _ = mc.decode_avi_mjpeg(mc.encode_avi_mjpeg(dec, fps=5))
+        assert ham(vhash64(dec2), hv) <= 1
+        hashes.append(hv)
+    cross = [
+        ham(hashes[i], hashes[j])
+        for i in range(10)
+        for j in range(i + 1, 10)
+    ]
+    assert min(cross) >= 8
+    with pytest.raises(ValueError):
+        vhash64([])
+
+
+def test_video_fingerprint_planted_pairs(ray_session):
+    """End-to-end: synthesize AVI payloads -> plant re-encode twins ->
+    every planted (ref, ref#dup) pair comes back; corrupt payloads
+    quarantine."""
+    import ray.data as rd
+
+    from unsupervised_ner_ray.stages.multimodal import (
+        plant_video_dup_payloads,
+        synthesize_payloads,
+        vhash_media,
+        video_fingerprint_pairs,
+    )
+
+    media = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [f"d{i}" for i in range(18)],
+                "span_idx": np.zeros(18, dtype=np.int32),
+                "kind": ["video"] * 18,
+                "media_ref": [f"vid://{i:03d}" for i in range(18)],
+            }
+        )
+    )
+    planted = plant_video_dup_payloads(synthesize_payloads(media), every=3)
+    pdf = planted.to_pandas()
+    twins = {r for r in pdf["media_ref"] if r.endswith("#dup")}
+    assert twins
+    pairs = video_fingerprint_pairs(planted, max_hamming=3).to_pandas()
+    got = {(r.a, r.b) for r in pairs.itertuples()}
+    for t in twins:
+        assert (t[: -len("#dup")], t) in got, t
+    # corrupt payload quarantine
+    bad = pd.DataFrame(
+        {
+            "kind": ["video"],
+            "media_ref": ["bad"],
+            "payload": [pdf["payload"].iloc[0][:13]],
+        }
+    )
+    out = vhash_media(rd.from_pandas(bad), concurrency=1).to_pandas()
+    assert bool(out["vhash_ok"].iloc[0]) is False

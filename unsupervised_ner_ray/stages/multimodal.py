@@ -869,3 +869,176 @@ def plant_audio_dup_payloads(
         return pa.table(cols)
 
     return media_with_payloads.map_batches(_f, batch_format="pyarrow", batch_size=64)
+
+
+def vhash64(frames, max_frames: int = 8) -> int:
+    """64-bit perceptual hash of a decoded video — the video face of the
+    near-dup trio (:func:`phash64` images, :func:`ahash64` audio):
+    sample up to ``max_frames`` frames evenly across the clip, pHash each,
+    and take the per-bit MAJORITY across the sampled frame hashes (ties
+    round to 1, deterministic).  MJPEG re-encodes of the same frames hash
+    identically in practice (per-frame pHash absorbs the quantization;
+    the majority fold absorbs any residual single-frame flips); unrelated
+    clips are ~32 bits apart.  Packed MSB-first into a SIGNED int64 (the
+    repo hash-column convention)."""
+    if not len(frames):
+        raise ValueError("empty frame list")
+    idx = np.unique(
+        np.linspace(0, len(frames) - 1, min(len(frames), int(max_frames)))
+        .round()
+        .astype(int)
+    )
+    hs = np.array(
+        [phash64(frames[i]) for i in idx], dtype=np.int64
+    ).view(np.uint64)
+    bytes_mat = hs[:, None].byteswap().view(np.uint8).reshape(len(hs), 8)
+    bits = np.unpackbits(bytes_mat, axis=1).astype(np.int64).sum(axis=0)
+    maj = (2 * bits >= len(hs)).astype(np.uint8)
+    return int.from_bytes(np.packbits(maj).tobytes(), "big", signed=True)
+
+
+class VHasher:
+    """Actor-pool stage: video payload bytes -> (vhash: int64, vhash_ok).
+    Per-row quarantine like :class:`PHasher`/:class:`AHasher`."""
+
+    def __init__(self, max_frames: int = 8):
+        from ..functions import media_codecs as mc
+
+        self.mc = mc
+        self.max_frames = max_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        hashes, ok = [], []
+        for buf in batch.column("payload").to_pylist():
+            try:
+                frames, _fps = self.mc.decode_avi_mjpeg(buf)
+                hashes.append(vhash64(frames, self.max_frames))
+                ok.append(True)
+            except Exception:
+                hashes.append(0)
+                ok.append(False)
+        return (
+            batch.drop_columns(["payload"])
+            .append_column("vhash", pa.array(hashes, pa.int64()))
+            .append_column("vhash_ok", pa.array(ok, pa.bool_()))
+        )
+
+
+def vhash_media(media_with_payloads, concurrency: int = 8, batch_size: int = 16):
+    """Hash every VIDEO row of a media+payload table (small batches: video
+    payloads are the largest binaries in the corpus)."""
+    vids = media_with_payloads.filter(expr="kind == 'video'")
+    return vids.map_batches(
+        VHasher,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, concurrency),
+        num_cpus=1,
+    )
+
+
+def video_fingerprint_pairs(
+    media_with_payloads,
+    max_hamming: int = 3,
+    concurrency: int = 8,
+    num_parts: int = 64,
+):
+    """Near-duplicate video pairs (a, b, hamming), a < b by media_ref —
+    identical scale shape to :func:`phash_image_pairs` /
+    :func:`audio_fingerprint_pairs`: 4x16-bit band LSH buckets
+    (pigeonhole-exact at hamming <= 3), bucket-local popcount verify,
+    cross-band Min collapse; decode runs in the VHasher actor pool."""
+    import pandas as pd
+    from ray.data.aggregate import Min
+
+    from .grouping import partitioned_map_groups
+
+    sigs = vhash_media(media_with_payloads, concurrency=concurrency)
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(batch.column("vhash_ok"))
+        n = len(batch)
+        sims = batch.column("vhash").to_numpy(zero_copy_only=False).astype(np.int64)
+        u = sims.view(np.uint64) ^ np.uint64(1 << 63)
+        shifts = (np.uint64(16) * np.arange(4, dtype=np.uint64))[None, :]
+        keys = ((u[:, None] >> shifts) & np.uint64(0xFFFF)).reshape(-1)
+        take_idx = pa.array(np.repeat(np.arange(n), 4), pa.int64())
+        return pa.table(
+            {
+                "band_id": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
+                "band_key": pa.array(keys.astype(np.int64), pa.int64()),
+                "media_ref": batch.column("media_ref").take(take_idx),
+                "vhash": pa.array(np.repeat(sims, 4), pa.int64()),
+            }
+        )
+
+    buckets = sigs.map_batches(_explode, batch_format="pyarrow")
+
+    def _pairs(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("media_ref")
+        refs, sims = list(g["media_ref"]), list(g["vhash"])
+        rows = []
+        for i in range(len(refs)):
+            for j in range(i + 1, len(refs)):
+                if refs[i] == refs[j]:
+                    continue
+                ham = bin((sims[i] ^ sims[j]) & ((1 << 64) - 1)).count("1")
+                if ham <= max_hamming:
+                    rows.append({"a": refs[i], "b": refs[j], "hamming": ham})
+        return pd.DataFrame(rows, columns=["a", "b", "hamming"])
+
+    pairs = partitioned_map_groups(
+        buckets, ["band_id", "band_key"], _pairs, num_parts=num_parts
+    )
+    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+def plant_video_dup_payloads(media_with_payloads, every: int = 3):
+    """Append deterministic video near-dup twins: every video ref whose
+    blake2b seed % ``every`` == 0 gains a twin row (``ref + "#dup"``)
+    whose payload is the SAME decoded frames re-encoded as AVI-MJPEG —
+    the organic re-encode a production corpus carries."""
+    from ..functions import media_codecs as mc
+
+    def _f(batch: pa.Table) -> pa.Table:
+        refs = batch.column("media_ref").to_pylist()
+        kinds = batch.column("kind").to_pylist()
+        payloads = batch.column("payload").to_pylist()
+        other_names = [
+            c for c in batch.schema.names
+            if c not in ("media_ref", "kind", "payload", "fmt")
+        ]
+        out = {c: batch.column(c).to_pylist() for c in other_names}
+        fmts = (
+            batch.column("fmt").to_pylist()
+            if "fmt" in batch.schema.names else [""] * len(refs)
+        )
+        out_ref, out_kind = list(refs), list(kinds)
+        out_pay, out_fmt = list(payloads), list(fmts)
+        for i, (ref, kind, buf) in enumerate(zip(refs, kinds, payloads)):
+            if kind != "video":
+                continue
+            seed = int.from_bytes(
+                hashlib.blake2b(ref.encode(), digest_size=4).digest(), "big"
+            )
+            if seed % every:
+                continue
+            frames, fps = mc.decode_avi_mjpeg(buf)
+            twin = mc.encode_avi_mjpeg(frames, fps=fps)
+            out_ref.append(ref + "#dup")
+            out_kind.append("video")
+            out_pay.append(twin)
+            out_fmt.append("avi")
+            for c in other_names:
+                out[c].append(out[c][i])
+        cols = {
+            "media_ref": pa.array(out_ref, pa.string()),
+            "kind": pa.array(out_kind, pa.string()),
+        }
+        for c in other_names:
+            cols[c] = pa.array(out[c], batch.schema.field(c).type)
+        cols["payload"] = pa.array(out_pay, pa.binary())
+        cols["fmt"] = pa.array(out_fmt, pa.string())
+        return pa.table(cols)
+
+    return media_with_payloads.map_batches(_f, batch_format="pyarrow", batch_size=64)
