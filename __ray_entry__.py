@@ -852,6 +852,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             walk_skipgram_pairs(walks, window=2), k=4, iters=20
         )
 
+    def q_kg_negatives(sf_dir: str):
+        # round-5: SGNS negative sampling over the skip-gram pair table —
+        # deterministic hash-seeded draws from the context^0.75 unigram
+        # distribution (broadcast vocab CDF, pure map).  Rows-only
+        import ray.data as rd
+
+        from unsupervised_ner_ray.stages.kg import (
+            skipgram_negatives,
+            walk_skipgram_pairs,
+        )
+
+        path = _walks_dump(sf_dir)
+        walks = rd.read_parquet(path, columns=["walk_id", "step", "node"])
+        return skipgram_negatives(
+            walk_skipgram_pairs(walks, window=2), k=2, seed=5
+        ).sort(["center", "context", "label"])
+
     def q_copurchase_edges(sf_dir: str):
         # round-5: bipartite->unipartite co-occurrence projection — parts
         # co-ordered in lineitem become weighted undirected KG edges
@@ -1586,6 +1603,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5: spectral graph embeddings (PPMI eigenvectors via
         # distributed subspace iteration).  Rows-only (iterative spectral)
         "q_kg_embed": q_kg_embed,
+        # round-5: SGNS negative sampling (deterministic hash draws from
+        # the context^0.75 distribution).  Rows-only
+        "q_kg_negatives": q_kg_negatives,
     }
 
     # The driver records the FIRST 50 entries: reorder the battery so the
@@ -1658,7 +1678,6 @@ _WINDOW_R5 = [
     "q_chunk_documents",
     "q_jaccard_adjacent",
     "q_zscore_balance",
-    "q_weighted_sample",
     "q_boilerplate",
     # round-5 late additions — the full DeepWalk stack: deterministic
     # random-walk corpus (hash-pinned via the walks-dump twin), skip-gram
@@ -1676,6 +1695,9 @@ _WINDOW_R5 = [
     "q_kg_hits",
     "q_kg_walks",
     "q_kg_skipgram",
+    # SGNS negative sampling — new rows-only round-5 op, displacing the
+    # q_weighted_sample re-guard (hash-certified r03)
+    "q_kg_negatives",
     # exact group quantiles — new SQL-oracled round-5 op (distributed
     # selection), displacing the q_sessionize re-guard (certified r01-r02)
     "q_exact_quantiles",

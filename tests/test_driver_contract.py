@@ -105,6 +105,7 @@ def test_window_r5_contract():
         "q_two_hop_approx",
         "q_kg_embed",
         "q_kg_hits",
+        "q_kg_negatives",
         "q_image_phash",
         "q_audio_fingerprint",
         "q_video_fingerprint",

@@ -431,3 +431,54 @@ def test_harmonic_centrality_reference_parity(ray_session):
     for r in got.itertuples():
         eh, er = exp[r.node]
         assert abs(r.harmonic - eh) < 1e-15 and r.reached == er, r.node
+
+
+# ---------------------------------------------------------------------------
+# SGNS negative sampling
+
+
+def test_skipgram_negatives_contract(ray_session):
+    """Positives pass through value-exact; k negatives per positive with
+    label 0; samples are deterministic and batching-independent; the
+    empirical negative distribution tracks cnt^0.75."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from unsupervised_ner_ray.stages.kg import skipgram_negatives
+
+    rng = np.random.RandomState(3)
+    vocab = [f"v{i:02d}" for i in range(12)]
+    rows = []
+    for i in range(400):
+        c, x = rng.choice(vocab, 2, replace=False)
+        rows.append((c, x, int(rng.randint(1, 5))))
+    pairs = (
+        pd.DataFrame(rows, columns=["center", "context", "n"])
+        .groupby(["center", "context"], as_index=False)["n"].sum()
+    )
+    out = skipgram_negatives(
+        rd.from_pandas(pairs), k=3, seed=7
+    ).to_pandas()
+    pos = out[out["label"] == 1].sort_values(["center", "context"])
+    exp = pairs.sort_values(["center", "context"])
+    assert np.array_equal(pos["center"].to_numpy(), exp["center"].to_numpy())
+    assert np.array_equal(pos["context"].to_numpy(), exp["context"].to_numpy())
+    assert np.array_equal(pos["n"].to_numpy(), exp["n"].to_numpy())
+    neg = out[out["label"] == 0]
+    assert len(neg) == 3 * len(pairs)
+    # determinism + batching independence: 1-row batches give same multiset
+    out2 = skipgram_negatives(
+        rd.from_pandas(pairs).repartition(17), k=3, seed=7
+    ).to_pandas()
+    key = lambda d: sorted(map(tuple, d[["center", "context", "label", "n"]].to_numpy()))
+    assert key(out) == key(out2)
+    # different seed -> different negatives
+    out3 = skipgram_negatives(rd.from_pandas(pairs), k=3, seed=8).to_pandas()
+    assert key(out3) != key(out)
+    # distribution: negative frequency rank-correlates with cnt^0.75
+    marg = pairs.groupby("context")["n"].sum()
+    freq = neg["context"].value_counts()
+    top_true = set(marg.sort_values(ascending=False).index[:4])
+    top_got = set(freq.sort_values(ascending=False).index[:6])
+    assert top_true & top_got

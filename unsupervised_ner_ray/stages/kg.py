@@ -4188,3 +4188,97 @@ def harmonic_centrality(
         )
 
     return summed.map_batches(_finish, batch_format="pandas")
+
+
+def skipgram_negatives(
+    pairs,
+    k: int = 3,
+    power: float = 0.75,
+    seed: int = 0,
+    vocab_broadcast_max: int = 5_000_000,
+):
+    """Word2vec-style negative sampling over the skip-gram pair table —
+    the third DeepWalk preprocessing stage (after :func:`random_walks`
+    and :func:`walk_skipgram_pairs`): each (center, context, n) positive
+    gains ``k`` negatives drawn from the context unigram distribution
+    raised to ``power`` (0.75, the Mikolov et al. 2013 smoothing), so
+    the output is the full SGNS training set (center, context, label, n).
+
+    DETERMINISTIC (the :func:`random_walks` contract): negative j of a
+    pair is ``vocab[searchsorted(cdf, u)]`` with u =
+    splitmix64(blake2b64(center) ^ blake2b64(context) ^ (j+1)·C ^
+    seed·C') / 2^64 — a pure function of the node STRINGS, so batching,
+    partitioning and retries can never change a sample.
+
+    Scale shape: the context marginal reduces to ONE vocab-bounded count
+    table (groupby Sum — the BPE-vocab broadcast class, gated by
+    ``vocab_broadcast_max``); sampling is then a pure map over the pair
+    table with a broadcast (vocab, cdf) pair — no shuffle beyond the
+    marginal reduce.  Output is unsorted; positives pass through
+    value-exact."""
+    import ray.data as rd
+
+    from ray.data.aggregate import Sum as _Sum
+
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    marg = (
+        pairs.groupby("context")
+        .aggregate(_Sum("n", alias_name="cnt"))
+        .to_pandas()
+    )
+    if len(marg) > vocab_broadcast_max:
+        raise ValueError(
+            f"context vocabulary {len(marg)} exceeds vocab_broadcast_max "
+            f"({vocab_broadcast_max}); shard the vocab or raise the gate"
+        )
+    marg = marg.sort_values("context").reset_index(drop=True)
+    w = marg["cnt"].to_numpy().astype(np.float64) ** float(power)
+    cdf = np.cumsum(w)
+    cdf /= cdf[-1]
+    vocab = marg["context"].to_numpy()
+    dist_ref = ray.put((vocab, cdf))
+    kk = int(k)
+    seed_mix = np.uint64(seed) * _WALK_C_S
+
+    def _expand(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "center": pd.Series([], dtype=object),
+                "context": pd.Series([], dtype=object),
+                "label": pd.Series([], dtype="int64"),
+                "n": pd.Series([], dtype="int64"),
+            }
+        )
+        if not len(df):
+            return empty
+        voc, cdf_ = ray.get(dist_ref)
+        c_h = _node_hash64(df["center"].to_numpy())
+        x_h = _node_hash64(df["context"].to_numpy())
+        negs = []
+        for j in range(kk):
+            u = _mix64(
+                c_h ^ x_h ^ (np.uint64(j + 1) * _WALK_C_T) ^ seed_mix
+            ).astype(np.float64) / float(2**64)
+            idx = np.searchsorted(cdf_, u, side="right")
+            negs.append(voc[np.minimum(idx, len(voc) - 1)])
+        pos = pd.DataFrame(
+            {
+                "center": df["center"].to_numpy(),
+                "context": df["context"].to_numpy(),
+                "label": np.ones(len(df), dtype=np.int64),
+                "n": df["n"].to_numpy().astype(np.int64),
+            }
+        )
+        neg = pd.DataFrame(
+            {
+                "center": np.tile(df["center"].to_numpy(), kk),
+                "context": np.concatenate(negs),
+                "label": np.zeros(len(df) * kk, dtype=np.int64),
+                "n": np.tile(df["n"].to_numpy().astype(np.int64), kk),
+            }
+        )
+        return pd.concat([pos, neg], ignore_index=True)
+
+    return pairs.map_batches(_expand, batch_format="pandas")
