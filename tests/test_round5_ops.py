@@ -940,3 +940,52 @@ def test_video_fingerprint_planted_pairs(ray_session):
     )
     out = vhash_media(rd.from_pandas(bad), concurrency=1).to_pandas()
     assert bool(out["vhash_ok"].iloc[0]) is False
+
+
+@pytest.mark.skipif(
+    __import__("os").environ.get("RUN_SCALE_SMOKE") != "1",
+    reason="RUN_SCALE_SMOKE=1 (result recorded in BASELINE.md)",
+)
+def test_audio_fingerprint_scale_smoke(ray_session):
+    """10k synthesized WAV rows + noisy volume-scaled twins: full planted
+    recall through the actor-pool decode + band LSH, bucket work stays
+    bucket-local (no all-pairs)."""
+    import time
+
+    import ray.data as rd
+
+    from unsupervised_ner_ray.stages.multimodal import (
+        audio_fingerprint_pairs,
+        plant_audio_dup_payloads,
+        synthesize_payloads,
+    )
+
+    n = 10_000
+    media = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [f"d{i}" for i in range(n)],
+                "span_idx": np.zeros(n, dtype=np.int32),
+                "kind": ["audio"] * n,
+                "media_ref": [f"aud://{i:05d}" for i in range(n)],
+            }
+        )
+    )
+    t0 = time.time()
+    planted = plant_audio_dup_payloads(
+        synthesize_payloads(media), every=8, noise=50, gain=0.6
+    ).materialize()
+    twins = {
+        r for r in planted.to_pandas()["media_ref"] if r.endswith("#dup")
+    }
+    pairs = audio_fingerprint_pairs(planted, max_hamming=2).to_pandas()
+    secs = time.time() - t0
+    got = {(r.a, r.b) for r in pairs.itertuples()}
+    missing = {
+        (t[: -len("#dup")], t) for t in twins
+    } - got
+    assert not missing, (len(missing), len(twins))
+    print(
+        f"SMOKE audio_fingerprint 10k+{len(twins)} twins: {secs:.1f}s, "
+        f"{len(got)} pairs, full planted recall"
+    )

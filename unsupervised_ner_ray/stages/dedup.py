@@ -514,21 +514,11 @@ def simhash_pairs(docs, max_hamming: int = 3, concurrency: int = 4):
     buckets = sigs.map_batches(_explode, batch_format="pyarrow")
 
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        rows = []
-        g = g.sort_values("doc_id")
-        ids, sims = list(g["doc_id"]), list(g["simhash"])
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                if ids[i] == ids[j]:
-                    continue
-                ham = bin((sims[i] ^ sims[j]) & ((1 << 64) - 1)).count("1")
-                if ham <= max_hamming:
-                    rows.append({"a": ids[i], "b": ids[j], "hamming": ham})
-        return pd.DataFrame(rows, columns=["a", "b", "hamming"])
+        return hamming_pairs_frame(g, "doc_id", "simhash", max_hamming)
 
     from ray.data.aggregate import Min
 
-    from .grouping import partitioned_map_groups
+    from .grouping import hamming_pairs_frame, partitioned_map_groups
 
     pairs = partitioned_map_groups(buckets, ["band_id", "band_key"], _pairs)
     # cross-band dedup via the C-path Min aggregate (hamming is identical

@@ -86,3 +86,80 @@ def partitioned_apply(ds, keys, fn, num_parts: int = 64):
         .groupby(_PART_COL)
         .map_groups(_apply, batch_format="pandas")
     )
+
+
+_POPCNT16 = None
+
+
+def _popcnt16():
+    """65536-entry popcount LUT for uint16 chunks, built once per worker."""
+    global _POPCNT16
+    if _POPCNT16 is None:
+        import numpy as np
+
+        _POPCNT16 = (
+            np.unpackbits(np.arange(1 << 16, dtype=">u2").view(np.uint8))
+            .reshape(-1, 16)
+            .sum(axis=1)
+            .astype(np.uint8)
+        )
+    return _POPCNT16
+
+
+def hamming_pairs_frame(g, id_col, sig_col, max_hamming):
+    """Bucket-local near-dup verify shared by the SimHash / pHash / aHash /
+    vHash stacks: all pairs (a, b, hamming) within one LSH bucket whose
+    64-bit signatures differ in <= ``max_hamming`` bits, a < b by sorted
+    ``id_col`` position, equal-id pairs dropped.
+
+    Vectorized: pairwise XOR matrix (row-chunked to ~4M cells so a hot
+    bucket never blows a worker's heap) + uint16 popcount LUT — replaces
+    the interpreted O(m^2) ``bin(x ^ y).count("1")`` loop, which at a
+    2k-row bucket costs minutes vs milliseconds here.
+    """
+    import numpy as np
+
+    g = g.sort_values(id_col)
+    ids = g[id_col].to_numpy()
+    sims = np.ascontiguousarray(
+        g[sig_col].to_numpy().astype(np.int64)
+    ).view(np.uint64)
+    m = len(ids)
+    empty = pd.DataFrame(
+        {
+            "a": pd.Series([], dtype=object),
+            "b": pd.Series([], dtype=object),
+            "hamming": pd.Series([], dtype="int64"),
+        }
+    )
+    if m < 2:
+        return empty
+    lut = _popcnt16()
+    out_a, out_b, out_h = [], [], []
+    chunk = max(1, 4_000_000 // m)
+    for s in range(0, m, chunk):
+        x = sims[s : s + chunk, None] ^ sims[None, :]
+        h = lut[(x & np.uint64(0xFFFF)).astype(np.uint16)].astype(np.uint16)
+        h += lut[((x >> np.uint64(16)) & np.uint64(0xFFFF)).astype(np.uint16)]
+        h += lut[((x >> np.uint64(32)) & np.uint64(0xFFFF)).astype(np.uint16)]
+        h += lut[(x >> np.uint64(48)).astype(np.uint16)]
+        ii, jj = np.nonzero(h <= max_hamming)
+        gi = ii + s
+        keep = gi < jj
+        gi, jj_k, ii_k = gi[keep], jj[keep], ii[keep]
+        if not len(gi):
+            continue
+        a, b = ids[gi], ids[jj_k]
+        neq = a != b
+        out_a.append(a[neq])
+        out_b.append(b[neq])
+        out_h.append(h[ii_k, jj_k][neq].astype(np.int64))
+    if not out_a:
+        return empty
+    return pd.DataFrame(
+        {
+            "a": np.concatenate(out_a),
+            "b": np.concatenate(out_b),
+            "hamming": np.concatenate(out_h),
+        }
+    )

@@ -581,7 +581,7 @@ def phash_image_pairs(
     import pandas as pd
     from ray.data.aggregate import Min
 
-    from .grouping import partitioned_map_groups
+    from .grouping import hamming_pairs_frame, partitioned_map_groups
 
     sigs = phash_media(media_with_payloads, concurrency=concurrency)
 
@@ -605,17 +605,7 @@ def phash_image_pairs(
     buckets = sigs.map_batches(_explode, batch_format="pyarrow")
 
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("media_ref")
-        refs, sims = list(g["media_ref"]), list(g["phash"])
-        rows = []
-        for i in range(len(refs)):
-            for j in range(i + 1, len(refs)):
-                if refs[i] == refs[j]:
-                    continue
-                ham = bin((sims[i] ^ sims[j]) & ((1 << 64) - 1)).count("1")
-                if ham <= max_hamming:
-                    rows.append({"a": refs[i], "b": refs[j], "hamming": ham})
-        return pd.DataFrame(rows, columns=["a", "b", "hamming"])
+        return hamming_pairs_frame(g, "media_ref", "phash", max_hamming)
 
     pairs = partitioned_map_groups(buckets, ["band_id", "band_key"], _pairs, num_parts=num_parts)
     return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
@@ -768,7 +758,7 @@ def audio_fingerprint_pairs(
     import pandas as pd
     from ray.data.aggregate import Min
 
-    from .grouping import partitioned_map_groups
+    from .grouping import hamming_pairs_frame, partitioned_map_groups
 
     sigs = ahash_media(media_with_payloads, concurrency=concurrency)
 
@@ -792,17 +782,7 @@ def audio_fingerprint_pairs(
     buckets = sigs.map_batches(_explode, batch_format="pyarrow")
 
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("media_ref")
-        refs, sims = list(g["media_ref"]), list(g["ahash"])
-        rows = []
-        for i in range(len(refs)):
-            for j in range(i + 1, len(refs)):
-                if refs[i] == refs[j]:
-                    continue
-                ham = bin((sims[i] ^ sims[j]) & ((1 << 64) - 1)).count("1")
-                if ham <= max_hamming:
-                    rows.append({"a": refs[i], "b": refs[j], "hamming": ham})
-        return pd.DataFrame(rows, columns=["a", "b", "hamming"])
+        return hamming_pairs_frame(g, "media_ref", "ahash", max_hamming)
 
     pairs = partitioned_map_groups(
         buckets, ["band_id", "band_key"], _pairs, num_parts=num_parts
@@ -951,7 +931,7 @@ def video_fingerprint_pairs(
     import pandas as pd
     from ray.data.aggregate import Min
 
-    from .grouping import partitioned_map_groups
+    from .grouping import hamming_pairs_frame, partitioned_map_groups
 
     sigs = vhash_media(media_with_payloads, concurrency=concurrency)
 
@@ -975,17 +955,7 @@ def video_fingerprint_pairs(
     buckets = sigs.map_batches(_explode, batch_format="pyarrow")
 
     def _pairs(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("media_ref")
-        refs, sims = list(g["media_ref"]), list(g["vhash"])
-        rows = []
-        for i in range(len(refs)):
-            for j in range(i + 1, len(refs)):
-                if refs[i] == refs[j]:
-                    continue
-                ham = bin((sims[i] ^ sims[j]) & ((1 << 64) - 1)).count("1")
-                if ham <= max_hamming:
-                    rows.append({"a": refs[i], "b": refs[j], "hamming": ham})
-        return pd.DataFrame(rows, columns=["a", "b", "hamming"])
+        return hamming_pairs_frame(g, "media_ref", "vhash", max_hamming)
 
     pairs = partitioned_map_groups(
         buckets, ["band_id", "band_key"], _pairs, num_parts=num_parts
