@@ -1345,6 +1345,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup, weighted source mixture, sequence packing, corpus LM scoring
         "q_decontaminate": lambda sf: dedup.decontaminate(_docs(sf)),
         "q_chunk_dedup": lambda sf: dedup.chunk_dedup(_docs(sf)),
+        # round-5 late: exact duplicated-substring spans (Lee et al. 2022
+        # suffix-array-style exact substring dedup, token-level) — maximal
+        # merged spans of globally-duplicated 8-token sliding windows
+        "q_dup_spans": lambda sf: dedup.duplicated_spans(_docs(sf)),
         "q_mixture_sample": q_mixture_sample,
         # round-3c: weighted sampling without replacement (A-Res exponential
         # keys, distributed top-n) and boilerplate n-gram detection (hot-df
@@ -1678,7 +1682,10 @@ _WINDOW_R5 = [
     "q_chunk_documents",
     "q_jaccard_adjacent",
     "q_zscore_balance",
-    "q_boilerplate",
+    # exact duplicated-substring spans — new SQL-oracled round-5 op
+    # (suffix-array-style exact substring dedup, token-level), displacing
+    # the q_boilerplate re-guard (hash-certified r03)
+    "q_dup_spans",
     # round-5 late additions — the full DeepWalk stack: deterministic
     # random-walk corpus (hash-pinned via the walks-dump twin), skip-gram
     # pair counts over it (SQL-oracled self-join twin), and spectral PPMI
@@ -2567,6 +2574,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits
             FROM documents d LEFT JOIN hits h USING (doc_id)
             WHERE d.doc_id % 97 <> 0 ORDER BY d.doc_id
+        """,
+        "q_dup_spans": f"""
+            WITH t AS (
+                SELECT doc_id, {_TOKS} AS toks FROM documents
+            ), g AS (
+                SELECT doc_id, i - 1 AS pos,
+                       array_to_string(toks[i:i+7], ' ') AS gram
+                FROM t, UNNEST(range(1, len(toks) - 8 + 2)) AS u(i)
+            ), d AS (
+                SELECT doc_id, pos FROM (
+                    SELECT doc_id, pos,
+                           COUNT(*) OVER (PARTITION BY gram) AS c
+                    FROM g
+                ) WHERE c > 1
+            ), l AS (
+                SELECT doc_id, pos,
+                       LAG(pos, 1, pos - 9) OVER (
+                           PARTITION BY doc_id ORDER BY pos) AS lag_pos
+                FROM d
+            ), isl AS (
+                SELECT doc_id, pos,
+                       SUM(CASE WHEN pos - lag_pos > 8 THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY pos) AS island
+                FROM l
+            )
+            SELECT doc_id, CAST(MIN(pos) AS BIGINT) AS span_start,
+                   CAST(MAX(pos) + 7 AS BIGINT) AS span_end,
+                   CAST(COUNT(*) AS BIGINT) AS n_windows
+            FROM isl GROUP BY doc_id, island
+            ORDER BY doc_id, span_start
         """,
         "q_chunk_dedup": f"""
             WITH t AS (

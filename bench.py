@@ -142,6 +142,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     )
     timed("q_decontaminate", lambda: dedup.decontaminate(docs_tbl).to_pandas())
     timed("q_chunk_dedup", lambda: dedup.chunk_dedup(docs_tbl).to_pandas())
+    timed("q_dup_spans", lambda: dedup.duplicated_spans(docs_tbl).to_pandas())
     timed(
         "q_embedding_centroid",
         lambda: __import__(

@@ -989,3 +989,101 @@ def test_audio_fingerprint_scale_smoke(ray_session):
         f"SMOKE audio_fingerprint 10k+{len(twins)} twins: {secs:.1f}s, "
         f"{len(got)} pairs, full planted recall"
     )
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-substring spans (Lee et al. 2022 style, token-level)
+
+
+def test_duplicated_spans_hand_case():
+    """Planted corpus: docs 1 and 2 share one exact 10-token run (-> one
+    maximal span each, 3 duplicated 8-windows merged), doc 3 repeats an
+    8-token run INTERNALLY at positions 0 and 20 (gap 20 > W=8 -> two
+    separate spans in the same doc), doc 4 is unique text, doc 5 is shorter
+    than the window. Token indices are inclusive."""
+    from unsupervised_ner_ray.stages.dedup import duplicated_spans
+
+    shared = " ".join(f"s{i}" for i in range(10))  # 10 shared tokens
+    rep8 = " ".join(f"r{i}" for i in range(8))  # 8-token internal repeat
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                shared + " ux1 ux2",  # span tokens 0..9
+                "vy1 vy2 vy3 " + shared,  # span tokens 3..12
+                # rep8 at pos 0, 12 unique tokens, rep8 again at pos 20
+                rep8 + " " + " ".join(f"m{i}" for i in range(12)) + " " + rep8,
+                " ".join(f"u{i}" for i in range(30)),
+                "a b c",
+            ],
+        }
+    )
+    out = (
+        duplicated_spans(_rd().from_pandas(docs), window_tokens=8)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    expect = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 3],
+            "span_start": [0, 3, 0, 20],
+            "span_end": [9, 12, 7, 27],
+            "n_windows": [3, 3, 1, 1],
+        }
+    ).astype("int64")
+    pd.testing.assert_frame_equal(out.astype("int64"), expect)
+
+
+def test_duplicated_spans_touching_windows_merge():
+    """Two duplicated windows whose spans touch (start gap == W) merge into
+    ONE maximal span; gap == W+1 leaves two."""
+    from unsupervised_ner_ray.stages.dedup import duplicated_spans
+
+    w = 4
+
+    def corpus(gap_tokens):
+        a = " ".join(f"a{i}" for i in range(w))
+        b = " ".join(f"b{i}" for i in range(w))
+        mid = " ".join(f"x{i}" for i in range(gap_tokens))
+        body = (a + " " + mid + " " + b) if gap_tokens else (a + " " + b)
+        return pd.DataFrame(
+            {"doc_id": [1, 2], "text": [body, a + " zz1 zz2 zz3 zz4 " + b]}
+        )
+
+    # doc1: a at 0, b at w (touching) -> one span 0..2w-1
+    out = (
+        duplicated_spans(_rd().from_pandas(corpus(0)), window_tokens=w)
+        .to_pandas()
+    )
+    d1 = out[out["doc_id"] == 1]
+    assert list(map(tuple, d1[["span_start", "span_end"]].to_numpy())) == [
+        (0, 2 * w - 1)
+    ]
+    # gap of 1 unique token between them -> starts 0 and w+1 (> W) -> 2 spans
+    out = (
+        duplicated_spans(_rd().from_pandas(corpus(1)), window_tokens=w)
+        .to_pandas()
+    )
+    d1 = out[out["doc_id"] == 1].sort_values("span_start")
+    assert list(map(tuple, d1[["span_start", "span_end"]].to_numpy())) == [
+        (0, w - 1),
+        (w + 1, 2 * w),
+    ]
+
+
+def test_duplicated_spans_empty_and_clean():
+    """All-unique corpus -> zero rows with the right schema; empty-text and
+    sub-window docs never crash."""
+    from unsupervised_ner_ray.stages.dedup import duplicated_spans
+
+    docs = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["q1 q2 q3 q4 q5", "", "z1 z2"]}
+    )
+    out = duplicated_spans(_rd().from_pandas(docs), window_tokens=3).to_pandas()
+    assert len(out) == 0
+    # an all-empty Ray groupby/map_groups drops the schema entirely; when
+    # any partition survives the schema is the 4-column contract
+    assert list(out.columns) in (
+        [],
+        ["doc_id", "span_start", "span_end", "n_windows"],
+    )
