@@ -1363,6 +1363,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (integer moment partials -> broadcast -> vectorized standardize)
         "q_bm25": lambda sf: textstats.bm25_rank(_docs(sf)),
         "q_zscore_balance": relational.q_zscore_balance,
+        # round-5 late: ordered string aggregation (SQL LISTAGG face — one
+        # coarse key shuffle + vectorized per-partition sort/join) and the
+        # Count-Min sketch (point-frequency member of the sketch family;
+        # rows-only: estimates are sketch-dependent, with the exact
+        # heavy-hitter counts carried alongside for the one-sided bound)
+        "q_string_agg": relational.q_string_agg_names,
+        "q_cms_counts": lambda sf: textstats.cms_token_estimates(_docs(sf)),
         "q_pack_sequences": q_pack_sequences,
         "q_unigram_lm": lambda sf: textstats.unigram_lm_scores(_docs(sf)),
         # engine-new fast-hash dedup variant (no SQL twin: 64-bit
@@ -1680,8 +1687,11 @@ _WINDOW_R5 = [
     # displacing the q_scrub_pii (r03) and q_decontaminate (r03) re-guards
     "q_pivot_revenue",
     "q_chunk_documents",
-    "q_jaccard_adjacent",
-    "q_zscore_balance",
+    # CMS point-frequency estimates + ordered string aggregation — new
+    # round-5 ops (CMS rows-only, string_agg SQL-oracled), displacing the
+    # q_jaccard_adjacent and q_zscore_balance re-guards (hash-certified r03)
+    "q_cms_counts",
+    "q_string_agg",
     # exact duplicated-substring spans — new SQL-oracled round-5 op
     # (suffix-array-style exact substring dedup, token-level), displacing
     # the q_boilerplate re-guard (hash-certified r03)
@@ -2382,6 +2392,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT token, COUNT(*) AS n FROM (
                 SELECT unnest({_TOKS}) AS token FROM documents
             ) GROUP BY token ORDER BY n DESC, token LIMIT 20
+        """,
+        # ordered string aggregation (LISTAGG): DuckDB's ordered string_agg
+        # is the exact contract — name-sorted, comma-joined, per nation
+        "q_string_agg": """
+            SELECT c_nationkey,
+                   string_agg(c_name, ',' ORDER BY c_name) AS names
+            FROM customer GROUP BY c_nationkey ORDER BY c_nationkey
         """,
         "q_quality": f"""
             WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)

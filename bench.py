@@ -143,6 +143,8 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("q_decontaminate", lambda: dedup.decontaminate(docs_tbl).to_pandas())
     timed("q_chunk_dedup", lambda: dedup.chunk_dedup(docs_tbl).to_pandas())
     timed("q_dup_spans", lambda: dedup.duplicated_spans(docs_tbl).to_pandas())
+    timed("q_cms_counts", lambda: textstats.cms_token_estimates(docs_tbl))
+    timed("q_string_agg", lambda: relational.q_string_agg_names(sf_dir).to_pandas())
     timed(
         "q_embedding_centroid",
         lambda: __import__(

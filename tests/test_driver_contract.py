@@ -103,6 +103,7 @@ def test_window_r5_contract():
         "q_tdigest_by_type",
         "q_frame_sample",
         "q_two_hop_approx",
+        "q_cms_counts",
         "q_kg_embed",
         "q_kg_hits",
         "q_kg_negatives",

@@ -2662,3 +2662,44 @@ def pivot_aggregate(
         return out
 
     return partitioned_apply(long, "idx", _widen, num_parts=64)
+
+
+def q_string_agg_names(sf_dir: str, num_parts: int = 16):
+    """Ordered string aggregation (SQL LISTAGG / string_agg): per nation,
+    the name-sorted comma-joined list of its customer names.
+
+    Shape: ONE coarse hash shuffle of only the two needed columns (a key's
+    rows never split), then a single vectorized sort + groupby-join per
+    partition — no per-group Python dispatch.  LISTAGG's output row is
+    group-sized BY DEFINITION, so the operator's scale contract is the
+    standard one: groups must individually fit a worker (the same contract
+    every SQL engine's LISTAGG carries); the corpus-wide state is never
+    driver-resident and partitions bound reducer memory via ``num_parts``.
+    Reference analog: the ordered line-joins of the CoNLL/NER sinks
+    (/root/reference/batched_main_NER.py:543-550) lifted to a grouped
+    aggregate."""
+    from .grouping import partitioned_apply
+
+    cust = read_sf(sf_dir, "customer", columns=["c_nationkey", "c_name"])
+
+    def _agg(part: pd.DataFrame) -> pd.DataFrame:
+        if not len(part):
+            return pd.DataFrame(
+                {
+                    "c_nationkey": pd.Series([], dtype="int32"),
+                    "names": pd.Series([], dtype=object),
+                }
+            )
+        part = part.sort_values(["c_nationkey", "c_name"], kind="mergesort")
+        g = (
+            part.groupby("c_nationkey", sort=True)["c_name"]
+            .agg(",".join)
+            .rename("names")
+            .reset_index()
+        )
+        g["c_nationkey"] = g["c_nationkey"].astype(np.int32)
+        return g
+
+    return partitioned_apply(cust, "c_nationkey", _agg, num_parts=num_parts).sort(
+        "c_nationkey"
+    )

@@ -2047,3 +2047,116 @@ def chunk_documents(docs, size: int = 4, overlap: int = 1):
     return docs.select_columns(["doc_id", "text"]).map_batches(
         _f, batch_format="pyarrow"
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — the point-frequency
+# member of the sketch family (HLL = distinct, Misra-Gries = top-k,
+# t-digest = quantiles, Bloom = membership; CMS = per-key counts).
+
+_CMS_SEEDS = (
+    0x9E3779B97F4A7C15,
+    0xC2B2AE3D27D4EB4F,
+    0x165667B19E3779F9,
+    0x27D4EB2F165667C5,
+)
+
+
+def _mix64(z: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — well-mixed uint64 from a uint64 key."""
+    with np.errstate(over="ignore"):
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        return z ^ (z >> np.uint64(31))
+
+
+def _cms_cells(tokens: pd.Series, width: int, depth: int) -> np.ndarray:
+    """(depth, n) cell indices for a token Series — ONE deterministic
+    pandas hash per token (same key as the partitioners), then ``depth``
+    splitmix64 remixes; no Python per token."""
+    base = pd.util.hash_pandas_object(tokens, index=False).to_numpy()
+    return np.stack(
+        [
+            (_mix64(base ^ np.uint64(_CMS_SEEDS[r])) % np.uint64(width)).astype(
+                np.int64
+            )
+            for r in range(depth)
+        ]
+    )
+
+
+def cms_sketch(docs, width: int = 8192, depth: int = 4):
+    """One-pass mergeable Count-Min sketch over corpus tokens.
+
+    Per batch: C-path ``value_counts`` compresses the batch to its local
+    vocab, each distinct token hashes ``depth`` ways (splitmix64 remixes of
+    one deterministic pandas hash), and a ``np.add.at`` bincount fills the
+    batch's own depth x width partial, emitted as ONE dense int64 row.
+    The corpus never shuffles; partials sum associatively (here in a tiny
+    driver reduce over block-count rows, at 100 TB as a ``map_batches``
+    merge tree exactly like :func:`joins.hll_distinct`).  Driver state is
+    the depth x width counter matrix — independent of corpus size.
+
+    Guarantees (standard CMS): ``estimate(t) >= true(t)`` always, and
+    ``estimate(t) <= true(t) + 2N/width`` with probability
+    ``1 - 2^-depth`` per query.  Returns ``(sketch ndarray, total_tokens)``.
+    """
+
+    def _partial(t: pa.Table) -> pa.Table:
+        flat = pc.list_flatten(pc.split_pattern(t.column("text"), pattern=" "))
+        flat = flat.filter(pc.not_equal(flat, pa.scalar("")))
+        vc = pc.value_counts(flat)
+        toks = vc.field("values").to_pandas()
+        cnts = vc.field("counts").to_numpy(zero_copy_only=False).astype(np.int64)
+        dense = np.zeros(depth * width, dtype=np.int64)
+        if len(toks):
+            cells = _cms_cells(toks, width, depth)
+            for r in range(depth):
+                np.add.at(dense, r * width + cells[r], cnts)
+        return pa.table(
+            {
+                "sketch": pa.array([dense.tolist()], pa.list_(pa.int64())),
+                "n": pa.array([int(cnts.sum())], pa.int64()),
+            }
+        )
+
+    rows = docs.map_batches(_partial, batch_format="pyarrow").to_pandas()
+    sketch = np.zeros(depth * width, dtype=np.int64)
+    for s in rows["sketch"]:
+        sketch += np.asarray(s, dtype=np.int64)
+    return sketch.reshape(depth, width), int(rows["n"].sum())
+
+
+def cms_estimate(sketch: np.ndarray, tokens: list[str]) -> np.ndarray:
+    """Point-frequency estimates for ``tokens``: min over the sketch rows
+    at each token's cells (vectorized gather, no loop over tokens)."""
+    depth, width = sketch.shape
+    cells = _cms_cells(pd.Series(list(tokens), dtype=object), width, depth)
+    ests = np.stack([sketch[r, cells[r]] for r in range(depth)])
+    return ests.min(axis=0)
+
+
+def cms_token_estimates(docs, k: int = 20, width: int = 8192, depth: int = 4):
+    """Battery face: CMS estimates for the exact top-``k`` tokens.
+
+    Composes the two scale-shaped passes: :func:`heavy_hitters` finds the
+    exact top-k (Misra-Gries + recount — the ground truth column), one CMS
+    pass sketches the whole corpus, and the output carries both so any
+    consumer (and the accuracy test) can see the overestimate directly.
+    Columns: (token, n_true, n_est), sorted (n_true desc, token asc).
+    """
+    top = heavy_hitters(docs, k=k)
+    sketch, _total = cms_sketch(docs, width=width, depth=depth)
+    toks = top["token"].tolist()
+    est = cms_estimate(sketch, toks)
+    out = pd.DataFrame(
+        {
+            "token": toks,
+            "n_true": top["n"].astype(np.int64).to_numpy(),
+            "n_est": est.astype(np.int64),
+        }
+    )
+    assert (out["n_est"] >= out["n_true"]).all(), "CMS one-sided bound violated"
+    return out.sort_values(
+        ["n_true", "token"], ascending=[False, True], kind="mergesort"
+    ).reset_index(drop=True)
