@@ -397,6 +397,50 @@ def _walks_dump(sf_dir: str) -> str:
     return path
 
 
+_N2V_DUMP_CACHE: dict[str, str] = {}
+
+
+def _n2v_dump(sf_dir: str) -> str:
+    """Hash-pin dump for the node2vec biased-walk corpus — the same
+    pattern as :func:`_walks_dump` (walk VALUES value-exact certified via
+    the DuckDB twin over the same parquet; hop-level correctness pinned by
+    the pure-python reference in tests/test_walks.py)."""
+    if sf_dir in _N2V_DUMP_CACHE:
+        return _N2V_DUMP_CACHE[sf_dir]
+    import os
+    import shutil
+
+    import numpy as np
+    import pyarrow as pa
+
+    from unsupervised_ner_ray.sources.io import read_sf
+    from unsupervised_ner_ray.stages.kg import (
+        node2vec_walks,
+        undirected_bigram_edges,
+    )
+
+    n_total = read_sf(sf_dir, "documents", columns=["doc_id"]).count()
+    edges = undirected_bigram_edges(_docs(sf_dir)).map_batches(
+        lambda t: t.rename_columns(["s", "o"]), batch_format="pyarrow"
+    )
+    walks = node2vec_walks(
+        edges, walk_len=5, walks_per_node=1, p=4.0, q=0.25, seed=11,
+        max_start_nodes=400,
+    )
+
+    def _stamp(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "n_docs_total", pa.array(np.full(len(t), n_total, dtype=np.int64))
+        )
+
+    path = f"{_DUMP_ROOT}/n2v_{n_total}"
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    walks.map_batches(_stamp, batch_format="pyarrow").write_parquet(path)
+    _N2V_DUMP_CACHE[sf_dir] = path
+    return path
+
+
 def _query_matrix(emb):
     """First 3 embedding vectors as the ANN query matrix (vectorized Arrow
     filter — no per-row Python predicate)."""
@@ -798,6 +842,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from unsupervised_ner_ray.stages.grouping import partitioned_apply
 
         path = _walks_dump(sf_dir)
+        ds = rd.read_parquet(path, columns=["walk_id", "step", "node"])
+
+        def _agg(part: pd.DataFrame) -> pd.DataFrame:
+            part = part.sort_values(["walk_id", "step"], kind="mergesort")
+            g = part.groupby("walk_id", sort=True)
+            out = pd.DataFrame(
+                {
+                    "n_steps": g["step"].size().astype("int64"),
+                    "n_distinct": g["node"].nunique().astype("int64"),
+                    "start_node": g["node"].first(),
+                    "end_node": g["node"].last(),
+                }
+            ).reset_index()
+            return out[
+                ["walk_id", "n_steps", "n_distinct", "start_node", "end_node"]
+            ]
+
+        return partitioned_apply(ds, "walk_id", _agg, num_parts=16).sort(
+            "walk_id"
+        )
+
+    def q_kg_node2vec(sf_dir: str):
+        # round-5 late: node2vec biased second-order walks (Grover &
+        # Leskovec 2016) over the bigram graph — return/in-out parameters
+        # p=4, q=0.25 (explore-forward).  Nanounit-integer weighted picks
+        # make every hop a pure function of the node strings (pure-python
+        # reference pinned in tests/test_walks.py).  HASH-PINNED via the
+        # _n2v_dump parquet exactly like q_kg_walks
+        import pandas as pd
+        import ray.data as rd
+
+        from unsupervised_ner_ray.stages.grouping import partitioned_apply
+
+        path = _n2v_dump(sf_dir)
         ds = rd.read_parquet(path, columns=["walk_id", "step", "node"])
 
         def _agg(part: pd.DataFrame) -> pd.DataFrame:
@@ -1608,6 +1686,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # co-partitioned walker Dataset), forced-path + pure-python
         # reference pinned.  Hash-pinned via the _walks_dump twin
         "q_kg_walks": q_kg_walks,
+        # round-5 late: node2vec biased second-order walks — hash-pinned
+        # via the _n2v_dump twin like q_kg_walks
+        "q_kg_node2vec": q_kg_node2vec,
         # round-5: skip-gram pair counts over the walk corpus (DeepWalk
         # preprocessing second half).  SQL-oracled over the walks dump
         "q_kg_skipgram": q_kg_skipgram,
@@ -1678,7 +1759,9 @@ _WINDOW_R5 = [
     # previously certified oracle-backed re-guards
     "q_doc_cosine",
     "q_late_events",
-    "q_kg_bfs",
+    # node2vec biased walks — new round-5 op, hash-pinned via the n2v dump
+    # twin, displacing the q_kg_bfs re-guard (hash-certified r04)
+    "q_kg_node2vec",
     # ROLLUP subtotals + CUBE — new SQL-oracled round-5 ops, displacing
     # the q_token_histogram (r01-r03) and q_quality (r01-r03) re-guards
     "q_rollup_revenue",
@@ -1892,6 +1975,17 @@ def oracle_sql() -> dict[str, str]:
                    arg_min(node, step) AS start_node,
                    arg_max(node, step) AS end_node
             FROM read_parquet('{_DUMP_ROOT}/walks_*/*.parquet')
+            WHERE n_docs_total = (SELECT COUNT(*) FROM documents)
+            GROUP BY walk_id
+            ORDER BY walk_id
+        """,
+        "q_kg_node2vec": f"""
+            SELECT walk_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_steps,
+                   CAST(COUNT(DISTINCT node) AS BIGINT) AS n_distinct,
+                   arg_min(node, step) AS start_node,
+                   arg_max(node, step) AS end_node
+            FROM read_parquet('{_DUMP_ROOT}/n2v_*/*.parquet')
             WHERE n_docs_total = (SELECT COUNT(*) FROM documents)
             GROUP BY walk_id
             ORDER BY walk_id

@@ -145,6 +145,18 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
     timed("q_dup_spans", lambda: dedup.duplicated_spans(docs_tbl).to_pandas())
     timed("q_cms_counts", lambda: textstats.cms_token_estimates(docs_tbl))
     timed("q_string_agg", lambda: relational.q_string_agg_names(sf_dir).to_pandas())
+
+    def _n2v():
+        from unsupervised_ner_ray.stages import kg as _k
+
+        edges = _k.undirected_bigram_edges(docs_tbl).map_batches(
+            lambda t: t.rename_columns(["s", "o"]), batch_format="pyarrow"
+        )
+        return _k.node2vec_walks(
+            edges, walk_len=5, p=4.0, q=0.25, max_start_nodes=400
+        ).to_pandas()
+
+    timed("q_kg_node2vec", _n2v)
     timed(
         "q_embedding_centroid",
         lambda: __import__(

@@ -482,3 +482,134 @@ def test_skipgram_negatives_contract(ray_session):
     top_true = set(marg.sort_values(ascending=False).index[:4])
     top_got = set(freq.sort_values(ascending=False).index[:6])
     assert top_true & top_got
+
+
+# ---------------------------------------------------------------------------
+# node2vec biased second-order walks
+
+_C_P = 0x2545F4914F6CDD1D
+
+
+def ref_node2vec(pairs, walk_len, walks_per_node, p, q, seed):
+    """Pure-python reference for the node2vec determinism contract:
+    nanounit integer weights (round(1e9/p), 1e9, round(1e9/q)), pick =
+    mix(wkey ^ t*C_T ^ H(cur) ^ H(prev)*C_P) mod total_weight on the
+    sorted-neighbor integer cumsum."""
+    adj: dict[str, set[str]] = {}
+    for s, o in pairs:
+        adj.setdefault(s, set()).add(o)
+        adj.setdefault(o, set()).add(s)
+    nodes = sorted(adj)
+    seed_key = (seed * _C_S) & _M
+    w_p, w_q, w_edge = round(1e9 / p), round(1e9 / q), 1_000_000_000
+    rows = []
+    for st in nodes:
+        for r in range(walks_per_node):
+            wkey = _mix(_h(st) ^ ((r * _C_R) & _M) ^ seed_key)
+            cur, prev = st, None
+            rows.append((f"{st}#{r}", 0, cur))
+            for t in range(1, walk_len):
+                nbrs = sorted(adj[cur])
+                if prev is None:
+                    w = [1] * len(nbrs)
+                    hp = 0
+                else:
+                    w = [
+                        w_p if x == prev else (w_edge if x in adj[prev] else w_q)
+                        for x in nbrs
+                    ]
+                    hp = (_h(prev) * _C_P) & _M
+                k = _mix(wkey ^ ((t * _C_T) & _M) ^ _h(cur) ^ hp)
+                target = k % sum(w)
+                acc = 0
+                for i, wi in enumerate(w):
+                    acc += wi
+                    if acc > target:
+                        break
+                prev, cur = cur, nbrs[i]
+                rows.append((f"{st}#{r}", t, cur))
+    return (
+        pd.DataFrame(rows, columns=["walk_id", "step", "node"])
+        .sort_values(["walk_id", "step"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+
+
+_N2V_PAIRS = [
+    ("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),  # square
+    ("a", "c"),                                        # chord
+    ("d", "e"), ("e", "f"),                            # tail
+]
+
+
+def test_node2vec_matches_pure_python_reference(ray_session):
+    from unsupervised_ner_ray.stages.kg import node2vec_walks
+
+    edges = rd.from_pandas(
+        pd.DataFrame(_N2V_PAIRS, columns=["s", "o"])
+    )
+    for p, q in ((4.0, 0.25), (0.5, 2.0), (1.0, 1.0)):
+        got = (
+            node2vec_walks(edges, walk_len=6, walks_per_node=2, p=p, q=q, seed=7)
+            .to_pandas()
+            .reset_index(drop=True)
+        )
+        want = ref_node2vec(_N2V_PAIRS, 6, 2, p, q, 7)
+        pd.testing.assert_frame_equal(got, want)
+
+
+def test_node2vec_validity_and_batching_independence(ray_session):
+    from unsupervised_ner_ray.stages.kg import node2vec_walks
+
+    df = pd.DataFrame(_N2V_PAIRS, columns=["s", "o"])
+    out1 = node2vec_walks(rd.from_pandas(df), walk_len=5, seed=3).to_pandas()
+    out2 = node2vec_walks(
+        rd.from_pandas(df).repartition(5), walk_len=5, seed=3
+    ).to_pandas()
+    pd.testing.assert_frame_equal(
+        out1.reset_index(drop=True), out2.reset_index(drop=True)
+    )
+    und = set()
+    for s, o in _N2V_PAIRS:
+        und.add((s, o))
+        und.add((o, s))
+    for _, g in out1.groupby("walk_id"):
+        seq = g.sort_values("step")["node"].tolist()
+        assert all((a, b) in und for a, b in zip(seq, seq[1:]))
+
+
+def test_node2vec_pq_bias_extremes(ray_session):
+    """Cycle graph: p>>1, q<<1 never backtracks (all nodes distinct in a
+    short walk); p<<1, q>>1 always returns (oscillates on 2 nodes)."""
+    from unsupervised_ner_ray.stages.kg import node2vec_walks
+
+    cyc = pd.DataFrame(
+        {"s": [f"n{i}" for i in range(6)], "o": [f"n{(i + 1) % 6}" for i in range(6)]}
+    )
+    dfs = node2vec_walks(
+        rd.from_pandas(cyc), walk_len=5, p=100.0, q=0.01, seed=3
+    ).to_pandas()
+    assert (
+        dfs.groupby("walk_id")["node"].apply(lambda x: len(set(x))) == 5
+    ).all()
+    ret = node2vec_walks(
+        rd.from_pandas(cyc), walk_len=5, p=0.01, q=100.0, seed=3
+    ).to_pandas()
+    assert (
+        ret.groupby("walk_id")["node"].apply(lambda x: len(set(x))) == 2
+    ).all()
+
+
+def test_node2vec_contracts(ray_session):
+    from unsupervised_ner_ray.stages.kg import node2vec_walks
+
+    edges = rd.from_pandas(pd.DataFrame(_N2V_PAIRS, columns=["s", "o"]))
+    with pytest.raises(ValueError):
+        node2vec_walks(edges, walk_len=0)
+    with pytest.raises(ValueError):
+        node2vec_walks(edges, p=0.0)
+    with pytest.raises(NotImplementedError):
+        node2vec_walks(edges, csr_max_sym_edges=3)
+    # max_start_nodes takes the first n sorted nodes
+    out = node2vec_walks(edges, walk_len=3, max_start_nodes=2).to_pandas()
+    assert set(w.split("#")[0] for w in out["walk_id"]) == {"a", "b"}

@@ -4282,3 +4282,180 @@ def skipgram_negatives(
         return pd.concat([pos, neg], ignore_index=True)
 
     return pairs.map_batches(_expand, batch_format="pandas")
+
+
+_WALK_C_P = np.uint64(0x2545F4914F6CDD1D)  # prev-node mixing constant (node2vec)
+
+
+def node2vec_walks(
+    edges,
+    walk_len: int = 5,
+    walks_per_node: int = 1,
+    p: float = 4.0,
+    q: float = 0.25,
+    seed: int = 11,
+    max_start_nodes: int | None = None,
+    csr_max_sym_edges: int = 50_000_000,
+):
+    """node2vec biased second-order random walks (Grover & Leskovec 2016,
+    arXiv:1607.00653) — the return-parameter/in-out-parameter face of
+    :func:`random_walks`.  From node ``cur`` with previous node ``prev``,
+    each sorted neighbor ``x`` of ``cur`` weighs
+
+        1/p  if x == prev              (return)
+        1    if (prev, x) is an edge   (BFS-ish, stays local)
+        1/q  otherwise                 (DFS-ish, explores outward)
+
+    and the next hop is the weighted pick at
+    ``k = mix(wkey ^ t*C_T ^ H(cur) ^ H(prev)*C_P)`` on the weight vector
+    in sorted-neighbor order — weights quantize ONCE to int64 nanounits
+    (``round(1e9/p)``, ``1e9``, ``round(1e9/q)`` — the link-prediction
+    precedent), the cumulative sum is integer-exact, and the pick is
+    ``k mod total_weight``, so the choice is a pure function of the node
+    STRINGS (the :func:`random_walks` determinism contract): a re-run, any
+    batching, and the pure-python reference agree byte-for-byte with no
+    float-accumulation hazard.  The first hop (no ``prev``) is uniform,
+    per the paper.
+
+    SCALE SHAPE / PARTITIONING ASSUMPTION (documented, gated): second-order
+    walks need ``N(cur)`` and the ``N(prev)`` membership test at every
+    step, so each walking task holds the CSR adjacency + a packed sorted
+    edge-key array, built ONCE in this job and shared via ``ray.put``
+    (~24 bytes per symmetrized edge); start nodes fan out across tasks and
+    walk to completion locally with zero shuffles — the layout every
+    production node2vec (PBG/GraphVite shards, Spark broadcast) uses,
+    because the per-step co-partition alternative must ship candidate rows
+    keyed by (prev, cand) — sum(deg) rows and TWO shuffles per step.
+    Graphs whose symmetrized edge count exceeds ``csr_max_sym_edges``
+    (object-store bound, ~1.2 GB at the default) raise NotImplementedError
+    naming the assumption rather than silently thrashing; the scale path is
+    component/METIS-partitioned per-shard CSRs, which this operator's
+    task-local walker already expresses within each shard.
+
+    Output: (walk_id = "{start}#{r}", step, node) sorted by (walk_id,
+    step); isolated nodes start no walks; every consecutive pair is an
+    input edge by construction.
+    """
+    import ray.data as _rd
+
+    if walk_len < 1:
+        raise ValueError("walk_len must be >= 1")
+    if walks_per_node < 1:
+        raise ValueError("walks_per_node must be >= 1")
+    if p <= 0 or q <= 0:
+        raise ValueError("p and q must be > 0")
+
+    def _sym(t: pa.Table) -> pa.Table:
+        s = t.column("s").combine_chunks()
+        o = t.column("o").combine_chunks()
+        return pa.table(
+            {"s": pa.concat_arrays([s, o]), "o": pa.concat_arrays([o, s])}
+        )
+
+    und = edges.map_batches(_sym, batch_format="pyarrow").materialize()
+    n_sym = und.count()
+    if n_sym > csr_max_sym_edges:
+        raise NotImplementedError(
+            "node2vec_walks holds the CSR + packed edge set per task "
+            f"(symmetrized edges {n_sym} > csr_max_sym_edges "
+            f"{csr_max_sym_edges}); partition the graph (per-component / "
+            "balanced shards) and run per shard — second-order bias needs "
+            "N(cur) x N(prev) joint locality"
+        )
+    seed_key = np.uint64(seed) * _WALK_C_S
+
+    pdf = und.to_pandas()
+    s = pdf["s"].to_numpy().astype(object)
+    o = pdf["o"].to_numpy().astype(object)
+    order = np.lexsort((o, s))
+    s, o = s[order], o[order]
+    if len(s) > 1:  # defensive consecutive dedup (input contract: distinct)
+        keep = np.ones(len(s), dtype=bool)
+        keep[1:] = (s[1:] != s[:-1]) | (o[1:] != o[:-1])
+        s, o = s[keep], o[keep]
+    nodes, first = np.unique(s, return_index=True)
+    indptr = np.append(first, len(s)).astype(np.int64)
+    neigh = np.searchsorted(nodes, o).astype(np.int64)
+    h_nodes = _node_hash64(nodes)
+    n_nodes = len(nodes)
+    packed = np.sort(
+        np.searchsorted(nodes, s).astype(np.int64) * n_nodes + neigh
+    )
+    starts = nodes if max_start_nodes is None else nodes[:max_start_nodes]
+    csr_ref = ray.put((nodes, indptr, neigh, h_nodes, packed))
+    # nanounit integer weights: exact int64 cumsums, no float accumulation
+    w_p = np.int64(round(1e9 / float(p)))
+    w_q = np.int64(round(1e9 / float(q)))
+    w_edge = np.int64(1_000_000_000)
+
+    def _walk(df: pd.DataFrame) -> pd.DataFrame:
+        nodes_, indptr_, neigh_, h_, packed_ = ray.get(csr_ref)
+        n_ = len(nodes_)
+        sidx = np.repeat(
+            np.searchsorted(nodes_, df["start"].to_numpy().astype(object)),
+            walks_per_node,
+        )
+        r = np.tile(np.arange(walks_per_node, dtype=np.uint64), len(df))
+        wid = _walk_ids(nodes_[sidx], r)
+        wkey = _mix64(h_[sidx] ^ (r * _WALK_C_R) ^ seed_key)
+        cur = sidx.copy()
+        prev = np.full(len(cur), -1, dtype=np.int64)  # -1 = no prev (t=1)
+        frames = [
+            pd.DataFrame({"walk_id": wid, "step": np.int64(0), "node": nodes_[cur]})
+        ]
+        for t in range(1, walk_len):
+            deg = (indptr_[cur + 1] - indptr_[cur]).astype(np.int64)
+            total = int(deg.sum())
+            seg_start = np.zeros(len(cur) + 1, dtype=np.int64)
+            np.cumsum(deg, out=seg_start[1:])
+            # flat candidate array: neighbors of every walker's cur, in CSR
+            # (sorted) order
+            flat_pos = (
+                np.arange(total, dtype=np.int64)
+                - np.repeat(seg_start[:-1], deg)
+                + np.repeat(indptr_[cur], deg)
+            )
+            cand = neigh_[flat_pos]
+            prev_rep = np.repeat(prev, deg)
+            w = np.full(total, w_q, dtype=np.int64)
+            # distance-1: (prev, cand) is an edge
+            has_prev = prev_rep >= 0
+            key = prev_rep * n_ + cand
+            is_edge = np.zeros(total, dtype=bool)
+            if has_prev.any():
+                loc = np.searchsorted(packed_, key[has_prev])
+                loc_ok = loc < len(packed_)
+                hit = np.zeros(int(has_prev.sum()), dtype=bool)
+                hit[loc_ok] = packed_[loc[loc_ok]] == key[has_prev][loc_ok]
+                is_edge[has_prev] = hit
+            w[is_edge] = w_edge
+            w[cand == prev_rep] = w_p
+            w[~has_prev] = np.int64(1)  # first hop: uniform
+            cs = np.cumsum(w)  # int64-exact: global - base == local cumsum
+            base = cs[seg_start[:-1]] - w[seg_start[:-1]]
+            tot = (cs[seg_start[1:] - 1] - base).astype(np.uint64)
+            k = _mix64(
+                wkey
+                ^ (np.full(len(cur), t, dtype=np.uint64) * _WALK_C_T)
+                ^ h_[cur]
+                ^ (np.where(prev >= 0, h_[np.maximum(prev, 0)], 0).astype(np.uint64)
+                   * _WALK_C_P)
+            )
+            target = base + (k % tot).astype(np.int64)
+            pos = np.searchsorted(cs, target, side="right")
+            pos = np.minimum(pos, seg_start[1:] - 1)
+            prev = cur
+            cur = cand[pos]
+            frames.append(
+                pd.DataFrame(
+                    {"walk_id": wid, "step": np.int64(t), "node": nodes_[cur]}
+                )
+            )
+        out = pd.concat(frames, ignore_index=True)
+        out["step"] = out["step"].astype(np.int64)
+        return out
+
+    starts_ds = _rd.from_pandas(pd.DataFrame({"start": starts})).repartition(8)
+    return starts_ds.map_batches(_walk, batch_format="pandas").sort(
+        ["walk_id", "step"]
+    )
