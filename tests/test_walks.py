@@ -613,3 +613,97 @@ def test_node2vec_contracts(ray_session):
     # max_start_nodes takes the first n sorted nodes
     out = node2vec_walks(edges, walk_len=3, max_start_nodes=2).to_pandas()
     assert set(w.split("#")[0] for w in out["walk_id"]) == {"a", "b"}
+
+
+@pytest.mark.skipif(
+    __import__("os").environ.get("RUN_SCALE_SMOKE") != "1",
+    reason="node2vec smoke; run with RUN_SCALE_SMOKE=1",
+)
+def test_node2vec_scale_smoke(ray_session):
+    """10^6-node ring+chord graph (4M symmetrized edges) through the CSR
+    regime: 2,000 biased walkers x 5 steps; every engine choice recomputed
+    exactly from the analytic adjacency by the pure-python contract walker
+    (weights from the ring structure: neighbor membership of N(prev) is
+    analytic, no graph materialization)."""
+    import time
+
+    import numpy as np
+
+    from unsupervised_ner_ray.stages.kg import node2vec_walks
+
+    n = 1_000_000
+    i = np.arange(n, dtype=np.int64)
+    name = np.char.add("b", i.astype("U7"))
+    ring_o = np.char.add("b", ((i + 1) % n).astype("U7"))
+    chord_o = np.char.add("b", ((i + 7919) % n).astype("U7"))
+    edges = (
+        rd.from_pandas(
+            pd.DataFrame(
+                {
+                    "s": np.concatenate([name, name]),
+                    "o": np.concatenate([ring_o, chord_o]),
+                }
+            )
+        )
+        .repartition(32)
+        .materialize()
+    )
+
+    p_, q_ = 4.0, 0.25
+    t0 = time.time()
+    got = (
+        node2vec_walks(
+            edges, walk_len=5, p=p_, q=q_, seed=23, max_start_nodes=2_000
+        )
+        .to_pandas()
+        .sort_values(["walk_id", "step"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    t_w = time.time() - t0
+    assert len(got) == 2_000 * 5
+
+    def nbrs(node: str) -> list[str]:
+        j = int(node[1:])
+        return sorted(f"b{k % n}" for k in (j - 1, j + 1, j - 7919, j + 7919))
+
+    w_p, w_q, w_edge = round(1e9 / p_), round(1e9 / q_), 1_000_000_000
+    starts = sorted(f"b{k}" for k in range(n))[:2_000]
+    seed_key = (23 * _C_S) & _M
+    rows = []
+    for st in starts:
+        wkey = _mix(_h(st) ^ seed_key)  # r = 0
+        cur, prev = st, None
+        rows.append((f"{st}#0", 0, cur))
+        for t in range(1, 5):
+            ns = nbrs(cur)
+            if prev is None:
+                w = [1] * len(ns)
+                hp = 0
+            else:
+                pn = set(nbrs(prev))
+                w = [
+                    w_p if x == prev else (w_edge if x in pn else w_q)
+                    for x in ns
+                ]
+                hp = (_h(prev) * _C_P) & _M
+            k = _mix(wkey ^ ((t * _C_T) & _M) ^ _h(cur) ^ hp)
+            target = k % sum(w)
+            acc = 0
+            for idx, wi in enumerate(w):
+                acc += wi
+                if acc > target:
+                    break
+            prev, cur = cur, ns[idx]
+            rows.append((f"{st}#0", t, cur))
+    want = (
+        pd.DataFrame(rows, columns=["walk_id", "step", "node"])
+        .sort_values(["walk_id", "step"], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    got["step"] = got["step"].astype("int64")
+    want["step"] = want["step"].astype("int64")
+    pd.testing.assert_frame_equal(got[["walk_id", "step", "node"]], want)
+    print(
+        f"SMOKE node2vec sym_edges={4 * n} CSR regime 2000x5 biased walks "
+        f"{t_w:.1f}s exact-match"
+    )
