@@ -863,6 +863,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "walk_id"
         )
 
+    def q_incremental_dedup(sf_dir: str):
+        # fresh state dir per invocation so the battery run is a full
+        # deterministic 3-load replay (the resume/no-op path is pinned by
+        # its own tests)
+        import shutil
+
+        from unsupervised_ner_ray.sources.io import read_sf
+
+        n_total = read_sf(sf_dir, "documents", columns=["doc_id"]).count()
+        state = f"/tmp/unsup_ner_incdedup_{n_total}"
+        shutil.rmtree(state, ignore_errors=True)
+        from unsupervised_ner_ray.stages import dedup as _dd
+
+        return _dd.incremental_exact_dedup(_docs(sf_dir), state, split_mod=3)
+
     def q_kg_node2vec(sf_dir: str):
         # round-5 late: node2vec biased second-order walks (Grover &
         # Leskovec 2016) over the bigram graph — return/in-out parameters
@@ -1427,6 +1442,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # suffix-array-style exact substring dedup, token-level) — maximal
         # merged spans of globally-duplicated 8-token sliding windows
         "q_dup_spans": lambda sf: dedup.duplicated_spans(_docs(sf)),
+        # round-5 late: incremental exact dedup — sequential loads against
+        # hash-partitioned persisted state (history never re-read; atomic
+        # per-partition appends + load manifest = the resume contract).
+        # SQL-oracled: the full-corpus twin reproduces the streaming
+        # (first_load, min doc) winner
+        "q_incremental_dedup": q_incremental_dedup,
         "q_mixture_sample": q_mixture_sample,
         # round-3c: weighted sampling without replacement (A-Res exponential
         # keys, distributed top-n) and boilerplate n-gram detection (hot-df
@@ -1757,7 +1778,9 @@ _WINDOW_R5 = [
     "q_frame_sample",
     "q_two_hop_approx",
     # previously certified oracle-backed re-guards
-    "q_doc_cosine",
+    # incremental exact dedup — new round-5 SQL-oracled op (persisted-state
+    # load replay), displacing the q_doc_cosine re-guard (hash-certified r04)
+    "q_incremental_dedup",
     "q_late_events",
     # node2vec biased walks — new round-5 op, hash-pinned via the n2v dump
     # twin, displacing the q_kg_bfs re-guard (hash-certified r04)
@@ -1978,6 +2001,23 @@ def oracle_sql() -> dict[str, str]:
             WHERE n_docs_total = (SELECT COUNT(*) FROM documents)
             GROUP BY walk_id
             ORDER BY walk_id
+        """,
+        "q_incremental_dedup": """
+            WITH d AS (
+                SELECT md5(text) AS content_hash, doc_id,
+                       doc_id % 3 AS load
+                FROM documents
+            ), m AS (
+                SELECT content_hash, MIN(load) AS first_load
+                FROM d GROUP BY content_hash
+            )
+            SELECT d.content_hash,
+                   CAST(MIN(d.doc_id) AS BIGINT) AS keep_id,
+                   CAST(m.first_load AS BIGINT) AS first_load
+            FROM d JOIN m ON d.content_hash = m.content_hash
+                         AND d.load = m.first_load
+            GROUP BY d.content_hash, m.first_load
+            ORDER BY d.content_hash
         """,
         "q_kg_node2vec": f"""
             SELECT walk_id,

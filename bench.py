@@ -157,6 +157,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ).to_pandas()
 
     timed("q_kg_node2vec", _n2v)
+
+    def _incdedup():
+        import shutil
+
+        shutil.rmtree("/tmp/bench_incdedup", ignore_errors=True)
+        return dedup.incremental_exact_dedup(
+            docs_tbl, "/tmp/bench_incdedup", split_mod=3
+        ).to_pandas()
+
+    timed("q_incremental_dedup", _incdedup)
     timed(
         "q_embedding_centroid",
         lambda: __import__(

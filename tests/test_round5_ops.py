@@ -1187,3 +1187,129 @@ def test_string_agg_matches_duckdb(ray_session):
         "/root/testdata/sf0.001", num_parts=3
     ).to_pandas()
     pd.testing.assert_frame_equal(out.reset_index(drop=True), out3.reset_index(drop=True))
+
+
+# ---------------------------------------------------------------------------
+# Incremental exact dedup (persisted state across loads)
+
+
+def _inc_rows():
+    # 30 docs, text repeats every 7 ids -> every hash seen in load 0
+    # (ids 0,3,6..) except where the first occurrence falls in load 1/2
+    return [{"doc_id": i, "text": f"text {i % 7}"} for i in range(30)]
+
+
+def _inc_reference(rows, split_mod=3):
+    import hashlib
+
+    ref = pd.DataFrame(rows)
+    ref["content_hash"] = [
+        hashlib.md5(t.encode()).hexdigest() for t in ref["text"]
+    ]
+    ref["load"] = ref["doc_id"] % split_mod
+    fl = ref.groupby("content_hash")["load"].min().rename("first_load")
+    ref = ref.merge(fl, on="content_hash")
+    return (
+        ref[ref["load"] == ref["first_load"]]
+        .groupby("content_hash")
+        .agg(keep_id=("doc_id", "min"), first_load=("first_load", "first"))
+        .reset_index()
+        .sort_values("content_hash")
+        .reset_index(drop=True)
+        .astype({"keep_id": "int64", "first_load": "int64"})
+    )
+
+
+def test_incremental_dedup_matches_reference(ray_session, tmp_path):
+    from unsupervised_ner_ray.stages.dedup import incremental_exact_dedup
+
+    rd = _rd()
+    rows = _inc_rows()
+    out = (
+        incremental_exact_dedup(
+            rd.from_items(rows), str(tmp_path / "state"), split_mod=3
+        )
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out.astype({"keep_id": "int64", "first_load": "int64"}),
+        _inc_reference(rows),
+    )
+
+
+def test_incremental_dedup_resume_is_noop(ray_session, tmp_path):
+    """Committed loads are skipped on re-run: identical result, no extra
+    state files, manifest unchanged."""
+    import glob
+    import json
+
+    from unsupervised_ner_ray.stages.dedup import incremental_exact_dedup
+
+    rd = _rd()
+    rows = _inc_rows()
+    state = str(tmp_path / "state")
+    out1 = incremental_exact_dedup(rd.from_items(rows), state, split_mod=3).to_pandas()
+    files1 = sorted(glob.glob(f"{state}/part=*/load_*.parquet"))
+    out2 = incremental_exact_dedup(rd.from_items(rows), state, split_mod=3).to_pandas()
+    files2 = sorted(glob.glob(f"{state}/part=*/load_*.parquet"))
+    pd.testing.assert_frame_equal(out1, out2)
+    assert files1 == files2
+    with open(f"{state}/_loads.json") as f:
+        assert json.load(f) == [0, 1, 2]
+
+
+def test_incremental_dedup_partial_state_resumes(ray_session, tmp_path):
+    """A run that committed only load 0 (simulated kill: manifest truncated
+    to [0]) finishes the remaining loads and converges to the full answer —
+    and load 0's rows are not recomputed differently."""
+    import json
+
+    from unsupervised_ner_ray.stages.dedup import incremental_exact_dedup
+
+    rd = _rd()
+    rows = _inc_rows()
+    state = str(tmp_path / "state")
+    # full run, then roll the manifest back to load 0 only and delete the
+    # later loads' files (what a kill between commits leaves behind)
+    incremental_exact_dedup(rd.from_items(rows), state, split_mod=3).to_pandas()
+    import glob
+    import os
+
+    for fp in glob.glob(f"{state}/part=*/load_[12].parquet"):
+        os.remove(fp)
+    with open(f"{state}/_loads.json", "w") as f:
+        json.dump([0], f)
+    out = (
+        incremental_exact_dedup(rd.from_items(rows), state, split_mod=3)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out.astype({"keep_id": "int64", "first_load": "int64"}),
+        _inc_reference(rows),
+    )
+
+
+def test_incremental_dedup_cross_load_dup_dropped(ray_session, tmp_path):
+    """A doc in a later load duplicating an earlier load's text never
+    appears as a keeper."""
+    from unsupervised_ner_ray.stages.dedup import incremental_exact_dedup
+
+    rd = _rd()
+    rows = [
+        {"doc_id": 0, "text": "unique zero"},   # load 0
+        {"doc_id": 3, "text": "shared text"},   # load 0 <- winner
+        {"doc_id": 4, "text": "shared text"},   # load 1 dup of load 0
+        {"doc_id": 7, "text": "only load one"}, # load 1
+    ]
+    out = (
+        incremental_exact_dedup(
+            rd.from_items(rows), str(tmp_path / "state"), split_mod=3
+        )
+        .to_pandas()
+    )
+    assert len(out) == 3
+    assert 4 not in set(out["keep_id"])
+    row = out[out["keep_id"] == 3].iloc[0]
+    assert int(row["first_load"]) == 0

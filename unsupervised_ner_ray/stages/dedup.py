@@ -15,6 +15,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.parquet as pq
 
 _MERSENNE = (1 << 61) - 1
 
@@ -1512,4 +1513,126 @@ def duplicated_spans(docs, window_tokens: int = 8):
 
     return partitioned_apply(dup_pos, "doc_id", _spans, num_parts=64).sort(
         ["doc_id", "span_start"]
+    )
+
+
+def incremental_exact_dedup(
+    docs,
+    state_dir: str,
+    split_mod: int = 3,
+    num_parts: int = 16,
+    key_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Exact dedup across SEQUENTIAL corpus loads with hash-partitioned
+    persisted state — the "dedupe today's crawl against all history"
+    shape.  History is NEVER re-read: its entire dedup footprint is the
+    (content_hash, keep_id, first_load) state table, partitioned by a
+    deterministic hash of content_hash so each new load's membership
+    anti-join is co-partitioned BY LAYOUT (a load task reads only its own
+    partition's parquet files — zero shuffle of history, state I/O
+    proportional to state size / num_parts per task).
+
+    Per load ``i`` (deterministic ``doc_id % split_mod`` split of
+    ``docs``, the :func:`textstats.incremental_token_histogram` recipe):
+
+    1. md5 content hash per new doc (the :func:`exact_dedup` contract);
+    2. within-load combine: min id per hash, vectorized per partition;
+    3. anti-join against the partition's committed state files; survivors
+       write ``part=NNNN/load_i.parquet`` via tmp-file + ``os.replace``
+       (atomic; task retries overwrite with identical deterministic
+       content), so a killed run resumes cleanly;
+    4. the load commits to ``_loads.json`` last; committed loads are
+       skipped on re-run (the checkpoint-manifest contract).
+
+    Returns the final state as a Dataset (content_hash, keep_id,
+    first_load) — keep_id is the minimum id within the FIRST load that saw
+    the hash (the streaming-arrival winner, which a full-corpus recompute
+    reproduces as the SQL twin's (first_load, min doc) pick).
+    """
+    import glob
+    import json
+    import os
+    import uuid
+
+    import ray.data as rd
+
+    os.makedirs(state_dir, exist_ok=True)
+    manifest = os.path.join(state_dir, "_loads.json")
+    committed: list[int] = []
+    if os.path.exists(manifest):
+        with open(manifest) as f:
+            committed = json.load(f)
+
+    def _hash_tag(load_i: int):
+        def _f(t: pa.Table) -> pd.DataFrame:
+            ids = t.column(id_col).to_numpy(zero_copy_only=False)
+            keep = ids % split_mod == load_i
+            texts = t.column(key_col).to_pandas()[keep]
+            h = pd.Series(
+                [hashlib.md5(x.encode()).hexdigest() for x in texts],
+                dtype=object,
+            )
+            part = (
+                pd.util.hash_pandas_object(h, index=False) % num_parts
+            ).astype(np.int32)
+            return pd.DataFrame(
+                {
+                    "content_hash": h.to_numpy(),
+                    "keep_id": ids[keep],
+                    "__part": part.to_numpy(),
+                }
+            )
+
+        return _f
+
+    def _dedup_part(load_i: int):
+        def _f(g: pd.DataFrame) -> pd.DataFrame:
+            part = int(g["__part"].iloc[0])
+            pdir = os.path.join(state_dir, f"part={part:04d}")
+            os.makedirs(pdir, exist_ok=True)
+            # within-load combine: min id per hash (C-path)
+            cand = (
+                g.groupby("content_hash", sort=True)["keep_id"]
+                .min()
+                .reset_index()
+            )
+            seen: set[str] = set()
+            for fp in glob.glob(os.path.join(pdir, "load_*.parquet")):
+                seen.update(
+                    pq.read_table(fp, columns=["content_hash"])
+                    .column("content_hash")
+                    .to_pylist()
+                )
+            new = cand[~cand["content_hash"].isin(seen)].copy()
+            new["first_load"] = np.int64(load_i)
+            out = pa.Table.from_pandas(new, preserve_index=False)
+            tmp = os.path.join(pdir, f".tmp-{uuid.uuid4().hex}")
+            pq.write_table(out, tmp)
+            os.replace(tmp, os.path.join(pdir, f"load_{load_i}.parquet"))
+            return new
+
+        return _f
+
+    for i in range(split_mod):
+        if i in committed:
+            continue
+        tagged = docs.map_batches(_hash_tag(i), batch_format="pyarrow")
+        # force the load's partition writes to completion before committing
+        tagged.groupby("__part").map_groups(
+            _dedup_part(i), batch_format="pandas"
+        ).materialize()
+        committed.append(i)
+        tmp = manifest + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(committed, f)
+        os.replace(tmp, manifest)
+
+    files = sorted(
+        glob.glob(os.path.join(state_dir, "part=*", "load_*.parquet"))
+    )
+    return (
+        rd.read_parquet(files)
+        .select_columns(["content_hash", "keep_id", "first_load"])
+        .sort(["content_hash"])
     )
