@@ -1129,6 +1129,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             orders, "o_orderstatus", "o_totalprice", qs=(0.5, 0.9)
         ).sort("grp")
 
+    def q_quantiles_cont(sf_dir: str):
+        # round-5 late: PERCENTILE_CONT face — interpolated per-group
+        # quantiles over lineitem prices (double column, so the float64
+        # interpolation path is exercised for real)
+        from unsupervised_ner_ray.sources.io import read_sf
+        from unsupervised_ner_ray.stages.relational import (
+            quantile_cont_by_group,
+        )
+
+        li = read_sf(
+            sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"]
+        )
+        out = (
+            quantile_cont_by_group(
+                li, "l_returnflag", "l_extendedprice", qs=(0.5, 0.9)
+            )
+            .to_pandas()
+            .sort_values("grp")
+            .reset_index(drop=True)
+        )
+        # the oracle ROUNDs its float outputs at the hash edge; mirror it
+        for c in ("p50", "p90"):
+            out[c] = out[c].round(6)
+        return out
+
     def q_dataprep(sf_dir: str):
         from unsupervised_ner_ray.pipelines.dataprep import run_dataprep
 
@@ -1548,6 +1573,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5: exact per-group quantiles (distributed selection, zero
         # shuffles) — the exact twin of the t-digest sketch.  SQL-oracled
         "q_exact_quantiles": q_exact_quantiles,
+        # round-5 late: interpolated quantiles (PERCENTILE_CONT) — the
+        # continuous twin of q_exact_quantiles, same selection machinery
+        # at floor/ceil ranks + DuckDB's own float64 interpolation.
+        # SQL-oracled (quantile_cont)
+        "q_quantiles_cont": q_quantiles_cont,
         # round-5: ROLLUP hierarchical subtotals (one data pass, levels
         # re-aggregate the finest aggregate).  SQL-oracled
         "q_rollup_revenue": q_rollup_revenue,
@@ -1781,7 +1811,9 @@ _WINDOW_R5 = [
     # incremental exact dedup — new round-5 SQL-oracled op (persisted-state
     # load replay), displacing the q_doc_cosine re-guard (hash-certified r04)
     "q_incremental_dedup",
-    "q_late_events",
+    # PERCENTILE_CONT interpolated quantiles — new round-5 SQL-oracled op,
+    # displacing the q_late_events re-guard (hash-certified r04)
+    "q_quantiles_cont",
     # node2vec biased walks — new round-5 op, hash-pinned via the n2v dump
     # twin, displacing the q_kg_bfs re-guard (hash-certified r04)
     "q_kg_node2vec",
@@ -3481,6 +3513,16 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(o_totalprice, 0.5) AS p50,
                    quantile_disc(o_totalprice, 0.9) AS p90
             FROM orders GROUP BY o_orderstatus ORDER BY grp
+        """,
+        # PERCENTILE_CONT: both engines interpolate in float64 with the
+        # identical expression (r = q*(n-1); lo + frac*(hi-lo)) — pinned
+        # bit-exact by test; ROUND absorbs representation at the hash edge
+        "q_quantiles_cont": """
+            SELECT l_returnflag AS grp,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+                   ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90
+            FROM lineitem GROUP BY l_returnflag ORDER BY grp
         """,
         # round-5: ROLLUP hierarchical subtotals; rolled-up key levels
         # surface as the 'ALL' sentinel on both engines (COALESCE here,

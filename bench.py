@@ -167,6 +167,16 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ).to_pandas()
 
     timed("q_incremental_dedup", _incdedup)
+
+    def _qcont():
+        from unsupervised_ner_ray.stages.relational import quantile_cont_by_group
+
+        li = read_sf(sf_dir, "lineitem", columns=["l_returnflag", "l_extendedprice"])
+        return quantile_cont_by_group(
+            li, "l_returnflag", "l_extendedprice", qs=(0.5, 0.9)
+        ).to_pandas()
+
+    timed("q_quantiles_cont", _qcont)
     timed(
         "q_embedding_centroid",
         lambda: __import__(

@@ -1313,3 +1313,67 @@ def test_incremental_dedup_cross_load_dup_dropped(ray_session, tmp_path):
     assert 4 not in set(out["keep_id"])
     row = out[out["keep_id"] == 3].iloc[0]
     assert int(row["first_load"]) == 0
+
+
+# ---------------------------------------------------------------------------
+# PERCENTILE_CONT (interpolated quantiles)
+
+
+def test_quantile_cont_bitexact_vs_duckdb(ray_session):
+    """Random groups/values: the engine's floor/ceil selection +
+    DuckDB-expression interpolation is BIT-exact vs quantile_cont (no
+    rounding), including a q whose (n-1)*q double product exercises the
+    inexact-decimal path (0.37)."""
+    import duckdb
+
+    from unsupervised_ner_ray.stages.relational import quantile_cont_by_group
+
+    rd = _rd()
+    rng = np.random.RandomState(1)
+    df = pd.DataFrame(
+        {"g": rng.choice(list("abc"), 500), "v": rng.uniform(0, 1e5, 500)}
+    )
+    got = (
+        quantile_cont_by_group(rd.from_pandas(df), "g", "v", qs=(0.5, 0.9, 0.37))
+        .to_pandas()
+        .sort_values("grp")
+        .reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("t", df)
+    want = con.execute(
+        "SELECT g AS grp, quantile_cont(v,0.5) p50, quantile_cont(v,0.9) p90, "
+        "quantile_cont(v,0.37) p37 FROM t GROUP BY g ORDER BY g"
+    ).fetchdf()
+    pcols = [c for c in got.columns if c not in ("grp", "n_rows")]
+    assert (
+        got[pcols].to_numpy() == want[["p50", "p90", "p37"]].to_numpy()
+    ).all()
+
+
+def test_quantile_cont_integral_rank_and_forced_multipass(ray_session):
+    """(n-1)*q integral -> the exact element, no interpolation; and the
+    result is identical when the refinement is forced through multiple
+    passes (tiny buckets/threshold)."""
+    import duckdb
+
+    from unsupervised_ner_ray.stages.relational import quantile_cont_by_group
+
+    rd = _rd()
+    # n = 5 per group -> (n-1)*0.5 = 2 exactly
+    df = pd.DataFrame({"g": ["a"] * 5, "v": [10.0, 20.0, 30.0, 40.0, 50.0]})
+    got = quantile_cont_by_group(rd.from_pandas(df), "g", "v", qs=(0.5,)).to_pandas()
+    assert got["p50"].iloc[0] == 30.0
+    # forced multi-pass on a bigger column
+    rng = np.random.RandomState(3)
+    big = pd.DataFrame({"g": ["x"] * 4000, "v": rng.uniform(0, 1e6, 4000)})
+    easy = quantile_cont_by_group(rd.from_pandas(big), "g", "v", qs=(0.9,)).to_pandas()
+    hard = quantile_cont_by_group(
+        rd.from_pandas(big), "g", "v", qs=(0.9,), num_buckets=16,
+        collect_threshold=50,
+    ).to_pandas()
+    assert easy["p90"].iloc[0] == hard["p90"].iloc[0]
+    con = duckdb.connect()
+    con.register("t", big)
+    want = con.execute("SELECT quantile_cont(v, 0.9) FROM t").fetchone()[0]
+    assert easy["p90"].iloc[0] == want

@@ -2194,6 +2194,7 @@ def exact_group_quantiles(
     num_buckets: int = 1024,
     collect_threshold: int = 8192,
     max_passes: int = 8,
+    rank_of=None,
 ):
     """EXACT per-group order-statistic quantiles by distributed selection —
     the exact twin of the mergeable t-digest sketch (q_tdigest_*): where
@@ -2277,7 +2278,14 @@ def exact_group_quantiles(
     for row in st.itertuples():
         for qi, f in enumerate(fracs):
             n = int(row.n)
-            k = max(1, min(n, -(-f.numerator * n // f.denominator)))
+            # default = DuckDB quantile_disc: 1-indexed rank ceil(q*n);
+            # rank_of(n, Fraction) overrides (the quantile_cont wrapper's
+            # floor/ceil-of-(n-1)q ranks ride the same machinery)
+            if rank_of is None:
+                k = -(-f.numerator * n // f.denominator)
+            else:
+                k = rank_of(n, f)
+            k = max(1, min(n, k))
             if row.lo == row.hi:
                 answers[(row.g, qi)] = row.lo
             else:
@@ -2703,3 +2711,54 @@ def q_string_agg_names(sf_dir: str, num_parts: int = 16):
     return partitioned_apply(cust, "c_nationkey", _agg, num_parts=num_parts).sort(
         "c_nationkey"
     )
+
+
+def quantile_cont_by_group(ds, key_col: str, val_col: str, qs=(0.5, 0.9), **kw):
+    """Interpolated per-group quantiles (SQL ``quantile_cont`` /
+    PERCENTILE_CONT): ``v[floor(r)] + (r - floor(r)) * (v[ceil(r)] -
+    v[floor(r)])`` at ``r = q * (n - 1)`` — the continuous twin of
+    :func:`exact_group_quantiles` (which is ``quantile_disc``).
+
+    Rides the SAME distributed-selection machinery twice (floor and ceil
+    ranks via ``rank_of``): the data still never shuffles and nothing
+    row-sized reaches the driver; pass count simply doubles.  ``r`` and
+    the interpolation run in float64 exactly as DuckDB computes them
+    (``r = (double)q * (n-1)``, ``lo + frac * (hi - lo)``), so results
+    hash-match the oracle after its ROUND.
+
+    Returns one row per group: (grp, n_rows, p<Q>... float64).
+    """
+    import math
+
+    qs = list(qs)
+
+    def _rank_lo(n: int, f) -> int:
+        return int(math.floor(float(f) * (n - 1))) + 1
+
+    def _rank_hi(n: int, f) -> int:
+        return int(math.ceil(float(f) * (n - 1))) + 1
+
+    lo = (
+        exact_group_quantiles(ds, key_col, val_col, qs, rank_of=_rank_lo, **kw)
+        .to_pandas()
+        .sort_values("grp")
+        .reset_index(drop=True)
+    )
+    hi = (
+        exact_group_quantiles(ds, key_col, val_col, qs, rank_of=_rank_hi, **kw)
+        .to_pandas()
+        .sort_values("grp")
+        .reset_index(drop=True)
+    )
+    import ray.data as rd
+
+    out = lo[["grp", "n_rows"]].copy()
+    pnames = [c for c in lo.columns if c not in ("grp", "n_rows")]
+    n_arr = lo["n_rows"].to_numpy(np.int64)
+    for q, p in zip(qs, pnames):
+        r = np.float64(q) * (n_arr - 1).astype(np.float64)
+        frac = r - np.floor(r)
+        a = lo[p].to_numpy(np.float64)
+        b = hi[p].to_numpy(np.float64)
+        out[p] = a + frac * (b - a)
+    return rd.from_pandas(out)
