@@ -1578,6 +1578,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # at floor/ceil ranks + DuckDB's own float64 interpolation.
         # SQL-oracled (quantile_cont)
         "q_quantiles_cont": q_quantiles_cont,
+        # round-5 late: OHLC time-bucket resampling — open/close as packed
+        # (offset<<16 | cents) Min/Max (the keep_best idiom), deterministic
+        # tie rules on both engines.  SQL-oracled
+        "q_ohlc_events": relational.q_ohlc_events,
         # round-5: ROLLUP hierarchical subtotals (one data pass, levels
         # re-aggregate the finest aggregate).  SQL-oracled
         "q_rollup_revenue": q_rollup_revenue,
@@ -1786,7 +1790,10 @@ _WINDOW_R5 = [
     "q_canonicalize_tokens",
     "q_dataprep",
     "q1_lineitem_agg",
-    "q_order_lineitem_join",
+    # OHLC resampling — new round-5 SQL-oracled op, displacing the
+    # q_order_lineitem_join sentinel (hash-certified r01-r04; its join
+    # machinery stays guarded by q_left_join/q_skew_join forced tests)
+    "q_ohlc_events",
     # re-certification: oracle or schema changed this round
     "q_ner_eval",
     "q_media_features",
@@ -3513,6 +3520,32 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(o_totalprice, 0.5) AS p50,
                    quantile_disc(o_totalprice, 0.9) AS p90
             FROM orders GROUP BY o_orderstatus ORDER BY grp
+        """,
+        # OHLC resample: the packed (off<<16 | cents) Min/Max reproduces
+        # open/close with a deterministic same-timestamp tie rule on both
+        # engines (bare arg_min/arg_max tie choice is engine-internal)
+        "q_ohlc_events": """
+            WITH b AS (
+                SELECT event_type, date_trunc('hour', ts) AS bkt,
+                       CAST(floor(value * 100) AS BIGINT) AS cents,
+                       epoch_us(ts) - epoch_us(date_trunc('hour', ts)) AS off
+                FROM events
+            ), m AS (
+                SELECT event_type, bkt,
+                       MIN(off * 65536 + cents) AS op,
+                       MAX(off * 65536 + cents) AS cp,
+                       MIN(cents) AS low_cents, MAX(cents) AS high_cents,
+                       COUNT(*) AS n_rows
+                FROM b GROUP BY 1, 2
+            )
+            SELECT event_type,
+                   strftime(bkt, '%Y-%m-%d %H:00:00') AS bucket,
+                   CAST(op % 65536 AS BIGINT) AS open_cents,
+                   CAST(high_cents AS BIGINT) AS high_cents,
+                   CAST(low_cents AS BIGINT) AS low_cents,
+                   CAST(cp % 65536 AS BIGINT) AS close_cents,
+                   CAST(n_rows AS BIGINT) AS n_rows
+            FROM m ORDER BY event_type, bucket
         """,
         # PERCENTILE_CONT: both engines interpolate in float64 with the
         # identical expression (r = q*(n-1); lo + frac*(hi-lo)) — pinned

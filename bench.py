@@ -177,6 +177,7 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
         ).to_pandas()
 
     timed("q_quantiles_cont", _qcont)
+    timed("q_ohlc_events", lambda: relational.q_ohlc_events(sf_dir).to_pandas())
     timed(
         "q_embedding_centroid",
         lambda: __import__(

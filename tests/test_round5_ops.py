@@ -1377,3 +1377,87 @@ def test_quantile_cont_integral_rank_and_forced_multipass(ray_session):
     con.register("t", big)
     want = con.execute("SELECT quantile_cont(v, 0.9) FROM t").fetchone()[0]
     assert easy["p90"].iloc[0] == want
+
+
+# ---------------------------------------------------------------------------
+# OHLC time-bucket resample
+
+
+def test_ohlc_matches_duckdb_and_partition_independent(ray_session):
+    import duckdb
+
+    from unsupervised_ner_ray.stages.relational import q_ohlc_events
+
+    out = q_ohlc_events("/root/testdata/sf0.001").to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/events.parquet')"
+    )
+    want = con.execute(
+        """
+        WITH b AS (
+            SELECT event_type, date_trunc('hour', ts) AS bkt,
+                   CAST(floor(value * 100) AS BIGINT) AS cents,
+                   epoch_us(ts) - epoch_us(date_trunc('hour', ts)) AS off
+            FROM events
+        ), m AS (
+            SELECT event_type, bkt, MIN(off*65536 + cents) AS op,
+                   MAX(off*65536 + cents) AS cp, MIN(cents) AS low_cents,
+                   MAX(cents) AS high_cents, COUNT(*) AS n_rows
+            FROM b GROUP BY 1, 2
+        )
+        SELECT event_type, strftime(bkt, '%Y-%m-%d %H:00:00') AS bucket,
+               CAST(op % 65536 AS BIGINT) AS open_cents,
+               CAST(high_cents AS BIGINT) AS high_cents,
+               CAST(low_cents AS BIGINT) AS low_cents,
+               CAST(cp % 65536 AS BIGINT) AS close_cents,
+               CAST(n_rows AS BIGINT) AS n_rows
+        FROM m ORDER BY event_type, bucket
+        """
+    ).fetchdf()
+    pd.testing.assert_frame_equal(out, want)
+    out3 = (
+        q_ohlc_events("/root/testdata/sf0.001", num_parts=3)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(out, out3)
+    # OHLC invariants on every bucket
+    assert (out["low_cents"] <= out["open_cents"]).all()
+    assert (out["low_cents"] <= out["close_cents"]).all()
+    assert (out["high_cents"] >= out["open_cents"]).all()
+    assert (out["high_cents"] >= out["close_cents"]).all()
+
+
+def test_ohlc_tie_rule_same_timestamp():
+    """Two events in the same microsecond: open takes MIN cents, close MAX
+    cents — the documented deterministic tie rule (packed-key semantics)."""
+    import ray.data as rd
+
+    from unsupervised_ner_ray.stages.relational import q_ohlc_events  # noqa: F401
+    # exercise the packing kernel directly through a tiny synthetic table
+    import pyarrow as pa
+
+    ts = pd.to_datetime(
+        ["2024-01-01 05:10:00.000001"] * 2 + ["2024-01-01 05:59:00.000000"],
+        format="%Y-%m-%d %H:%M:%S.%f",
+    )
+    df = pd.DataFrame(
+        {"event_type": ["x"] * 3, "ts": ts, "value": [2.00, 1.00, 5.00]}
+    )
+    import tempfile
+
+    import pyarrow.parquet as pq_
+
+    with tempfile.TemporaryDirectory() as d:
+        pq_.write_table(
+            pa.Table.from_pandas(df, preserve_index=False), f"{d}/events.parquet"
+        )
+        out = q_ohlc_events(d).to_pandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    # same-µs open tie -> min cents (100); close is the later event (500)
+    assert int(r["open_cents"]) == 100
+    assert int(r["close_cents"]) == 500
+    assert int(r["low_cents"]) == 100 and int(r["high_cents"]) == 500

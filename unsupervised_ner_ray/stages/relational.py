@@ -2762,3 +2762,89 @@ def quantile_cont_by_group(ds, key_col: str, val_col: str, qs=(0.5, 0.9), **kw):
         b = hi[p].to_numpy(np.float64)
         out[p] = a + frac * (b - a)
     return rd.from_pandas(out)
+
+
+def q_ohlc_events(sf_dir: str, num_parts: int = 16):
+    """OHLC time-bucket resampling (the financial downsample face of the
+    window family): per (event_type, hour bucket) — open (value at the
+    earliest event), high, low, close (value at the latest event), count.
+
+    Shape: integer cent values PACK with the within-bucket microsecond
+    offset into ONE int64 ((off_us << 16) | cents — off < 2^32, cents <
+    2^16 on this domain, asserted), so open/close become plain Min/Max
+    aggregates (the :func:`dedup.keep_best` packing idiom): per-batch
+    pandas combiner partials, ONE coarse key shuffle, vectorized
+    per-partition merge — the stream never sorts and nothing row-sized
+    reaches the driver.  Tie rule (same timestamp): MIN cents for open /
+    MAX cents for close — deterministic on both engines by construction
+    (DuckDB's bare arg_min/arg_max tie choice is engine-internal, the
+    packed form is not).
+    """
+    from .grouping import partitioned_apply
+
+    ev = read_sf(sf_dir, "events", columns=["event_type", "ts", "value"])
+
+    def _partials(t: pa.Table) -> pd.DataFrame:
+        # normalize to µs precision (parquet may carry ns) so the offset
+        # fits the 32-bit pack budget
+        ts_col = pc.cast(t.column("ts"), pa.timestamp("us"))
+        ts_us = pc.cast(ts_col, pa.int64())
+        bucket = pc.floor_temporal(ts_col, unit="hour")
+        bucket_us = pc.cast(bucket, pa.int64())
+        off = pc.subtract(ts_us, bucket_us).to_numpy(zero_copy_only=False)
+        cents = (
+            pc.cast(pc.floor(pc.multiply(t.column("value"), 100.0)), pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        assert (off < (1 << 32)).all() and (cents < (1 << 16)).all() and (
+            cents >= 0
+        ).all(), "OHLC packing domain exceeded"
+        pack = (off << 16) | cents
+        df = pd.DataFrame(
+            {
+                "event_type": t.column("event_type").to_numpy(
+                    zero_copy_only=False
+                ),
+                "bucket": pc.strftime(bucket, format="%Y-%m-%d %H:00:00")
+                .to_numpy(zero_copy_only=False),
+                "pack": pack,
+                "cents": cents,
+            }
+        )
+        g = df.groupby(["event_type", "bucket"], sort=False).agg(
+            op=("pack", "min"),
+            cp=("pack", "max"),
+            low_cents=("cents", "min"),
+            high_cents=("cents", "max"),
+            n_rows=("cents", "size"),
+        ).reset_index()
+        g["n_rows"] = g["n_rows"].astype(np.int64)
+        return g
+
+    def _merge(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.groupby(["event_type", "bucket"], sort=True).agg(
+            op=("op", "min"),
+            cp=("cp", "max"),
+            low_cents=("low_cents", "min"),
+            high_cents=("high_cents", "max"),
+            n_rows=("n_rows", "sum"),
+        ).reset_index()
+        out = pd.DataFrame(
+            {
+                "event_type": g["event_type"],
+                "bucket": g["bucket"],
+                "open_cents": (g["op"] & 0xFFFF).astype(np.int64),
+                "high_cents": g["high_cents"].astype(np.int64),
+                "low_cents": g["low_cents"].astype(np.int64),
+                "close_cents": (g["cp"] & 0xFFFF).astype(np.int64),
+                "n_rows": g["n_rows"].astype(np.int64),
+            }
+        )
+        return out
+
+    return partitioned_apply(
+        ev.map_batches(_partials, batch_format="pyarrow"),
+        ["event_type", "bucket"],
+        _merge,
+        num_parts=num_parts,
+    ).sort(["event_type", "bucket"])
