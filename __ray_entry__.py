@@ -1129,6 +1129,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             orders, "o_orderstatus", "o_totalprice", qs=(0.5, 0.9)
         ).sort("grp")
 
+    def q_kmv_users(sf_dir: str):
+        # round-5 late: theta-sketch set ops over event user sets — one
+        # streaming pass per side, sketch-sized (k) driver state
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from unsupervised_ner_ray.sources.io import read_sf
+        from unsupervised_ner_ray.stages.joins import kmv_set_estimates
+
+        ev = read_sf(sf_dir, "events", columns=["event_type", "user_id"])
+
+        def _side(kind: str):
+            def _f(t: pa.Table) -> pa.Table:
+                return t.filter(
+                    pc.equal(t.column("event_type"), pa.scalar(kind))
+                ).select(["user_id"])
+
+            return _f
+
+        a = ev.map_batches(_side("purchase"), batch_format="pyarrow")
+        b = ev.map_batches(_side("click"), batch_format="pyarrow")
+        return kmv_set_estimates(a, b, "user_id", k=4096)
+
     def q_quantiles_cont(sf_dir: str):
         # round-5 late: PERCENTILE_CONT face — interpolated per-group
         # quantiles over lineitem prices (double column, so the float64
@@ -1582,6 +1605,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (offset<<16 | cents) Min/Max (the keep_best idiom), deterministic
         # tie rules on both engines.  SQL-oracled
         "q_ohlc_events": relational.q_ohlc_events,
+        # round-5 late: MERGE INTO / upsert apply (lakehouse write path) —
+        # tagged union + one key shuffle + vectorized keep-last resolve.
+        # SQL-oracled
+        "q_merge_upsert": relational.q_merge_upsert,
+        # round-5 late: KMV/theta-sketch distinct set operations —
+        # purchase-users vs click-users |A|,|B|,|A∩B|,|A∪B| estimates
+        # (rows-only: approximate by construction; ≤3% at k=4096 pinned
+        # by accuracy tests vs the exact answer)
+        "q_kmv_users": q_kmv_users,
         # round-5: ROLLUP hierarchical subtotals (one data pass, levels
         # re-aggregate the finest aggregate).  SQL-oracled
         "q_rollup_revenue": q_rollup_revenue,
@@ -1785,8 +1817,15 @@ _WINDOW_R5 = [
     "q_ner_tags",
     "q_ner_mention_groups",
     "q_kg_adjacency_ner",
-    "q_exact_dedup",
-    "q_dedup_resolve_runs",
+    # MERGE/upsert apply — new round-5 SQL-oracled op, displacing the
+    # q_exact_dedup sentinel (hash-certified r01-r04; the md5 dedup
+    # machinery stays window-guarded through q_incremental_dedup)
+    "q_merge_upsert",
+    # KMV theta-sketch set ops — new round-5 rows-only op, displacing the
+    # q_dedup_resolve_runs sentinel (hash-certified r01-r04; component
+    # resolution stays window-guarded through q_entity_resolution's
+    # recursive-CTE oracle)
+    "q_kmv_users",
     "q_canonicalize_tokens",
     "q_dataprep",
     "q1_lineitem_agg",
@@ -3520,6 +3559,26 @@ def oracle_sql() -> dict[str, str]:
                    quantile_disc(o_totalprice, 0.5) AS p50,
                    quantile_disc(o_totalprice, 0.9) AS p90
             FROM orders GROUP BY o_orderstatus ORDER BY grp
+        """,
+        "q_merge_upsert": """
+            WITH base AS (
+                SELECT CAST(o_orderkey AS BIGINT) k,
+                       CAST(floor(o_totalprice * 100) AS BIGINT) cents
+                FROM orders
+            ),
+            upd AS (SELECT k, cents + 100000 AS cents FROM base WHERE k % 10 = 3),
+            del AS (SELECT k FROM base WHERE k % 10 = 7),
+            ins AS (SELECT k + 1000000000 AS k, cents + 50 AS cents
+                    FROM base WHERE k % 10 = 1)
+            SELECT k AS o_orderkey, cents, src FROM (
+                SELECT b.k, COALESCE(u.cents, b.cents) AS cents,
+                       CASE WHEN u.k IS NOT NULL THEN 'update'
+                            ELSE 'base' END AS src
+                FROM base b LEFT JOIN upd u ON b.k = u.k
+                WHERE b.k NOT IN (SELECT k FROM del)
+                UNION ALL
+                SELECT k, cents, 'insert' FROM ins
+            ) ORDER BY o_orderkey
         """,
         # OHLC resample: the packed (off<<16 | cents) Min/Max reproduces
         # open/close with a deterministic same-timestamp tie rule on both

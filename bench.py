@@ -178,6 +178,32 @@ def run_bench(sf_dir: str, num_cpus: int) -> dict:
 
     timed("q_quantiles_cont", _qcont)
     timed("q_ohlc_events", lambda: relational.q_ohlc_events(sf_dir).to_pandas())
+    timed("q_merge_upsert", lambda: relational.q_merge_upsert(sf_dir).to_pandas())
+
+    def _kmv():
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from unsupervised_ner_ray.stages.joins import kmv_set_estimates
+
+        ev = read_sf(sf_dir, "events", columns=["event_type", "user_id"])
+
+        def _side(kind):
+            def _f(t):
+                return t.filter(
+                    pc.equal(t.column("event_type"), pa.scalar(kind))
+                ).select(["user_id"])
+
+            return _f
+
+        return kmv_set_estimates(
+            ev.map_batches(_side("purchase"), batch_format="pyarrow"),
+            ev.map_batches(_side("click"), batch_format="pyarrow"),
+            "user_id",
+            k=4096,
+        )
+
+    timed("q_kmv_users", _kmv)
     timed(
         "q_embedding_centroid",
         lambda: __import__(

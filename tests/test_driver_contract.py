@@ -91,6 +91,7 @@ def test_window_r5_contract():
     assert not never_recorded, never_recorded
     rows_only = [q for q in W if q not in oracles]
     assert rows_only == [
+        "q_kmv_users",
         "q_semantic_dedup",
         "q_dsir_select",
         "q_bpe_encode",

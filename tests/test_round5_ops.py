@@ -1461,3 +1461,87 @@ def test_ohlc_tie_rule_same_timestamp():
     assert int(r["open_cents"]) == 100
     assert int(r["close_cents"]) == 500
     assert int(r["low_cents"]) == 100 and int(r["high_cents"]) == 500
+
+
+# ---------------------------------------------------------------------------
+# MERGE / upsert apply
+
+
+def test_merge_upsert_matches_duckdb_and_semantics(ray_session):
+    import duckdb
+
+    from unsupervised_ner_ray.stages.relational import q_merge_upsert
+
+    out = q_merge_upsert("/root/testdata/sf0.001").to_pandas().reset_index(drop=True)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/orders.parquet')"
+    )
+    want = con.execute(
+        """
+        WITH base AS (SELECT CAST(o_orderkey AS BIGINT) k,
+                             CAST(floor(o_totalprice*100) AS BIGINT) cents
+                      FROM orders),
+        upd AS (SELECT k, cents + 100000 AS cents FROM base WHERE k % 10 = 3),
+        del AS (SELECT k FROM base WHERE k % 10 = 7),
+        ins AS (SELECT k + 1000000000 AS k, cents + 50 AS cents
+                FROM base WHERE k % 10 = 1)
+        SELECT k AS o_orderkey, cents, src FROM (
+            SELECT b.k, COALESCE(u.cents, b.cents) AS cents,
+                   CASE WHEN u.k IS NOT NULL THEN 'update' ELSE 'base' END AS src
+            FROM base b LEFT JOIN upd u ON b.k = u.k
+            WHERE b.k NOT IN (SELECT k FROM del)
+            UNION ALL SELECT k, cents, 'insert' FROM ins
+        ) ORDER BY o_orderkey
+        """
+    ).fetchdf()
+    pd.testing.assert_frame_equal(out, want)
+    # semantics: no deleted key survives, every update bumped, inserts fresh
+    assert not (out["o_orderkey"] % 10 == 7)[out["o_orderkey"] < 1_000_000_000].any()
+    assert (out.loc[out["src"] == "insert", "o_orderkey"] >= 1_000_000_000).all()
+
+
+# ---------------------------------------------------------------------------
+# KMV theta-sketch set operations
+
+
+def test_kmv_exact_below_k(ray_session):
+    """Below k distinct values the sketch is the full hash set: every
+    estimate (incl. intersection/union) is exact."""
+    from unsupervised_ner_ray.stages.joins import kmv_set_estimates
+
+    rd = _rd()
+    a = rd.from_pandas(pd.DataFrame({"u": np.arange(300)}))
+    b = rd.from_pandas(pd.DataFrame({"u": np.arange(200, 500)}))
+    est = kmv_set_estimates(a, b, "u", k=1024)
+    assert est["n_a"][0] == 300.0
+    assert est["n_b"][0] == 300.0
+    assert est["n_intersect"][0] == 100.0
+    assert est["n_union"][0] == 500.0
+
+
+def test_kmv_accuracy_and_determinism(ray_session):
+    """k=4096 over 10k/13k sets with 5k overlap: every estimate within 5%
+    (the 1/sqrt(k * inter/union) RSE bound; the fixed hash key makes the
+    outcome deterministic, so this pins an observed value, not luck), and
+    repartitioning cannot change a single digit (bottom-k merge is
+    associative + idempotent)."""
+    from unsupervised_ner_ray.stages.joins import kmv_set_estimates
+
+    rd = _rd()
+    a_df = pd.DataFrame({"u": np.arange(10000)})
+    b_df = pd.DataFrame({"u": np.arange(5000, 18000)})
+    est = kmv_set_estimates(
+        rd.from_pandas(a_df), rd.from_pandas(b_df), "u", k=4096
+    )
+    true = {"n_a": 10000, "n_b": 13000, "n_intersect": 5000, "n_union": 18000}
+    for c, t in true.items():
+        assert abs(est[c][0] - t) / t < 0.05, (c, est[c][0])
+    est2 = kmv_set_estimates(
+        rd.from_pandas(a_df).repartition(7),
+        rd.from_pandas(b_df).repartition(3),
+        "u",
+        k=4096,
+    )
+    pd.testing.assert_frame_equal(est, est2)

@@ -1246,3 +1246,86 @@ def q_skew_join_events(sf_dir: str):
         )
 
     return out.map_batches(_fix, batch_format="pyarrow").sort("event_id")
+
+
+_KMV_HASH_KEY = "kmv-sketch-hash-key-0000000000ab"
+
+
+def kmv_sketch(ds, col: str, k: int = 1024):
+    """KMV / bottom-k theta sketch (Beyer et al. 2007; the Apache
+    DataSketches theta-sketch core) over a column's DISTINCT values — the
+    set-operation member of the sketch family (HLL estimates one
+    cardinality; KMV sketches COMPOSE: union/intersection estimates come
+    from combining the retained samples).
+
+    Per batch: ONE keyed vectorized hash, local distinct, keep the k
+    smallest (np.partition).  Sketch rows merge by keeping the k smallest
+    of the union — associative + idempotent, so the driver reduce here
+    becomes a map_batches merge tree at 100 TB (the hll_distinct shape).
+    Returns the sorted uint64 sample (len <= k) as an ndarray.
+
+    Estimate: with the k-th smallest hash at theta = h_k / 2^64, the
+    distinct count is (k - 1) / theta (unbiased); below k distinct values
+    the sketch is EXACT (len(sample)).
+    """
+
+    def _sketch(t: pa.Table) -> pa.Table:
+        vals = t.column(col).to_pandas()
+        h = np.unique(
+            pd.util.hash_pandas_object(
+                vals, index=False, hash_key=_KMV_HASH_KEY
+            ).to_numpy()
+        )
+        if len(h) > k:
+            h = np.partition(h, k - 1)[:k]
+        return pa.table(
+            {"sample": pa.array([np.sort(h).tolist()], pa.list_(pa.uint64()))}
+        )
+
+    rows = ds.map_batches(_sketch, batch_format="pyarrow").to_pandas()
+    merged = np.unique(
+        np.concatenate([np.asarray(s, dtype=np.uint64) for s in rows["sample"]])
+    )
+    if len(merged) > k:
+        merged = np.sort(np.partition(merged, k - 1)[:k])
+    return merged
+
+
+def kmv_estimate(sample: np.ndarray, k: int = 1024) -> float:
+    """Distinct-count estimate from a KMV sample (exact below k)."""
+    if len(sample) < k:
+        return float(len(sample))
+    theta = float(sample[k - 1]) / float(1 << 64)
+    return (k - 1) / theta
+
+
+def kmv_set_estimates(a, b, col: str, k: int = 1024):
+    """Distinct |A|, |B|, |A∩B|, |A∪B| estimates from two KMV sketches —
+    the theta-sketch intersection rule: cut both samples at the SMALLER
+    theta, count shared hashes in the cut, scale by 1/theta.  One
+    streaming pass per side, sketch-sized driver state.
+
+    Returns a one-row DataFrame (n_a, n_b, n_intersect, n_union floats).
+    """
+    sa, sb = kmv_sketch(a, col, k), kmv_sketch(b, col, k)
+    ea, eb = kmv_estimate(sa, k), kmv_estimate(sb, k)
+    if len(sa) < k and len(sb) < k:
+        # both exact: set ops are exact too
+        inter = float(len(np.intersect1d(sa, sb)))
+        union = float(len(np.union1d(sa, sb)))
+    else:
+        theta_a = float(sa[k - 1]) / float(1 << 64) if len(sa) >= k else 1.0
+        theta_b = float(sb[k - 1]) / float(1 << 64) if len(sb) >= k else 1.0
+        theta = min(theta_a, theta_b)
+        cut = np.uint64(int(theta * (1 << 64)))
+        ca, cb = sa[sa <= cut], sb[sb <= cut]
+        inter = len(np.intersect1d(ca, cb)) / theta
+        union = ea + eb - inter
+    return pd.DataFrame(
+        {
+            "n_a": [ea],
+            "n_b": [eb],
+            "n_intersect": [inter],
+            "n_union": [union],
+        }
+    )

@@ -2848,3 +2848,77 @@ def q_ohlc_events(sf_dir: str, num_parts: int = 16):
         _merge,
         num_parts=num_parts,
     ).sort(["event_type", "bucket"])
+
+
+def q_merge_upsert(sf_dir: str, num_parts: int = 32):
+    """MERGE INTO / upsert apply — the lakehouse write path (Delta/Iceberg
+    MERGE, Hudi upsert): apply a change set of UPDATE / DELETE / INSERT
+    rows to a keyed base table in one reconciling pass.
+
+    The change set derives deterministically from the orders table so the
+    operator runs on driver testdata (the :func:`q_snapshot_diff` recipe):
+    key%10==3 -> UPDATE (price + 1000.00), key%10==7 -> DELETE,
+    key%10==1 -> INSERT of a fresh key (key + 10^9, price + 0.50).
+
+    Scale shape: base and changes stream through cheap side-tagging maps
+    into ONE tagged union; a single coarse key-hash shuffle co-locates the
+    <= 2 rows per key; the per-partition resolve is fully vectorized
+    (stable sort by (key, is_change), keep-last per key, drop deletes) —
+    no per-key Python, nothing table-sized on the driver.  Output:
+    (o_orderkey, cents, src in {base, update, insert}), sorted by key.
+    """
+    from .grouping import partitioned_apply
+
+    orders = read_sf(sf_dir, "orders", columns=["o_orderkey", "o_totalprice"])
+
+    def _tag_base(t: pa.Table) -> pd.DataFrame:
+        k = pc.cast(t.column("o_orderkey"), pa.int64()).to_numpy()
+        cents = _to_cents(t.column("o_totalprice")).to_numpy(zero_copy_only=False)
+        return pd.DataFrame(
+            {"k": k, "cents": cents, "op": np.int8(0)}  # 0 = base
+        )
+
+    def _tag_changes(t: pa.Table) -> pd.DataFrame:
+        k = pc.cast(t.column("o_orderkey"), pa.int64()).to_numpy()
+        cents = _to_cents(t.column("o_totalprice")).to_numpy(zero_copy_only=False)
+        upd = k % 10 == 3
+        dele = k % 10 == 7
+        ins = k % 10 == 1
+        return pd.DataFrame(
+            {
+                "k": np.concatenate([k[upd], k[dele], k[ins] + 1_000_000_000]),
+                "cents": np.concatenate(
+                    [cents[upd] + 100_000, cents[dele], cents[ins] + 50]
+                ),
+                "op": np.concatenate(
+                    [
+                        np.full(int(upd.sum()), 1, dtype=np.int8),   # update
+                        np.full(int(dele.sum()), 2, dtype=np.int8),  # delete
+                        np.full(int(ins.sum()), 3, dtype=np.int8),   # insert
+                    ]
+                ),
+            }
+        )
+
+    tagged = orders.map_batches(_tag_base, batch_format="pyarrow").union(
+        orders.map_batches(_tag_changes, batch_format="pyarrow")
+    )
+
+    _SRC = {0: "base", 1: "update", 3: "insert"}
+
+    def _resolve(part: pd.DataFrame) -> pd.DataFrame:
+        part = part.sort_values(["k", "op"], kind="mergesort")
+        # change rows (op > 0) sort after base -> keep-last applies them
+        part = part.drop_duplicates("k", keep="last")
+        part = part[part["op"] != 2]
+        return pd.DataFrame(
+            {
+                "o_orderkey": part["k"].to_numpy(np.int64),
+                "cents": part["cents"].to_numpy(np.int64),
+                "src": part["op"].map(_SRC).to_numpy(object),
+            }
+        )
+
+    return partitioned_apply(tagged, "k", _resolve, num_parts=num_parts).sort(
+        "o_orderkey"
+    )
